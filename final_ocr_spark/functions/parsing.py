@@ -1,0 +1,88 @@
+"""Record-parsing scalar functions as declarative Column expressions.
+
+The reference implements these as sequential regex cascades in Python
+(SURVEY §2.5): invoice-number R1 (ocr.py:176-185), date R2/R3
+(ocr.py:189-198, ocr2.py:299-319), section extraction G1/G3
+(ocr.py:119-167), grand total R10 (ocr2.py:573-597). Here each cascade is a
+``coalesce(nullif(regexp_extract(...)), ...)`` chain — Catalyst folds it into
+one codegen stage and the first-match-wins short-circuit is preserved.
+
+Patterns avoid lookaheads/backrefs so the same semantics hold in RE2-based
+engines (the DuckDB oracle) and Java regex (Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def first_match(col: Column, patterns: list[str], group: int = 1) -> Column:
+    """First-match-wins pattern cascade (the reference's core idiom,
+    ocr.py:182-185): try each regex in order, return the first non-empty
+    capture, else null."""
+    candidates = [
+        F.nullif(F.regexp_extract(col, p, group), F.lit("")) for p in patterns
+    ]
+    return F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
+
+
+# R1 — document/invoice id cascade (generalized: long digit runs / dashed ids)
+ID_PATTERNS = [
+    r"[Ii]nvoice\s+no[.:]?\s*(\d{6,})",
+    r"\b(\d{8,})\b",
+    r"\b(\d{2,4}-\d{2,4}-\d{2,4})\b",
+]
+
+
+def extract_id(col: Column) -> Column:
+    return first_match(col, ID_PATTERNS)
+
+
+# R2 — date-string cascade
+DATE_PATTERNS = [
+    r"\b(\d{4}-\d{2}-\d{2})\b",
+    r"\b(\d{1,2}/\d{1,2}/\d{2,4})\b",
+    r"\b(\d{1,2}-\d{1,2}-\d{2,4})\b",
+]
+
+
+def extract_date_str(col: Column) -> Column:
+    return first_match(col, DATE_PATTERNS)
+
+
+def normalize_date(col: Column) -> Column:
+    """R3 — pinned first-format-wins order: d/M/yyyy, d-M-yyyy, M/d/yyyy,
+    M-d-yyyy, then ISO. Bad parses yield null (try_to_date), matching the
+    reference's strptime-cascade fallthrough (ocr2.py:303-319; the golden
+    `04/13/2013 → 2013-04-13` proves day-first is tried before month-first)."""
+    return F.coalesce(
+        F.try_to_date(col, "d/M/yyyy"),
+        F.try_to_date(col, "d-M-yyyy"),
+        F.try_to_date(col, "M/d/yyyy"),
+        F.try_to_date(col, "M-d-yyyy"),
+        F.try_to_date(col, "yyyy-MM-dd"),
+    )
+
+
+def extract_section(col: Column, start_marker: str, end_marker: str | None = None) -> Column:
+    """G1/G3 — marker-delimited section extract with fallback chain
+    (ocr.py:119-167): strict both-markers regex first, then open-ended."""
+    if end_marker:
+        strict = F.regexp_extract(col, rf"{start_marker}(.*?){end_marker}", 1)
+        loose = F.regexp_extract(col, rf"{start_marker}(.*)", 1)
+        return F.coalesce(F.nullif(strict, F.lit("")), F.nullif(loose, F.lit("")))
+    return F.nullif(F.regexp_extract(col, rf"{start_marker}(.*)", 1), F.lit(""))
+
+
+# R10 — grand-total cascade (ocr2.py:573-597)
+TOTAL_PATTERNS = [
+    r"[Gg]rand\s+[Tt]otal[:\s]*\$?\s*([0-9][0-9.,]*)",
+    r"[Tt]otal\s+[Aa]mount[:\s]*\$?\s*([0-9][0-9.,]*)",
+    r"[Aa]mount\s+[Dd]ue[:\s]*\$?\s*([0-9][0-9.,]*)",
+    r"[Tt]otal[:\s]*\$?\s*([0-9][0-9.,]*)",
+]
+
+
+def extract_total_amount(col: Column) -> Column:
+    return first_match(col, TOTAL_PATTERNS)

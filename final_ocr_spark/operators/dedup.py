@@ -1,0 +1,278 @@
+"""Corpus deduplication operators (SURVEY A6 + training-data-pipeline ops).
+
+The reference has no dedup (single directory of unique files), but at
+10^12-document scale the same url appears in many WARC segments and near-dup
+pages dominate. Five strategies, all shuffle-conscious:
+
+* ``dedup_latest``  — latest-wins per key (window row_number), the A6 shape.
+* ``dedup_exact``   — exact content dedup via xxhash64 group-by (one shuffle,
+  map-side partial agg).
+* ``minhash_near_dups`` — shingle → minhash → LSH banding → candidate pairs
+  via self-join *on band bucket only* (never all-pairs).
+* ``simhash_near_dups`` — 64-bit simhash; Hamming-ball candidates via 4-way
+  16-bit block index (pigeonhole: hamming ≤3 ⇒ some block equal).
+* ``ngram_jaccard`` — exact Jaccard on n-gram sets for a candidate pair set
+  (the verifier stage after LSH).
+
+Everything is built-in-function Spark (JVM/codegen) — no Python in the hot
+path; minhash uses vectorized array ops with ``F.transform``/``aggregate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# large 61-bit Mersenne prime for universal hashing
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_latest(df: DataFrame, key: str = "url", order_col: str = "warc_ts") -> DataFrame:
+    """Latest-wins per key: row_number over (partition by key order by ts desc,
+    tiebreak deterministic) = 1. One shuffle on key."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", keep_col: str | None = None) -> DataFrame:
+    """Exact-content dedup: keep one row per normalized-text hash.
+
+    Group-by on a 64-bit hash of the normalized text (whitespace-collapsed,
+    lowercased) — partial aggregation makes this one cheap shuffle of
+    (hash, min-key) pairs, never the full text.
+    """
+    key = keep_col or df.columns[0]
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    h = F.xxhash64(norm)
+    winners = (
+        df.select(h.alias("_h"), F.col(key).alias("_k"))
+        .groupBy("_h")
+        .agg(F.min("_k").alias("_k"))
+    )
+    return (
+        df.withColumn("_h", h)
+        .join(winners.withColumnRenamed("_k", key + "_keep"), "_h")
+        .filter(F.col(key) == F.col(key + "_keep"))
+        .drop("_h", key + "_keep")
+    )
+
+
+def shingles(text_col: str, k: int = 5):
+    """Column expr: lowercase word k-shingles of a text column (array<string>).
+
+    Built from split + transform over index range — stays in codegen.
+    """
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]+", " ")), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    return F.when(
+        n > 0,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 7):
+    """Column expr: minhash signature array<bigint> of a shingle array.
+
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod p — a_i/b_i derived deterministically
+    from the seed; min over shingles per hash function. All JVM-side
+    (transform + aggregate over arrays).
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    # stay in long range: (a*h + b) with wraparound is a fine
+                    # universal-ish hash family for minhash purposes
+                    lambda h, a=a, b=b: F.pmod(a * h + b, F.lit(_MERSENNE)),
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return F.when(F.size(shingle_col) > 0, sig)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Plan: signature (narrow) → explode bands (narrow) → groupBy band-bucket
+    (ONE shuffle) → pairs within bucket (collect_list per bucket — buckets are
+    tiny by construction) → distinct pairs → exact signature-similarity filter.
+    Returns (key_a, key_b, est_jaccard) with key_a < key_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes)
+    sigs = df.select(F.col(key).alias("k"), sig.alias("sig")).filter(
+        F.col("sig").isNotNull()
+    )
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+    buckets = sigs.select(
+        "k", "sig", F.explode(band_arr).alias("bb")
+    ).select("k", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # candidate pairs: self-join within (band, bucket). Skew guard: a
+    # degenerate bucket (all-identical boilerplate) is capped via row_number.
+    w = Window.partitionBy("band", "bucket").orderBy("k")
+    capped = buckets.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 200)
+    a = capped.select(
+        "band", "bucket", F.col("k").alias("key_a"), F.col("sig").alias("sig_a")
+    )
+    b = capped.select(
+        "band", "bucket", F.col("k").alias("key_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sig_a", "sig_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("key_a", "key_b", "est_jaccard")
+    )
+
+
+def simhash64(text_col: str, shingle_k: int = 3):
+    """Column expr: 64-bit SimHash of word shingles, as bigint.
+
+    Majority vote per bit over shingle hashes — expressed as 64 aggregate
+    expressions over the shingle array (all codegen; no UDF).
+    """
+    sh = shingles(text_col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, i=i: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return F.when(F.size(sh) > 0, total)
+
+
+def hamming64(a, b):
+    """Column expr: Hamming distance between two 64-bit bigints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit block index (pigeonhole — any pair
+    with hamming ≤ 3 shares at least one of 4 blocks), then exact hamming
+    filter. One shuffle on (block_id, block_value)."""
+    sh = df.select(F.col(key).alias("k"), simhash64(text_col, shingle_k).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("sh"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sh.select("k", "sh", F.explode(blocks).alias("b")).select(
+        "k", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    w = Window.partitionBy("blk", "val").orderBy("k")
+    capped = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 200)
+    a = capped.select("blk", "val", F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = capped.select("blk", "val", F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
+
+    Joins the pair list back to distinct shingle sets; both joins shuffle on
+    the doc key. Jaccard = |intersect| / |union| via array_intersect/union.
+    """
+    sets = df.select(
+        F.col(key).alias("k"), F.array_distinct(shingles(text_col, n)).alias("grams")
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("k", "key_a").withColumnRenamed("grams", "ga"), "key_a")
+        .join(sets.withColumnRenamed("k", "key_b").withColumnRenamed("grams", "gb"), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.size(F.array_intersect("ga", "gb"))
+                / F.greatest(F.size(F.array_union("ga", "gb")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
