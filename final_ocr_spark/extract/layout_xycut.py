@@ -26,8 +26,10 @@ from dataclasses import dataclass
 
 PDFTOK_MAGIC = b"%PDFTOK 1"
 
-# minimum whitespace valley widths (in the synthetic unit space ~ points)
-MIN_X_GAP = 18.0
+# minimum whitespace valley widths (in the synthetic unit space ~ points);
+# the x gap must exceed any plausible inter-word space — column gutters are
+# wide — or normal word spacing triggers spurious column splits
+MIN_X_GAP = 40.0
 MIN_Y_GAP = 14.0
 PARA_GAP_FACTOR = 1.8  # vertical gap > factor×median line height ⇒ new block
 

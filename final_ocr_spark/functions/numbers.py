@@ -38,15 +38,17 @@ def normalize_number(col: Column) -> Column:
     eu_both = F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
 
     one_comma_decimal = s.rlike(r"^[^,]*,[0-9]{1,2}$")
-    one_dot_decimal = s.rlike(r"^[^.]*\.[0-9]{1,2}$")
+    # dot-only is thousands ONLY in the strict grouped shape (1.234 / 1.234.567);
+    # anything else — incl. float64 artifacts like 762.4400000000001 — is decimal
+    dot_thousands = s.rlike(r"^-?[0-9]{1,3}(\.[0-9]{3})+$")
 
     cleaned = (
         F.when(has_dot & has_comma, F.when(last_dot > last_comma, us_both).otherwise(eu_both))
         .when(has_comma, F.when(one_comma_decimal, F.regexp_replace(s, ",", ".")).otherwise(F.regexp_replace(s, ",", "")))
-        .when(has_dot, F.when(one_dot_decimal, s).otherwise(F.regexp_replace(s, r"\.", "")))
+        .when(has_dot, F.when(dot_thousands, F.regexp_replace(s, r"\.", "")).otherwise(s))
         .otherwise(s)
     )
-    return F.try_cast(cleaned, "double")
+    return cleaned.try_cast("double")
 
 
 def normalize_number_sql(expr: str) -> str:
@@ -68,9 +70,9 @@ def normalize_number_sql(expr: str) -> str:
                ELSE regexp_replace({s}, ',', '', 'g')
           END
         WHEN strpos({s}, '.') > 0 THEN
-          CASE WHEN regexp_matches({s}, '^[^.]*\\.[0-9]{{1,2}}$')
-               THEN {s}
-               ELSE regexp_replace({s}, '\\.', '', 'g')
+          CASE WHEN regexp_matches({s}, '^-?[0-9]{{1,3}}(\\.[0-9]{{3}})+$')
+               THEN regexp_replace({s}, '\\.', '', 'g')
+               ELSE {s}
           END
         ELSE {s}
       END AS double)

@@ -57,12 +57,18 @@ def extract_pages(
     dedup: bool = True,
     partitions: int | None = None,
     salt_buckets: int = 8,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted table.
 
     ``dedup=True`` applies latest-wins per url first (SURVEY A6) so each url
     is extracted exactly once. ``salt_buckets`` spreads one hot host's pages
     over several partitions (compute-skew salting, SURVEY §4.3).
+
+    ``drop_empty=False`` (default) keeps fully-null rows as quarantined
+    ``doc_kind='empty'`` output rows — every input url is accounted for in
+    the output table. Set True to filter them before the UDF (the pushdown
+    guard, reference analog ocr.py:54-62) when row accounting is not needed.
     """
     df = pages
     if dedup:
@@ -73,8 +79,9 @@ def extract_pages(
     # column pruning: the UDF needs exactly these four
     df = df.select("url", "html", "text", "lang")
 
-    # cheap guard before the expensive stage (kept as Column expr for pushdown)
-    df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
+    if drop_empty:
+        # cheap guard before the expensive stage (Column expr ⇒ pushdown)
+        df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
 
     if partitions:
         # salted repartition: hash(url) alone would put all of one host's

@@ -54,6 +54,7 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # blob columns make rows heavy; cap scan partitions at 64 MB so one
         # partition of html bytes fits comfortably in an executor core's share
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))

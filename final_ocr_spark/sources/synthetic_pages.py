@@ -140,7 +140,7 @@ def _gen_html(rng: random.Random, lang: str, doc_id: int) -> tuple[bytes, str]:
 def _gen_pdftok(rng: random.Random, lang: str) -> tuple[bytes, str]:
     words = WORDS[lang]
     two_col = rng.random() < 0.4
-    cols = [60.0, 330.0] if two_col else [60.0]
+    cols = [60.0, 360.0] if two_col else [60.0]  # gutter ≥60pt > MIN_X_GAP
     col_w = 240.0 if two_col else 480.0
     lines = ["%PDFTOK 1"]
     plain: list[str] = []

@@ -1,0 +1,66 @@
+"""End-to-end Spark extraction vs pinned golden fixtures.
+
+The byte-identity contract (BASELINE.json): extracted_text per url must be
+byte-identical to the committed goldens; spans and lang must match exactly.
+Also proves determinism across parallelism levels (the glob-order
+nondeterminism the reference had, SURVEY A7, must NOT exist here).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "extracted_sample.json"
+SEED, N_DOCS = 42, 64
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return json.loads(GOLDEN.read_text(encoding="utf-8"))
+
+
+def _run_extraction(spark, partitions):
+    from final_ocr_spark.operators.extract_pages import extract_pages
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+
+    pages = gen_pages(spark, N_DOCS, seed=SEED, partitions=partitions)
+    return {
+        r["url"]: r.asDict(recursive=True)
+        for r in extract_pages(pages, dedup=True).collect()
+    }
+
+
+def test_byte_identity_vs_goldens(spark, goldens):
+    got = _run_extraction(spark, partitions=4)
+    assert set(got) == set(goldens)
+    for url, g in goldens.items():
+        r = got[url]
+        assert r["extracted_text"] == g["extracted_text"], f"text mismatch for {url}"
+        assert r["lang"] == g["lang"], f"lang mismatch for {url}"
+        assert r["doc_kind"] == g["doc_kind"], f"kind mismatch for {url}"
+        got_spans = [{"start": s["start"], "end": s["end"], "kind": s["kind"]} for s in r["spans"]]
+        assert got_spans == g["spans"], f"spans mismatch for {url}"
+
+
+def test_deterministic_across_parallelism(spark):
+    a = _run_extraction(spark, partitions=2)
+    b = _run_extraction(spark, partitions=7)
+    assert a == b
+
+
+def test_spans_well_formed(spark, goldens):
+    for url, g in goldens.items():
+        text = g["extracted_text"] or ""
+        for sp in g["spans"]:
+            assert 0 <= sp["start"] <= sp["end"] <= len(text)
+            assert sp["kind"] in {
+                "title", "heading", "paragraph", "list", "date", "id", "amount"
+            }
+
+
+def test_error_rows_zero(spark):
+    got = _run_extraction(spark, partitions=4)
+    assert all(r["error"] is None for r in got.values())

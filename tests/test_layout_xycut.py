@@ -1,0 +1,55 @@
+"""Unit tests for the XY-cut layout branch (no Spark)."""
+
+from final_ocr_spark.extract.layout_xycut import extract_pdf_tokens
+
+
+def _tok(word, x, y, w=None, h=10.0):
+    w = w if w is not None else 6.0 * len(word)
+    return f"{word} {x} {y} {x + w} {y + h}"
+
+
+def test_single_column_reading_order():
+    lines = ["%PDFTOK 1",
+             _tok("alpha", 60, 60), _tok("beta", 94, 60),
+             _tok("gamma", 60, 74), _tok("delta", 94, 74)]
+    text, spans, n = extract_pdf_tokens("\n".join(lines).encode())
+    assert text == "alpha beta gamma delta"
+    assert n == 1
+
+
+def test_two_columns_left_before_right():
+    lines = ["%PDFTOK 1",
+             # left column
+             _tok("L1", 60, 60), _tok("L2", 60, 74),
+             # right column (big x gap)
+             _tok("R1", 400, 60), _tok("R2", 400, 74)]
+    text, _, _ = extract_pdf_tokens("\n".join(lines).encode())
+    assert text.index("L1") < text.index("L2") < text.index("R1") < text.index("R2")
+
+
+def test_paragraph_gap_splits_blocks():
+    lines = ["%PDFTOK 1",
+             _tok("para1", 60, 60),
+             _tok("para2", 60, 140)]  # 70pt gap >> 1.8×line height
+    text, spans, n = extract_pdf_tokens("\n".join(lines).encode())
+    assert text == "para1\npara2"
+    assert n == 2
+
+
+def test_hyphenation_merge():
+    lines = ["%PDFTOK 1",
+             _tok("exam-", 60, 60),
+             _tok("ple", 60, 74)]
+    text, _, _ = extract_pdf_tokens("\n".join(lines).encode())
+    assert text == "example"
+
+
+def test_malformed_lines_skipped():
+    data = b"%PDFTOK 1\nnot enough fields\nword 1 2 3 notafloat\n" + _tok("ok", 60, 60).encode()
+    text, _, _ = extract_pdf_tokens(data)
+    assert text == "ok"
+
+
+def test_empty_payload():
+    text, spans, n = extract_pdf_tokens(b"%PDFTOK 1\n")
+    assert text == "" and spans == [] and n == 0
