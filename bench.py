@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec}, "sf": sf, ...extras}
+
+The headline set covers the engine's hot paths: the flagship extraction
+(mapInPandas over HTML+PDF corpus — the north-rule workload), the rollup/join
+shapes, near-dup LSH, and cosine top-k. Every query is forced with a noop
+write (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _force(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from final_ocr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="final-ocr-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from final_ocr_spark.operators.extract_pages import extract_pages
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+
+    # extraction corpus scaled with sf (sf0.1 → 6000 pages)
+    n_pages = max(int(60000 * sf), 500)
+
+    def bench_extract(spark, _sf_dir):
+        pages = gen_pages(spark, n_pages, seed=42, partitions=cpus * 4)
+        return extract_pages(pages, dedup=True, partitions=cpus * 4)
+
+    qs = entrymod.queries()
+    headline = {
+        "extract_pages": bench_extract,
+        "q1_rollup": qs["q1_rollup"],
+        "q2_parent_child": qs["q2_parent_child"],
+        "q3_dedup_latest": qs["q3_dedup_latest"],
+        "q15_token_quality": qs["q15_token_quality"],
+        "q17_cosine_topk": qs["q17_cosine_topk"],
+        "q19_minhash_pairs": qs["q19_minhash_pairs"],
+    }
+
+    # warm-up: JVM/codegen/Python-worker spin-up excluded from timings
+    _force(extract_pages(gen_pages(spark, 200, seed=1), dedup=True))
+    _force(qs["q1_rollup"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in headline.items():
+        t0 = time.monotonic()
+        rows[name] = _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["extract_pages"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (extraction + rollup/join/dedup/ann)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_pages,
+                "extract_docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

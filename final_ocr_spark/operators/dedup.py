@@ -76,12 +76,20 @@ def shingles(text_col: str, k: int = 5):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 7):
-    """Column expr: minhash signature array<bigint> of a shingle array.
+def shingle_hashes(text_col: str, k: int = 5):
+    """Column expr: xxhash64 of each k-shingle (array<bigint>). Materialize
+    this ONCE per row; every sketch below consumes it — recomputing the
+    shingle pipeline per hash function is a 50× blowup."""
+    return F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
 
-    h_i(x) = (a_i * xxhash64(x) + b_i) mod p — a_i/b_i derived deterministically
-    from the seed; min over shingles per hash function. All JVM-side
-    (transform + aggregate over arrays).
+
+def minhash_from_hashes(hash_col, num_hashes: int = 64, seed: int = 7):
+    """Column expr: minhash signature array<bigint> from pre-computed shingle
+    hashes — ONE pass over the array, maintaining all num_hashes mins via
+    zip_with(acc, perms(h), least).
+
+    h_i(x) = (a_i * x + b_i) mod p (universal-ish family; wraparound in long
+    arithmetic is fine for sketching). All JVM-side; no UDF.
     """
     import random
 
@@ -90,21 +98,22 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 7):
         (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    base,
-                    # stay in long range: (a*h + b) with wraparound is a fine
-                    # universal-ish hash family for minhash purposes
-                    lambda h, a=a, b=b: F.pmod(a * h + b, F.lit(_MERSENNE)),
-                )
-            )
-            for a, b in coeffs
-        ]
+
+    def _perms(h):
+        return F.array(*[F.pmod(a * h + b, F.lit(_MERSENNE)) for a, b in coeffs])
+
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        hash_col, init, lambda acc, h: F.zip_with(acc, _perms(h), lambda a, b: F.least(a, b))
     )
-    return F.when(F.size(shingle_col) > 0, sig)
+    return F.when(F.size(hash_col) > 0, sig)
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 7):
+    """Column expr: minhash signature array<bigint> of a shingle array."""
+    return minhash_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes, seed
+    )
 
 
 def minhash_near_dups(
@@ -124,10 +133,13 @@ def minhash_near_dups(
     Returns (key_a, key_b, est_jaccard) with key_a < key_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes)
-    sigs = df.select(F.col(key).alias("k"), sig.alias("sig")).filter(
-        F.col("sig").isNotNull()
+    # two projection steps: materialize shingle hashes once, then sketch
+    hashed = df.select(
+        F.col(key).alias("k"), shingle_hashes(text_col, shingle_k).alias("h")
     )
+    sigs = hashed.select(
+        "k", minhash_from_hashes(F.col("h"), num_hashes).alias("sig")
+    ).filter(F.col("sig").isNotNull())
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -181,27 +193,45 @@ def minhash_near_dups(
     )
 
 
-def simhash64(text_col: str, shingle_k: int = 3):
-    """Column expr: 64-bit SimHash of word shingles, as bigint.
+def simhash_from_hashes(hash_col):
+    """Column expr: 64-bit SimHash (bigint) from pre-computed shingle hashes.
 
-    Majority vote per bit over shingle hashes — expressed as 64 aggregate
-    expressions over the shingle array (all codegen; no UDF).
+    ONE pass: aggregate maintains a 64-wide vote vector via zip_with(+1/-1
+    per bit), then the finish lambda folds votes into the bigint (bit 63 is
+    the two's-complement sign bit). All codegen; no UDF.
     """
-    sh = shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, i=i: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    init = F.array(*[F.lit(0) for _ in range(64)])
+
+    def _bitvec(h):
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(64)
+            ]
         )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return F.when(F.size(sh) > 0, total)
+
+    def _fold(votes):
+        total = None
+        for i in range(64):
+            bit_val = -(1 << 63) if i == 63 else (1 << i)
+            term = F.when(
+                F.element_at(votes, i + 1) > 0, F.lit(bit_val).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            total = term if total is None else total + term
+        return total
+
+    sim = F.aggregate(
+        hash_col,
+        init,
+        lambda acc, h: F.zip_with(acc, _bitvec(h), lambda a, b: a + b),
+        _fold,
+    )
+    return F.when(F.size(hash_col) > 0, sim)
+
+
+def simhash64(text_col: str, shingle_k: int = 3):
+    """Column expr: 64-bit SimHash of word k-shingles, as bigint."""
+    return simhash_from_hashes(shingle_hashes(text_col, shingle_k))
 
 
 def hamming64(a, b):
@@ -219,7 +249,10 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: 4×16-bit block index (pigeonhole — any pair
     with hamming ≤ 3 shares at least one of 4 blocks), then exact hamming
     filter. One shuffle on (block_id, block_value)."""
-    sh = df.select(F.col(key).alias("k"), simhash64(text_col, shingle_k).alias("sh")).filter(
+    hashed = df.select(
+        F.col(key).alias("k"), shingle_hashes(text_col, shingle_k).alias("h")
+    )
+    sh = hashed.select("k", simhash_from_hashes(F.col("h")).alias("sh")).filter(
         F.col("sh").isNotNull()
     )
     blocks = F.array(

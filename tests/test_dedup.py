@@ -1,0 +1,77 @@
+"""Dedup operator tests: planted near-duplicates must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the data pipeline "
+        "shuffles partitions across the cluster and aggregates windows into "
+        "batches of streaming records for every downstream consumer in order"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra tail words"),          # near-dup of 1
+        (3, base.replace("quick", "slow")),        # near-dup of 1
+        (4, "completely different content about cooking pasta with tomatoes "
+            "and basil in a large pot of salted boiling water until al dente "
+            "then draining and serving with grated cheese on top tonight"),
+        (5, base),                                  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_pairs(spark, corpus):
+    from final_ocr_spark.operators.dedup import minhash_near_dups
+
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_near_dups(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 5) in pairs        # exact dup
+    assert (1, 2) in pairs or (2, 5) in pairs
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_finds_planted_pairs(spark, corpus):
+    from final_ocr_spark.operators.dedup import simhash_near_dups
+
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in simhash_near_dups(corpus, max_hamming=6).collect()
+    }
+    assert (1, 5) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_exact_dedup(spark, corpus):
+    from final_ocr_spark.operators.dedup import dedup_exact
+
+    kept = dedup_exact(corpus, text_col="text", keep_col="doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == [1, 2, 3, 4]  # doc 5 (exact dup of 1) dropped, min-key wins
+
+
+def test_ngram_jaccard_verify_stage(spark, corpus):
+    from final_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    cand = spark.createDataFrame([(1, 5), (1, 4)], ["key_a", "key_b"])
+    got = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, cand, n=3).collect()
+    }
+    assert got[(1, 5)] == 1.0
+    assert got[(1, 4)] < 0.05
+
+
+def test_dedup_latest(spark):
+    from final_ocr_spark.operators.dedup import dedup_latest
+
+    rows = [("u", "2024-01-01", "old"), ("u", "2024-01-02", "new"), ("v", "2024-01-01", "only")]
+    df = spark.createDataFrame(rows, ["k", "ts", "val"]).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["k"]: r["val"] for r in dedup_latest(df, key="k", order_col="ts").collect()}
+    assert got == {"u": "new", "v": "only"}

@@ -1,0 +1,30 @@
+"""Driver-contract consistency checks (cheap, no Spark jobs beyond entry)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs, f"oracles without queries: {os_ - qs}"
+
+
+def test_rows_only_queries_documented():
+    # every query without an oracle must be one of the known non-SQL ops
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    rows_only = qs - os_
+    assert rows_only == {
+        "q19_minhash_pairs",
+        "q20_simhash_pairs",
+        "q21_extract_pages",
+        "q22_doc_fingerprint",
+    }
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["url", "lang", "doc_kind", "n_chars", "n_blocks", "n_spans"]
