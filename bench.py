@@ -44,8 +44,11 @@ def main() -> None:
     n_pages = max(int(60000 * sf), 500)
 
     def bench_extract(spark, _sf_dir):
+        # generation partitions provide the parallelism; extraction fuses into
+        # the same python stage (no pre-shuffle), dedup shuffles only the
+        # extracted output
         pages = gen_pages(spark, n_pages, seed=42, partitions=cpus * 4)
-        return extract_pages(pages, dedup=True, partitions=cpus * 4)
+        return extract_pages(pages, dedup=True)
 
     qs = entrymod.queries()
     headline = {

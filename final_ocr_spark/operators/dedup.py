@@ -27,10 +27,23 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
-def dedup_latest(df: DataFrame, key: str = "url", order_col: str = "warc_ts") -> DataFrame:
-    """Latest-wins per key: row_number over (partition by key order by ts desc,
-    tiebreak deterministic) = 1. One shuffle on key."""
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key))
+def dedup_latest(
+    df: DataFrame,
+    key: str = "url",
+    order_col: str = "warc_ts",
+    tiebreak: list | None = None,
+) -> DataFrame:
+    """Latest-wins per key: row_number over (partition by key order by ts
+    desc, deterministic tiebreak) = 1. One shuffle on key.
+
+    ``tiebreak`` columns/exprs break exact-timestamp ties deterministically;
+    defaults to a 64-bit hash of every other column so equal-ts duplicates
+    resolve the same way on every run and every partitioning.
+    """
+    if tiebreak is None:
+        others = [c for c in df.columns if c not in (key, order_col)]
+        tiebreak = [F.xxhash64(*[F.col(c) for c in others])] if others else []
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), *tiebreak)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

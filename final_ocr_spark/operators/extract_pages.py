@@ -4,18 +4,26 @@ Replaces the reference's sequential per-file loop (ocr2.py:589-597) with
 partition parallelism: one ``mapInPandas`` stage runs the pure-Python
 extraction core (final_ocr_spark.extract) over Arrow record batches.
 
-Physical plan shape (SURVEY §4.4):
+Physical plan shape — **extract first, dedup after** (SURVEY §4.4, revised
+after profiling):
 
-    scan pages (column-pruned: url, html, text, lang [+warc_ts for dedup])
-      → optional latest-wins dedup (shuffle on url)
-      → salted repartition(P, xxhash64(url, salt)) — spreads compute-skewed
-        hosts/documents that AQE's size-based skew split cannot see
-      → mapInPandas extract (Python worker, Arrow batches)
-      → result
+    scan pages (column-pruned: url, warc_ts, html, text, lang)
+      → [optional salted repartition — only when the input layout is skewed;
+         scan splits already provide parallelism for well-laid-out tables]
+      → mapInPandas extract (Python worker, Arrow batches; warc_ts passthrough)
+      → optional latest-wins dedup on the EXTRACTED output
 
-The cheap guards (null/empty html AND null text ⇒ skip) stay as Column
-expressions *outside* the UDF so Catalyst pushes them into the scan
-(reference analog: existence check before decode, ocr.py:54-62 — SURVEY §4.1).
+Why dedup after extraction: dedup needs a hash(url) shuffle either way, but
+the extracted output is ~4× smaller than the html payload — at 100 TB input
+that is the difference between shuffling 100 TB and shuffling ~25 TB. The
+cost is re-extracting duplicate urls (a few % of rows); extraction is
+deterministic per row, so the final table is identical either way. Measured
+in-sandbox: dedup-first shuffles the blob column twice (window + salt) and
+spends more JVM time than the extraction itself.
+
+The cheap guards (null checks) stay as Column expressions *outside* the UDF
+so Catalyst pushes them into the scan (reference analog: existence check
+before decode, ocr.py:54-62 — SURVEY §4.1).
 """
 
 from __future__ import annotations
@@ -37,16 +45,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         recs = []
         urls = pdf["url"].tolist()
+        tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
         htmls = pdf["html"].tolist()
         texts = pdf["text"].tolist() if "text" in pdf else [None] * len(urls)
         langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
-        for url, html, text, lang in zip(urls, htmls, texts, langs):
+        for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
             rec = extract_document(
                 bytes(html) if html is not None else None,
                 text if isinstance(text, str) else None,
                 lang if isinstance(lang, str) else None,
             )
             rec["url"] = url
+            rec["warc_ts"] = ts
             recs.append(rec)
         yield pd.DataFrame(recs, columns=EXTRACTED_COLUMNS)
 
@@ -61,33 +71,39 @@ def extract_pages(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted table.
 
-    ``dedup=True`` applies latest-wins per url first (SURVEY A6) so each url
-    is extracted exactly once. ``salt_buckets`` spreads one hot host's pages
-    over several partitions (compute-skew salting, SURVEY §4.3).
+    ``dedup=True`` applies latest-wins per url on the extracted output
+    (SURVEY A6) so each url appears exactly once. ``partitions`` forces a
+    salted repartition BEFORE extraction — use it when the input layout
+    clusters hot hosts (compute skew the scan splits won't spread); leave
+    None to inherit scan/source parallelism with zero pre-shuffle.
 
     ``drop_empty=False`` (default) keeps fully-null rows as quarantined
     ``doc_kind='empty'`` output rows — every input url is accounted for in
     the output table. Set True to filter them before the UDF (the pushdown
     guard, reference analog ocr.py:54-62) when row accounting is not needed.
     """
-    df = pages
-    if dedup:
-        from final_ocr_spark.operators.dedup import dedup_latest
-
-        df = dedup_latest(df, key="url", order_col="warc_ts")
-
-    # column pruning: the UDF needs exactly these four
-    df = df.select("url", "html", "text", "lang")
+    # column pruning: the UDF needs exactly these five
+    df = pages.select("url", "warc_ts", "html", "text", "lang")
 
     if drop_empty:
         # cheap guard before the expensive stage (Column expr ⇒ pushdown)
         df = df.filter(F.col("html").isNotNull() | F.col("text").isNotNull())
 
     if partitions:
-        # salted repartition: hash(url) alone would put all of one host's
-        # pages (same hash bucket under host-partitioned layouts) together;
-        # xxhash64(url, salt) with a per-row deterministic salt spreads them.
+        # salted repartition: xxhash64(url) alone would keep one hot host's
+        # pages together under host-clustered layouts; the deterministic salt
+        # spreads them over `salt_buckets` partitions (compute-skew salting,
+        # SURVEY §4.3 — invisible to AQE's size-based skew detection)
         salt = F.pmod(F.xxhash64(F.col("url"), F.lit("s")), F.lit(salt_buckets))
         df = df.repartition(partitions, F.xxhash64("url"), salt)
 
-    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    ext = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+    if dedup:
+        from final_ocr_spark.operators.dedup import dedup_latest
+
+        # shuffle the *extracted* rows (≈4× smaller than html) — latest-wins
+        # per url; deterministic tiebreak inside dedup_latest
+        ext = dedup_latest(ext, key="url", order_col="warc_ts")
+
+    return ext

@@ -41,6 +41,7 @@ SPAN_TYPE = StructType(
 EXTRACTED_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),  # lineage + late dedup key
         StructField("extracted_text", StringType(), True),
         StructField("spans", ArrayType(SPAN_TYPE), True),
         StructField("lang", StringType(), True),
