@@ -390,6 +390,75 @@ def _q22_doc_fingerprint(spark, sf):
     )
 
 
+def _q23_quality_profile(spark, sf):
+    """Text-analysis: token counts + quality features per language
+    (training-data quality scoring; Gopher-style deterministic bands)."""
+    from final_ocr_spark.operators.text_stats import quality_features
+
+    d = _t(spark, sf, "documents")
+    f = quality_features(F.col("text"))
+    return (
+        d.select(
+            "lang",
+            f["n_tokens"].alias("n_tok"),
+            f["stopword_ratio"].alias("sr"),
+            f["mean_word_len"].alias("mwl"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("mwl"), 6).alias("avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q24_ann_lsh(spark, sf):
+    """ANN scale path: hyperplane-LSH bucket probe + exact re-rank
+    (rows-only: bucketing not SQL-expressible)."""
+    from final_ocr_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb.filter("vec_id != 0"), [float(x) for x in q], k=20,
+                    bits=10, multiprobe=2).withColumn(
+        "cos_sim", F.round("cos_sim", 4)
+    )
+
+
+def _q25_batch_topk(spark, sf):
+    """Bulk similarity: numpy-matmul mapInPandas top-k for a query set."""
+    from final_ocr_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 17)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_batch(emb.filter(~F.col("vec_id").isin(0, 17)), qs, k=10)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _q26_image_features(spark, sf):
+    """Multimodal: binary image column → decode/features via mapInPandas
+    (deterministic fake codec; rows-only — no SQL analog)."""
+    from final_ocr_spark.operators.multimodal import gen_fake_media, image_features
+
+    media = gen_fake_media(spark, 200, seed=42)
+    return image_features(media).orderBy("media_id")
+
+
+def _q27_video_frames(spark, sf):
+    """Multimodal UDTF shape: video → sampled frames (1 row → N rows)."""
+    from final_ocr_spark.operators.multimodal import gen_fake_media, sample_video_frames
+
+    media = gen_fake_media(spark, 200, seed=42)
+    return sample_video_frames(media, every_n=5).select(
+        "media_id", "frame_idx", "width", "height"
+    ).orderBy("media_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -414,6 +483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_simhash_pairs": _q20_simhash_pairs,
         "q21_extract_pages": _q21_extract_pages,
         "q22_doc_fingerprint": _q22_doc_fingerprint,
+        "q23_quality_profile": _q23_quality_profile,
+        "q24_ann_lsh": _q24_ann_lsh,
+        "q25_batch_topk": _q25_batch_topk,
+        "q26_image_features": _q26_image_features,
+        "q27_video_frames": _q27_video_frames,
     }
 
 
@@ -595,6 +669,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
                   WHERE a.doc_id % 2 = 0)
         """,
-        # q19/q20/q21/q22: non-SQL-expressible (LSH banding / simhash bit math /
-        # HTML+XY-cut extraction / engine-specific xxhash64) → rows-only checks
+        "q23_quality_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_tok), 4) AS avg_tokens,
+                   round(avg(n_stop * 1.0 / greatest(n_tok, 1)), 6) AS avg_stopword_ratio,
+                   round(avg((n_chars - n_tok + 1) * 1.0 / greatest(n_tok, 1)), 6) AS avg_word_len
+            FROM (SELECT lang, length(text) AS n_chars,
+                         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         t -> t != '')) AS n_tok,
+                         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         t -> lower(t) IN ('the','a','an','of','and','to','in','is',
+                                                           'that','it','for','on','with','as','at','by')))
+                           AS n_stop
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
+        """,
+        "q25_batch_topk": """
+            SELECT query_id, vec_id, round(cos, 4) AS cos_sim
+            FROM (SELECT q.vec_id AS query_id, e.vec_id,
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                            sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos,
+                         row_number() OVER (PARTITION BY q.vec_id
+                                            ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) /
+                                                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                                                      sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) DESC,
+                                            e.vec_id) AS rn
+                  FROM embeddings e
+                  JOIN embeddings q ON q.vec_id IN (0, 17)
+                  WHERE e.vec_id NOT IN (0, 17))
+            WHERE rn <= 10
+        """,
+        # q19/q20/q21/q22/q24/q26/q27: non-SQL-expressible (LSH banding /
+        # simhash bit math / HTML+XY-cut extraction / engine-specific xxhash64 /
+        # hyperplane bucketing / fake-codec decode) → rows-only checks
     }

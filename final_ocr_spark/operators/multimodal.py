@@ -1,0 +1,186 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, processed in Arrow-batched ``mapInPandas`` stages.
+
+The image/audio codec libraries are NOT in this container, so the decode
+kernels are stubbed two ways (clearly marked):
+
+* real codecs (cv2/PIL/ffmpeg) are looked up behind import-guards and raise
+  ``NotImplementedError`` with install guidance when absent;
+* a deterministic FAKE codec handles the synthetic ``FAKEIMG``/``FAKEVID``
+  payload format so the Spark-side plumbing — schema, batch shape, partition
+  strategy, UDF signatures — is real and TESTED end-to-end.
+
+Synthetic payloads:
+    b"FAKEIMG <w> <h> " + raw w*h grayscale bytes
+    b"FAKEVID <n_frames> <w> <h> " + n*w*h bytes (frame-major)
+
+This mirrors how the reference treats rasters: np.ndarray in, features out
+(preprocess_image ocr.py:10-43), generalized to distributed batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),      # 'image' | 'audio' | 'video'
+    StructField("content", BinaryType(), True),     # opaque encoded bytes
+    StructField("mime", StringType(), True),
+    StructField("meta", StringType(), True),        # JSON sidecar metadata
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("mean_luma", DoubleType(), True),
+    StructField("std_luma", DoubleType(), True),
+    StructField("phash", LongType(), True),         # 64-bit perceptual-ish hash
+    StructField("error", StringType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def _decode_fake_image(data: bytes) -> np.ndarray:
+    head, _, rest = data.partition(b" ")
+    if head != b"FAKEIMG":
+        raise ValueError("not a FAKEIMG payload")
+    w_b, _, rest = rest.partition(b" ")
+    h_b, _, pix = rest.partition(b" ")
+    w, h = int(w_b), int(h_b)
+    arr = np.frombuffer(pix[: w * h], dtype=np.uint8)
+    if arr.size != w * h:
+        raise ValueError("truncated FAKEIMG payload")
+    return arr.reshape(h, w)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode encoded image bytes to a grayscale ndarray.
+
+    Real-codec path is STUBBED in this container: cv2/PIL are unavailable
+    (verified), so only the deterministic FAKEIMG format decodes; anything
+    else raises NotImplementedError — swap in cv2.imdecode on a cluster with
+    codecs installed (maps the reference's cv2.imread, ocr.py:18).
+    """
+    if data[:7] == b"FAKEIMG":
+        return _decode_fake_image(data)
+    try:  # pragma: no cover - not installed in sandbox
+        import cv2  # noqa: F401
+
+        raise NotImplementedError("wire cv2.imdecode here when cv2 is present")
+    except ImportError:
+        raise NotImplementedError(
+            "real image codecs (cv2/PIL) are not installed in this container; "
+            "only the deterministic FAKEIMG test format is supported"
+        ) from None
+
+
+def _phash64(img: np.ndarray) -> int:
+    """Deterministic 64-bit average-hash: 8×8 downsample, bit = cell > mean."""
+    h, w = img.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = img[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)].astype(np.float64)
+    mean = cells.mean()
+    bits = (cells > mean).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """media(image rows) → per-image features via mapInPandas (Arrow batches;
+    decode + resize + stats inside the worker — zero per-row Python at the
+    Spark layer)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": mid, "width": None, "height": None,
+                       "mean_luma": None, "std_luma": None, "phash": None,
+                       "error": None}
+                try:
+                    img = decode_image(bytes(content))
+                    rec.update(
+                        width=int(img.shape[1]), height=int(img.shape[0]),
+                        mean_luma=float(img.mean()), std_luma=float(img.std()),
+                        phash=_phash64(img),
+                    )
+                except Exception as exc:  # per-row quarantine
+                    rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                recs.append(rec)
+            yield pd.DataFrame(recs, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return media.filter("kind = 'image'").select("media_id", "content").mapInPandas(
+        _feats, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """media(video rows) → 1-of-every-n frames as FAKEIMG payloads (UDTF
+    shape: one input row → many output rows from the same batch)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if data[:7] != b"FAKEVID":
+                    continue  # real video decode: NotImplemented in sandbox
+                head = data.split(b" ", 4)
+                n, w, h = int(head[1]), int(head[2]), int(head[3])
+                pix = head[4]
+                for fi in range(0, n, every_n):
+                    frame = pix[fi * w * h:(fi + 1) * w * h]
+                    if len(frame) < w * h:
+                        break
+                    recs.append({
+                        "media_id": mid, "frame_idx": fi,
+                        "frame": b"FAKEIMG %d %d " % (w, h) + frame,
+                        "width": w, "height": h,
+                    })
+            yield pd.DataFrame(recs, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.filter("kind = 'video'").select("media_id", "content").mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
+def gen_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (FAKEIMG/FAKEVID payloads)."""
+    import random
+
+    def rows():
+        for i in range(n):
+            rng = random.Random((seed << 20) ^ i)
+            if i % 5 == 4:
+                nf, w, h = rng.randrange(8, 30), 16, 12
+                pix = bytes(rng.randrange(256) for _ in range(nf * w * h))
+                yield (i, "video", b"FAKEVID %d %d %d " % (nf, w, h) + pix,
+                       "video/x-fake", '{"fps": 24}')
+            else:
+                w, h = rng.randrange(8, 64), rng.randrange(8, 64)
+                pix = bytes(rng.randrange(256) for _ in range(w * h))
+                yield (i, "image", b"FAKEIMG %d %d " % (w, h) + pix,
+                       "image/x-fake", '{"camera": "synthetic"}')
+
+    return spark.createDataFrame(list(rows()), MEDIA_SCHEMA)

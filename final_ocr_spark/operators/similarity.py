@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+Three tiers, all deterministic:
+
+* ``cosine_topk`` — brute-force cosine against ONE query vector, pure JVM
+  array math (``zip_with``/``aggregate``), broadcast of the query. The
+  correctness baseline; O(N·d) per query.
+* ``cosine_topk_batch`` — many queries at once: Arrow-batched numpy matmul
+  inside ``mapInPandas`` (the vectorized path — one BLAS call per batch),
+  then a global top-k per query. The workhorse for bulk retrieval.
+* ``lsh_topk`` — random-hyperplane LSH: 16-bit sign sketch JVM-side, probe
+  the query's bucket ± multiprobe neighbors, exact re-rank inside the
+  candidate set. The 10^12-row scale path: the bucket join prunes the
+  candidate set by ~2^bits before any distance math.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k vs one literal query vector (JVM-side)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        emb.select(F.col(id_col), cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per query for a (small, broadcastable) query set.
+
+    Plan: collect queries to a numpy matrix (they are the small side by
+    contract), broadcast into a ``mapInPandas`` over the embedding table —
+    one matmul per Arrow batch — emit per-batch local top-k, then global
+    top-k per query via one window over (n_batches × k × n_queries) rows.
+    Embedding table is never shuffled; only candidate rows are.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[qid_col] for r in qrows]
+    qmat = np.array([list(r[qvec_col]) for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qmat))
+
+    def score(batches):
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vm = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            sims = vm @ qmat_.T  # (batch, nq)
+            out = []
+            for qi, qid in enumerate(qids_):
+                col = sims[:, qi]
+                top = np.argsort(-col)[:k]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    id_col: pdf[id_col].iloc[top].to_numpy(),
+                    "cos_sim": col[top],
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplane_sketch(vec_col, dim: int, bits: int = 16, seed: int = 11):
+    """Column expr: LSH sign sketch (int) of an embedding — bit i is the sign
+    of dot(v, r_i) for seeded random hyperplanes r_i. JVM-side."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    v = vec_col.cast("array<double>")
+    total = None
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(v, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 12, seed: int = 11, multiprobe: int = 1,
+) -> DataFrame:
+    """ANN: probe the query's hyperplane bucket (± single-bit-flip neighbors
+    when ``multiprobe``≥1), exact cosine re-rank inside the candidates.
+
+    Recall/cost dial: more bits → smaller buckets (cheaper, lower recall);
+    more multiprobe flips → higher recall. At corpus scale the sketch column
+    is precomputed & partitioned by bucket, so a query touches ~N/2^bits
+    rows instead of N.
+    """
+    dim = len(query_vec)
+    sketch = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    # query bucket computed driver-side with the same planes
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if multiprobe >= 1:
+        probes |= {qb ^ (1 << i) for i in range(bits)}
+    if multiprobe >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i)}
+
+    cands = emb.withColumn("_b", sketch).filter(F.col("_b").isin(list(probes)))
+    return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)

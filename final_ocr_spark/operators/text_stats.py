@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting. All Column-expression
+(JVM/codegen) except language ID, which wraps the pure-Python n-gram heuristic
+in an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# pinned quality lexicon (deterministic; English function words)
+_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+              "for", "on", "with", "as", "at", "by")
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokens (array<string>)."""
+    arr = F.split(F.trim(text_col), r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation AND
+    letter/digit boundaries — a cheap deterministic proxy for BPE token
+    counts (≈1.3× whitespace tokens on English prose)."""
+    pieces = F.split(
+        F.regexp_replace(text_col, r"([0-9]+|[^\w\s]+)", r" $1 "), r"\s+"
+    )
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def quality_features(text_col) -> dict[str, Column]:
+    """Deterministic quality signals (generalizes the reference's
+    completeness scoring V9): length, punctuation ratio, stopword ratio,
+    mean word length, uppercase ratio, digit ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", ""))
+    n_upper = F.length(F.regexp_replace(text_col, r"[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "stopword_ratio": n_stop / safe_tok,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "digit_ratio": n_digit / safe_chars,
+        "mean_word_len": (n_chars - n_tok + 1) / safe_tok,
+    }
+
+
+def quality_score(text_col) -> Column:
+    """Composite [0,100] quality score — each signal gated into a pass/fail
+    band (Gopher-style heuristics, deterministic thresholds)."""
+    f = quality_features(text_col)
+    checks = [
+        f["n_tokens"] >= 20,
+        f["n_tokens"] <= 100000,
+        f["mean_word_len"] >= 2.0,
+        f["mean_word_len"] <= 12.0,
+        f["stopword_ratio"] >= 0.01,
+        f["punct_ratio"] <= 0.30,
+        f["upper_ratio"] <= 0.30,
+        f["digit_ratio"] <= 0.30,
+    ]
+    total = None
+    for c in checks:
+        t = F.when(c, 1).otherwise(0)
+        total = t if total is None else total + t
+    return F.round(total * F.lit(100.0 / len(checks)), 1)
+
+
+@pandas_udf("string")
+def detect_lang_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched language ID wrapping the pure-Python heuristic
+    (final_ocr_spark.extract.langid)."""
+    from final_ocr_spark.extract.langid import detect_lang
+
+    return texts.map(lambda t: detect_lang(t) if isinstance(t, str) else "und")
+
+
+def fingerprint64(text_col) -> Column:
+    """64-bit whole-document fingerprint of normalized text (exact-dup key)."""
+    return F.xxhash64(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text", lang_col: str | None = None) -> DataFrame:
+    """One-pass document profile: every quality feature + score + token
+    counts + fingerprint (+ detected language when no lang column exists)."""
+    feats = quality_features(F.col(text_col))
+    cols = [df["*"]]
+    for name, c in feats.items():
+        cols.append(F.round(c, 6).alias(name))
+    cols.append(quality_score(F.col(text_col)).alias("quality_score"))
+    cols.append(bpe_ish_token_count(F.col(text_col)).alias("n_subword_tokens"))
+    cols.append(fingerprint64(F.col(text_col)).alias("fingerprint"))
+    if lang_col is None:
+        cols.append(detect_lang_udf(F.col(text_col)).alias("lang_detected"))
+    return df.select(*cols)

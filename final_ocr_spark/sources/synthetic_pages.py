@@ -203,12 +203,18 @@ def gen_page_row(seed: int, doc_id: int) -> dict:
     }
 
 
-def gen_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def gen_pages(
+    spark, n_docs: int, seed: int = 42, partitions: int | None = None,
+    start: int = 0,
+):
     """Distributed deterministic corpus: spark.range → mapInPandas generator.
 
     Scales linearly with executors; no driver-side data; identical content for
-    identical (n_docs, seed) regardless of parallelism (the determinism the
-    reference's glob-ordered loop lacks, SURVEY A7).
+    identical (n_docs, seed, start) regardless of parallelism (the determinism
+    the reference's glob-ordered loop lacks, SURVEY A7). ``start`` offsets the
+    doc-id range — disjoint batches of the SAME seed never collide on
+    (url, warc_ts), which different seeds can (each seed redraws hosts, and
+    hot hosts overlap).
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
@@ -223,6 +229,6 @@ def gen_pages(spark, n_docs: int, seed: int = 42, partitions: int | None = None)
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return (
-        spark.range(0, n_docs, 1, partitions)
+        spark.range(start, start + n_docs, 1, partitions)
         .mapInPandas(_gen, schema=PAGES_SCHEMA)
     )

@@ -21,6 +21,9 @@ def test_rows_only_queries_documented():
         "q20_simhash_pairs",
         "q21_extract_pages",
         "q22_doc_fingerprint",
+        "q24_ann_lsh",
+        "q26_image_features",
+        "q27_video_frames",
     }
 
 

@@ -1,0 +1,76 @@
+"""Similarity-search operator tests: brute force is ground truth; batch and
+LSH paths must agree with it (LSH: high recall on its candidate set)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant a near-exact neighbor of vec 0
+    base = rows[0][1]
+    rows.append((9000, [x + 0.01 for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _brute(rows, q, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    scored = sorted(((cos(v, q), i) for i, v in rows), key=lambda t: (-t[0], t[1]))
+    return [i for _, i in scored[:k]]
+
+
+def test_cosine_topk_matches_python(spark, emb):
+    from final_ocr_spark.operators.similarity import cosine_topk
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    q = dict(rows)[0]
+    want = _brute(rows, q, 5)
+    got = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    assert got == want
+    assert got[0] == 0 and 9000 in got[:2]  # self + planted neighbor
+
+
+def test_cosine_topk_batch(spark, emb):
+    from final_ocr_spark.operators.similarity import cosine_topk_batch
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    by_id = dict(rows)
+    queries = spark.createDataFrame(
+        [(100, by_id[0]), (200, by_id[17])], ["query_id", "query_vec"]
+    )
+    got = cosine_topk_batch(emb, queries, k=5).collect()
+    for qid, qv in [(100, by_id[0]), (200, by_id[17])]:
+        want = _brute(rows, qv, 5)
+        ids = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid),
+            key=lambda r: (-r["cos_sim"], r["vec_id"]))]
+        assert ids == want, qid
+
+
+def test_lsh_topk_finds_planted_neighbor(spark, emb):
+    from final_ocr_spark.operators.similarity import lsh_topk
+
+    q = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    got = [r["vec_id"] for r in lsh_topk(emb, list(q), k=5, bits=8, multiprobe=1).collect()]
+    assert 0 in got and 9000 in got  # near-identical vectors share the bucket
+
+
+def test_lsh_prunes_candidates(spark, emb):
+    from final_ocr_spark.operators.similarity import hyperplane_sketch
+    from pyspark.sql import functions as F
+
+    buckets = emb.select(
+        hyperplane_sketch(F.col("embedding"), 16, bits=8).alias("b")
+    ).groupBy("b").count().collect()
+    assert len(buckets) > 10  # vectors actually spread across buckets

@@ -1,0 +1,55 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_token_counts(spark):
+    from final_ocr_spark.operators.text_stats import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame([("the cat sat, on 42 mats!",), ("",)], ["t"])
+    got = df.select(
+        token_count(F.col("t")).alias("ws"),
+        bpe_ish_token_count(F.col("t")).alias("sub"),
+    ).collect()
+    assert got[0]["ws"] == 6
+    assert got[0]["sub"] > got[0]["ws"]  # punctuation/digit splits add tokens
+    assert got[1]["ws"] == 0 and got[1]["sub"] == 0
+
+
+def test_quality_score_ranks_prose_over_junk(spark):
+    from final_ocr_spark.operators.text_stats import quality_score
+
+    prose = ("The quick brown fox jumps over the lazy dog and then walks to "
+             "the river where it drinks some of the cold water in the morning "
+             "light before returning to the den for a rest.")
+    junk = "$$$ !!! ### 111 222 @@@ %%% ^^^ &&& *** ((( )))" * 3
+    df = spark.createDataFrame([(prose,), (junk,)], ["t"])
+    got = [r["q"] for r in df.select(quality_score(F.col("t")).alias("q")).collect()]
+    assert got[0] > got[1]
+    assert got[0] >= 87.0
+
+
+def test_detect_lang_udf(spark):
+    from final_ocr_spark.operators.text_stats import detect_lang_udf
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it was happy with all of this",),
+         ("el perro y el gato en la casa de los abuelos por la tarde",)],
+        ["t"],
+    )
+    got = [r["l"] for r in df.select(detect_lang_udf(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es"]
+
+
+def test_profile_documents(spark):
+    from final_ocr_spark.operators.text_stats import profile_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    prof = profile_documents(docs, text_col="text", lang_col="lang")
+    rows = prof.collect()
+    assert len(rows) == 50
+    cols = set(prof.columns)
+    assert {"quality_score", "n_tokens", "fingerprint", "stopword_ratio"} <= cols
+    assert all(0 <= r["quality_score"] <= 100 for r in rows)
