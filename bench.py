@@ -59,6 +59,8 @@ def main() -> None:
         "q15_token_quality": qs["q15_token_quality"],
         "q17_cosine_topk": qs["q17_cosine_topk"],
         "q19_minhash_pairs": qs["q19_minhash_pairs"],
+        "q23_quality_profile": qs["q23_quality_profile"],
+        "q25_batch_topk": qs["q25_batch_topk"],
     }
 
     # warm-up: JVM/codegen/Python-worker spin-up excluded from timings

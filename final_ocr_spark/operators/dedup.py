@@ -89,11 +89,54 @@ def shingles(text_col: str, k: int = 5):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_hashes(text_col: str, k: int = 5):
-    """Column expr: xxhash64 of each k-shingle (array<bigint>). Materialize
-    this ONCE per row; every sketch below consumes it — recomputing the
-    shingle pipeline per hash function is a 50× blowup."""
-    return F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+# position-mixing multipliers for hash-combined shingles (odd constants)
+_SHINGLE_MIX = [
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x27D4EB2F165667C5, 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F ^ 0xFF51AFD7ED558CCD,
+    0x2545F4914F6CDD1D, 0x5851F42D4C957F2D,
+]
+
+
+def word_hashes(text_col: str):
+    """Column expr: xxhash64 per lowercase word (array<bigint>). MATERIALIZE
+    this as a real column (own select) before feeding shingle_hashes_from —
+    expressions referenced inside higher-order-function lambdas are NOT
+    common-subexpression-eliminated, so an inline composition re-evaluates
+    the whole array per element (measured O(n²): 38 s vs 1.5 s at sf0.1)."""
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]+", " ")), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def shingle_hashes_from(wh_col, k: int = 5):
+    """Column expr: 64-bit hash per word k-shingle from a word-hash column —
+    position-weighted arithmetic combination of k SHIFTED SLICES folded with
+    zip_with.
+
+    Why this exact shape (hard-won):
+    * string shingles (slice+array_join per position) were ~10× the cost of
+      the whole rest of the minhash pipeline;
+    * element_at(wh, i+j) inside a transform lambda goes O(n²) whenever
+      Catalyst collapses projections and inlines the wh expression — there is
+      NO common-subexpression elimination inside higher-order-function
+      lambdas, and `size(transform(...))≡size(...)` optimizer rewrites make
+      this easy to mis-measure;
+    * shifted slices + zip_with touch each element a bounded k times even
+      under full inlining: worst case O(k·n), no random access.
+
+    Hash quality is sketch-grade, which is all minhash/simhash need.
+    """
+    assert k <= len(_SHINGLE_MIX), "raise k support by extending _SHINGLE_MIX"
+    n = F.greatest(F.size(wh_col) - F.lit(k - 1), F.lit(0))
+
+    def _scaled(j: int):
+        m = F.lit(_SHINGLE_MIX[j] & 0x7FFFFFFFFFFFFFFF).cast("long")
+        return F.transform(F.slice(wh_col, F.lit(j + 1), n), lambda x: x * m)
+
+    acc = _scaled(0)
+    for j in range(1, k):
+        acc = F.zip_with(acc, _scaled(j), lambda a, b: a + b)
+    return F.when(n > 0, acc).otherwise(F.array().cast("array<bigint>"))
 
 
 def minhash_from_hashes(hash_col, num_hashes: int = 64, seed: int = 7):
@@ -146,13 +189,19 @@ def minhash_near_dups(
     Returns (key_a, key_b, est_jaccard) with key_a < key_b.
     """
     rows_per_band = num_hashes // bands
-    # two projection steps: materialize shingle hashes once, then sketch
-    hashed = df.select(
-        F.col(key).alias("k"), shingle_hashes(text_col, shingle_k).alias("h")
-    )
+    # three projection steps — each materializes the array the next consumes
+    # (no CSE inside higher-order-function lambdas, see word_hashes)
+    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
+    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
     sigs = hashed.select(
         "k", minhash_from_hashes(F.col("h"), num_hashes).alias("sig")
     ).filter(F.col("sig").isNotNull())
+    # sigs feeds three consumers (banding + both verify joins); without a
+    # materialization barrier Catalyst inlines the signature expression into
+    # each and recomputes the whole sketch 3× (measured 45 s of 74 s at
+    # sf0.1). Persisting the sketch table is standard LSH practice — it is
+    # num_hashes longs per doc, ~0.5 KB, trivially cacheable at any scale.
+    sigs = sigs.persist()
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -169,26 +218,29 @@ def minhash_near_dups(
             ).alias("bucket"),
         ),
     )
+    # bucket rows are SLIM (key + band + bucket hash) — signatures rejoin
+    # only for the surviving distinct pairs (sigs table is tiny relative to
+    # the corpus: num_hashes longs per doc → broadcast-friendly)
     buckets = sigs.select(
-        "k", "sig", F.explode(band_arr).alias("bb")
-    ).select("k", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "k", F.explode(band_arr).alias("bb")
+    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # candidate pairs: self-join within (band, bucket). Skew guard: a
     # degenerate bucket (all-identical boilerplate) is capped via row_number.
     w = Window.partitionBy("band", "bucket").orderBy("k")
     capped = buckets.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 200)
-    a = capped.select(
-        "band", "bucket", F.col("k").alias("key_a"), F.col("sig").alias("sig_a")
-    )
-    b = capped.select(
-        "band", "bucket", F.col("k").alias("key_b"), F.col("sig").alias("sig_b")
-    )
+    a = capped.select("band", "bucket", F.col("k").alias("key_a"))
+    b = capped.select("band", "bucket", F.col("k").alias("key_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", "sig_a", "sig_b")
-        .dropDuplicates(["key_a", "key_b"])
+        .select("key_a", "key_b")
+        .distinct()
     )
+
+    sa = sigs.select(F.col("k").alias("key_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("k").alias("key_b"), F.col("sig").alias("sig_b"))
+    verified = pairs.join(sa, "key_a").join(sb, "key_b")
 
     est = (
         F.size(
@@ -200,7 +252,7 @@ def minhash_near_dups(
         / F.lit(float(num_hashes))
     )
     return (
-        pairs.withColumn("est_jaccard", est)
+        verified.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "est_jaccard")
     )
@@ -262,12 +314,11 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: 4×16-bit block index (pigeonhole — any pair
     with hamming ≤ 3 shares at least one of 4 blocks), then exact hamming
     filter. One shuffle on (block_id, block_value)."""
-    hashed = df.select(
-        F.col(key).alias("k"), shingle_hashes(text_col, shingle_k).alias("h")
-    )
+    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
+    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
     sh = hashed.select("k", simhash_from_hashes(F.col("h")).alias("sh")).filter(
         F.col("sh").isNotNull()
-    )
+    ).persist()  # reused by block-explode and the hamming filter (see minhash)
     blocks = F.array(
         *[
             F.struct(
