@@ -459,6 +459,53 @@ def _q27_video_frames(spark, sf):
     ).orderBy("media_id", "frame_idx")
 
 
+def _q28_invoice_roundtrip(spark, sf):
+    """R7/G5/V1/A1 round-trip: render invoice-style documents from lineitem,
+    parse them back through the declarative record parser (exploded lines →
+    forward-fill window → positional number extraction → net repair →
+    rollup), and the result must equal direct aggregation of the source —
+    the oracle never sees the text at all."""
+    from final_ocr_spark.operators.invoice_records import parse_invoice_documents
+
+    li = _t(spark, sf, "lineitem")
+    qty = (F.col("l_orderkey") % 5 + 1).cast("long")
+    price = ((F.col("l_partkey") % 90 + 10) * 10).cast("long")  # ÷10-safe ints
+    net = qty * price
+    gross = net * 11 / 10  # integral because price % 10 == 0
+    line = F.concat(
+        F.col("l_linenumber").cast("string"), F.lit(". widget item "),
+        qty.cast("string"), F.lit(" each "), price.cast("string"),
+        F.lit(" "), net.cast("string"), F.lit(" 10% "), gross.cast("long").cast("string"),
+    )
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("l_linenumber", line.alias("line")))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("body")
+        )
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.concat(
+                F.lit("Invoice no: "),
+                (F.col("l_orderkey") + 10000000).cast("string"),
+                F.lit("\nITEMS\n"), F.col("body"), F.lit("\nSUMMARY\n"),
+            ).alias("text"),
+        )
+    )
+    items = parse_invoice_documents(docs)
+    return items.groupBy("doc_key").agg(
+        F.min("invoice_no").alias("inv_id"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("net_worth"), 2).alias("sum_net"),
+        F.round(F.sum("gross_worth"), 2).alias("sum_gross"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -488,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_batch_topk": _q25_batch_topk,
         "q26_image_features": _q26_image_features,
         "q27_video_frames": _q27_video_frames,
+        "q28_invoice_roundtrip": _q28_invoice_roundtrip,
     }
 
 
@@ -699,6 +747,18 @@ def oracle_sql() -> dict[str, str]:
                   JOIN embeddings q ON q.vec_id IN (0, 17)
                   WHERE e.vec_id NOT IN (0, 17))
             WHERE rn <= 10
+        """,
+        "q28_invoice_roundtrip": """
+            SELECT l_orderkey AS doc_key,
+                   CAST(l_orderkey + 10000000 AS VARCHAR) AS inv_id,
+                   count(*) AS n_items,
+                   round(sum(qty * price * 1.0), 2) AS sum_net,
+                   round(sum((qty * price * 11) // 10 * 1.0), 2) AS sum_gross
+            FROM (SELECT l_orderkey,
+                         (l_orderkey % 5 + 1) AS qty,
+                         ((l_partkey % 90 + 10) * 10) AS price
+                  FROM lineitem)
+            GROUP BY l_orderkey
         """,
         # q19/q20/q21/q22/q24/q26/q27: non-SQL-expressible (LSH banding /
         # simhash bit math / HTML+XY-cut extraction / engine-specific xxhash64 /

@@ -75,6 +75,27 @@ def extract_section(col: Column, start_marker: str, end_marker: str | None = Non
     return F.nullif(F.regexp_extract(col, rf"{start_marker}(.*)", 1), F.lit(""))
 
 
+# E4 — OCR-error canonicalization table (clean_text ocr.py:100-117 /
+# _clean_text ocr2.py:195-227): fixed, table-driven substitutions so the
+# rule set is pinned in one place. Order matters (first-listed applies first).
+CANON_SUBSTITUTIONS: list[tuple[str, str]] = [
+    ("Deil", "Dell"),
+    ("DeII", "Dell"),
+    ("|", "I"),
+    (" ", " "),
+]
+
+
+def canonicalize_text(col: Column) -> Column:
+    """E4 — apply the pinned substitution table, then collapse runs of
+    whitespace (the reference's '\\n\\n'→'\\n' generalized to one canonical
+    rule)."""
+    out = col
+    for old, new in CANON_SUBSTITUTIONS:
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return F.regexp_replace(F.trim(out), r"[ \t]+", " ")
+
+
 # R10 — grand-total cascade (ocr2.py:573-597)
 TOTAL_PATTERNS = [
     r"[Gg]rand\s+[Tt]otal[:\s]*\$?\s*([0-9][0-9.,]*)",
