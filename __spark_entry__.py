@@ -506,6 +506,73 @@ def _q28_invoice_roundtrip(spark, sf):
     )
 
 
+def _q29_set_ops(spark, sf):
+    """A8 — set operators: intersect/except between customer keys and order
+    customer keys (absent in the reference; required at corpus scale)."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    n_with = c.intersect(o).count()
+    n_without = c.subtract(o).count()  # SQL EXCEPT (distinct) semantics
+    return spark.createDataFrame(
+        [(c.count(), n_with, n_without)], ["n_customers", "n_with_orders", "n_without_orders"]
+    )
+
+
+def _q30_window_agg(spark, sf):
+    """Tumbling-window aggregation on the event stream table (the batch form
+    of the streaming windowed agg; SURVEY §2.8)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def _q31_party_extract(spark, sf):
+    """R4 — party (seller) extraction: name / address / tax id from a
+    bounded section (parse_party_info ocr.py:202-257)."""
+    from final_ocr_spark.functions.parsing import extract_party
+
+    c = _t(spark, sf, "customer")
+    text = F.concat(
+        F.lit("Seller:\n"), F.col("c_name"),
+        F.lit("\nStreet "), F.col("c_custkey").cast("string"), F.lit(" Cityville"),
+        F.lit("\nTax Id: 9"), F.col("c_custkey").cast("string"), F.lit("-82"),
+    )
+    p = extract_party(text, "Seller")
+    return c.select(
+        "c_custkey",
+        p["name"].alias("party_name"),
+        p["address"].alias("party_address"),
+        p["tax_id"].alias("party_tax_id"),
+    )
+
+
+def _q32_embedding_neardups(spark, sf):
+    """Embedding-cosine near-dup pairs via hyperplane blocking + exact verify
+    (training-data dedup). Planted dups are positively-scaled copies (cosine
+    exactly 1, identical sign sketch ⇒ blocking recall is provably 100%, so
+    the exhaustive SQL oracle matches)."""
+    from final_ocr_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    scaled = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5)
+        .alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(scaled)
+    pairs = embedding_near_dups(corpus, threshold=0.99, dim=64)
+    return pairs.select(
+        "key_a", "key_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("key_a", "key_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -536,6 +603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_image_features": _q26_image_features,
         "q27_video_frames": _q27_video_frames,
         "q28_invoice_roundtrip": _q28_invoice_roundtrip,
+        "q29_set_ops": _q29_set_ops,
+        "q30_window_agg": _q30_window_agg,
+        "q31_party_extract": _q31_party_extract,
+        "q32_embedding_neardups": _q32_embedding_neardups,
     }
 
 
@@ -759,6 +830,45 @@ def oracle_sql() -> dict[str, str]:
                          ((l_partkey % 90 + 10) * 10) AS price
                   FROM lineitem)
             GROUP BY l_orderkey
+        """,
+        "q29_set_ops": """
+            SELECT (SELECT count(*) FROM customer) AS n_customers,
+                   (SELECT count(*) FROM
+                      (SELECT c_custkey FROM customer
+                       INTERSECT SELECT o_custkey FROM orders)) AS n_with_orders,
+                   (SELECT count(*) FROM
+                      (SELECT c_custkey FROM customer
+                       EXCEPT SELECT o_custkey FROM orders)) AS n_without_orders
+        """,
+        "q30_window_agg": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q31_party_extract": """
+            SELECT c_custkey,
+                   c_name AS party_name,
+                   'Street ' || CAST(c_custkey AS VARCHAR) || ' Cityville' AS party_address,
+                   '9' || CAST(c_custkey AS VARCHAR) || '-82' AS party_tax_id
+            FROM customer
+        """,
+        "q32_embedding_neardups": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 500
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS v
+                FROM embeddings WHERE vec_id < 500 AND vec_id % 25 = 0
+            )
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+                     AS cos_sim
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+            ORDER BY key_a, key_b
         """,
         # q19/q20/q21/q22/q24/q26/q27: non-SQL-expressible (LSH banding /
         # simhash bit math / HTML+XY-cut extraction / engine-specific xxhash64 /

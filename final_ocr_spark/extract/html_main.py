@@ -63,10 +63,14 @@ class _Block:
     pieces: list[str] = field(default_factory=list)
     link_chars: int = 0
     tag_count: int = 1
+    _text: str | None = None
 
     def text(self) -> str:
-        # canonical inline-whitespace collapse (assembly spec, frozen)
-        return " ".join("".join(self.pieces).split())
+        # canonical inline-whitespace collapse (assembly spec, frozen);
+        # memoized — scoring/smoothing/assembly each re-read it
+        if self._text is None:
+            self._text = " ".join("".join(self.pieces).split())
+        return self._text
 
 
 class _BlockSegmenter(HTMLParser):

@@ -27,9 +27,12 @@ _LANG_ORDER = ("en", "de", "es", "fr", "it", "pt")
 
 
 def _script_lang(text: str) -> str | None:
+    head = text[:2000]
+    if head.isascii():  # C-speed fast path: ASCII ⇒ every script count is 0
+        return None
     counts = {"zh": 0, "ar": 0, "ru": 0, "hi": 0, "ja": 0, "ko": 0}
     n_alpha = 0
-    for ch in text[:2000]:
+    for ch in head:
         cp = ord(ch)
         if 0x4E00 <= cp <= 0x9FFF:
             counts["zh"] += 1

@@ -30,7 +30,11 @@ AMOUNT_RE = re.compile(
 
 def label_value_spans(text: str) -> list[tuple[int, int, str]]:
     """Non-overlapping value spans; precedence date > id > amount, then
-    earlier-start wins (deterministic tie-break)."""
+    earlier-start wins (deterministic tie-break). Accepted intervals are kept
+    in a bisect-maintained sorted list so overlap checks are O(log n), not a
+    linear scan (value-dense documents made this quadratic)."""
+    import bisect
+
     cands: list[tuple[int, int, int, str]] = []
     for prio, (rx, kind) in enumerate(
         [(DATE_RE, "date"), (ID_RE, "id"), (AMOUNT_RE, "amount")]
@@ -38,12 +42,15 @@ def label_value_spans(text: str) -> list[tuple[int, int, str]]:
         for m in rx.finditer(text):
             cands.append((m.start(), m.end(), prio, kind))
     cands.sort(key=lambda c: (c[2], c[0]))  # priority, then position
-    taken: list[tuple[int, int]] = []
+    starts: list[int] = []
+    ends: list[int] = []
     out: list[tuple[int, int, str]] = []
     for s, e, _p, kind in cands:
-        if any(s < te and e > ts for ts, te in taken):
+        i = bisect.bisect_right(starts, s)
+        if (i > 0 and ends[i - 1] > s) or (i < len(starts) and starts[i] < e):
             continue
-        taken.append((s, e))
+        starts.insert(i, s)
+        ends.insert(i, e)
         out.append((s, e, kind))
     out.sort()
     return out

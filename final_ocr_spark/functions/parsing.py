@@ -107,3 +107,24 @@ TOTAL_PATTERNS = [
 
 def extract_total_amount(col: Column) -> Column:
     return first_match(col, TOTAL_PATTERNS)
+
+
+def extract_party(col: Column, role: str) -> dict[str, Column]:
+    """R4 — party (seller/client) extraction (parse_party_info ocr.py:202-257):
+    bounded section after the role marker; first non-empty line is the name,
+    remaining lines joined are the address; tax id by its own cascade."""
+    section = F.regexp_extract(col, rf"(?s){role}[:\s]*\n?(.*?)(?:\n\s*\n|Tax Id|$)", 1)
+    lines = F.filter(F.split(section, r"\n"), lambda x: F.trim(x) != "")
+    name = F.trim(F.element_at(lines, 1))
+    address = F.trim(
+        F.array_join(F.slice(lines, 2, 100), " ")
+    )
+    tax_id = F.nullif(
+        F.regexp_extract(col, rf"(?s){role}.*?Tax Id[:\s]*([0-9][0-9\-]+)", 1),
+        F.lit(""),
+    )
+    return {
+        "name": F.nullif(name, F.lit("")),
+        "address": F.nullif(address, F.lit("")),
+        "tax_id": tax_id,
+    }

@@ -43,22 +43,28 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from final_ocr_spark.extract.dispatch import extract_document
 
     for pdf in batches:
-        recs = []
         urls = pdf["url"].tolist()
-        tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
+        n = len(urls)
+        tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * n
         htmls = pdf["html"].tolist()
-        texts = pdf["text"].tolist() if "text" in pdf else [None] * len(urls)
-        langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
-        for url, ts, html, text, lang in zip(urls, tss, htmls, texts, langs):
+        texts = pdf["text"].tolist() if "text" in pdf else [None] * n
+        langs = pdf["lang"].tolist() if "lang" in pdf else [None] * n
+        # columnar batch build (dict-of-lists) — constructing pandas from a
+        # list of per-row dicts measured ~0.5 ms/doc, comparable to the
+        # extraction itself (and is literally the reference's variant-B
+        # columnar batch, ocr2.py:25-51)
+        cols: dict[str, list] = {name: [None] * n for name in EXTRACTED_COLUMNS}
+        for i in range(n):
             rec = extract_document(
-                bytes(html) if html is not None else None,
-                text if isinstance(text, str) else None,
-                lang if isinstance(lang, str) else None,
+                bytes(htmls[i]) if htmls[i] is not None else None,
+                texts[i] if isinstance(texts[i], str) else None,
+                langs[i] if isinstance(langs[i], str) else None,
             )
-            rec["url"] = url
-            rec["warc_ts"] = ts
-            recs.append(rec)
-        yield pd.DataFrame(recs, columns=EXTRACTED_COLUMNS)
+            rec["url"] = urls[i]
+            rec["warc_ts"] = tss[i]
+            for name in EXTRACTED_COLUMNS:
+                cols[name][i] = rec[name]
+        yield pd.DataFrame(cols, columns=EXTRACTED_COLUMNS)
 
 
 def extract_pages(

@@ -114,6 +114,54 @@ def hyperplane_sketch(vec_col, dim: int, bits: int = 16, seed: int = 11):
     return total
 
 
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, bits: int = 12, seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup op).
+
+    Scale path: hyperplane sign-sketch blocking — near-identical vectors land
+    in the same bucket (or a 1-bit-flip neighbor) — then exact cosine only
+    inside candidate groups. Blocking explodes each row into bits+1 probe
+    buckets (own bucket + single-bit flips on the row side ensures any pair
+    within hamming 1 of each other's sketch meets), so the self-join never
+    goes all-pairs. Returns (key_a, key_b, cos_sim) with key_a < key_b.
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+    sk = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    base = emb.select(
+        F.col(id_col).alias("k"), F.col(vec_col).cast("array<double>").alias("v"),
+        sk.alias("b"),
+    ).persist()  # consumed by both sides of the bucket join
+
+    # probe buckets: own + every single-bit flip (pigeonhole for hamming≤1;
+    # near-identical vectors differ on ~0 hyperplane signs)
+    flips = F.array(
+        F.col("b"), *[F.col("b").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    )
+    left = base.select("k", "v", F.explode(flips).alias("bucket"))
+    right = base.select(
+        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("b").alias("bucket")
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("k") < F.col("k2"))
+        .select("k", "k2", "v", "v2")
+        .dropDuplicates(["k", "k2"])
+    )
+    cos = _dot(F.col("v"), F.col("v2")) / (_norm(F.col("v")) * _norm(F.col("v2")))
+    return (
+        cand.select(
+            F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
