@@ -43,8 +43,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
+    # local mode runs everything in the driver JVM; the 1 GiB default heap
+    # OOMs with realistic (30-70 KB) page blobs at 32 concurrent tasks.
+    # Must be set before the JVM launches — harmless no-op on getOrCreate
+    # reuse or under spark-submit (which supplies its own).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
     b = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -77,17 +77,21 @@ def _value_noise(rng: random.Random) -> str:
     return f"$ {rng.randrange(1, 999)},{rng.randrange(100, 999)}.{rng.randrange(10, 99)}"
 
 
-def _gen_html(rng: random.Random, lang: str, doc_id: int) -> tuple[bytes, str]:
+def _gen_html(
+    rng: random.Random, lang: str, doc_id: int, size_mult: int = 1
+) -> tuple[bytes, str]:
     words = WORDS[lang]
     title = _sentence(rng, words, rng.randrange(3, 7))[:-1]
-    # heavy-tailed article length: 1% of docs are huge (compute skew)
+    # heavy-tailed article length: 1% of docs are huge (compute skew).
+    # size_mult scales content volume (default pages are ~3 KB; real
+    # Common-Crawl pages are 30-70 KB — the bench corpus uses size_mult>1)
     r = rng.random()
     if r < 0.01:
-        n_paras = rng.randrange(120, 260)
+        n_paras = rng.randrange(120, 260) * size_mult
     elif r < 0.10:
-        n_paras = rng.randrange(25, 60)
+        n_paras = rng.randrange(25, 60) * size_mult
     else:
-        n_paras = rng.randrange(3, 12)
+        n_paras = rng.randrange(3, 12) * size_mult
 
     nav_links = " ".join(
         f'<a href="/cat/{i}">{rng.choice(words)}</a>' for i in range(rng.randrange(8, 20))
@@ -137,7 +141,7 @@ def _gen_html(rng: random.Random, lang: str, doc_id: int) -> tuple[bytes, str]:
     return html.encode("utf-8"), " ".join(" ".join(plain_parts).split())
 
 
-def _gen_pdftok(rng: random.Random, lang: str) -> tuple[bytes, str]:
+def _gen_pdftok(rng: random.Random, lang: str, size_mult: int = 1) -> tuple[bytes, str]:
     words = WORDS[lang]
     two_col = rng.random() < 0.4
     cols = [60.0, 360.0] if two_col else [60.0]  # gutter ≥60pt > MIN_X_GAP
@@ -146,7 +150,7 @@ def _gen_pdftok(rng: random.Random, lang: str) -> tuple[bytes, str]:
     plain: list[str] = []
     for cx in cols:
         y = 60.0
-        n_paras = rng.randrange(2, 6)
+        n_paras = rng.randrange(2, 6) * size_mult
         for _ in range(n_paras):
             n_lines = rng.randrange(2, 7)
             para_words: list[str] = []
@@ -176,8 +180,8 @@ def _gen_pdftok(rng: random.Random, lang: str) -> tuple[bytes, str]:
     return "\n".join(lines).encode("utf-8"), " ".join(plain)
 
 
-def gen_page_row(seed: int, doc_id: int) -> dict:
-    """Pure function (seed, doc_id) → one pages row."""
+def gen_page_row(seed: int, doc_id: int, size_mult: int = 1) -> dict:
+    """Pure function (seed, doc_id, size_mult) → one pages row."""
     rng = random.Random((seed << 32) ^ doc_id)
     lang = LANGS[rng.randrange(len(LANGS))] if rng.random() < 0.85 else "en"
     # ~3% duplicate urls: doc i with i%31==1 reuses doc (i-1)'s url
@@ -188,9 +192,9 @@ def gen_page_row(seed: int, doc_id: int) -> dict:
     ts = BASE_TS + dt.timedelta(seconds=doc_id * 7)
 
     if rng.random() < 0.10:
-        html, plain = _gen_pdftok(rng, lang)
+        html, plain = _gen_pdftok(rng, lang, size_mult)
     else:
-        html, plain = _gen_html(rng, lang, doc_id)
+        html, plain = _gen_html(rng, lang, doc_id, size_mult)
 
     text_col = plain if rng.random() < 0.5 else None
     lang_col = lang if rng.random() < 0.7 else None
@@ -205,7 +209,7 @@ def gen_page_row(seed: int, doc_id: int) -> dict:
 
 def gen_pages(
     spark, n_docs: int, seed: int = 42, partitions: int | None = None,
-    start: int = 0,
+    start: int = 0, size_mult: int = 1,
 ):
     """Distributed deterministic corpus: spark.range → mapInPandas generator.
 
@@ -225,7 +229,7 @@ def gen_pages(
 
     def _gen(batches):
         for pdf in batches:
-            rows = [gen_page_row(seed, int(i)) for i in pdf["id"]]
+            rows = [gen_page_row(seed, int(i), size_mult) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return (
