@@ -224,12 +224,14 @@ def _q12_net_repair(spark, sf):
     engine-independent: float round() tie-breaking differs between Spark
     (HALF_UP on the exact decimal expansion) and DuckDB (scaled std::round)
     on a handful of rows per 100k — integer arithmetic sidesteps it.
+    ZERO divisions anywhere: computed = qty·(cents div qty) = cents − cents%qty
+    (round 1 used floor(cents/qty), which is FLOAT division in Spark and
+    flipped the floor vs DuckDB on a handful of rows → hash mismatch).
     """
     li = _t(spark, sf, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     qty = F.floor(F.col("l_quantity")).cast("long")
-    price_c = F.floor(cents / qty).cast("long")
-    computed_c = qty * price_c
+    computed_c = cents - F.pmod(cents, qty)  # ≡ qty * (cents div qty), pure ints
     # plant inconsistencies on 10% of rows (+500 cents)
     claimed_c = F.when(F.col("l_orderkey") % 10 == 0, cents + 500).otherwise(cents)
     # V1 with tol=10 cents: |claimed - computed| > 10 ⇒ overwrite with computed
@@ -245,14 +247,22 @@ def _q12_net_repair(spark, sf):
 
 
 def _q13_vat_additivity(spark, sf):
-    """V2 — totals additivity gate |gross-(net+vat)|<tol (ocr.py:937-943)."""
+    """V2 — totals additivity gate |gross-(net+vat)|<tol (ocr.py:937-943).
+
+    Exact integer cents end-to-end — the round-1 version nested F.round on
+    doubles and Spark HALF_UP vs DuckDB scaled-round diverged on ties
+    (PLANS.md pitfall #2). Violations are planted (+3 cents on every 13th
+    order) so the gate actually fires; tol = 2 cents.
+    """
     from final_ocr_spark.functions.validate import totals_additivity_ok
 
     li = _t(spark, sf, "lineitem")
-    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
-    vat = F.round(net * F.col("l_tax"), 2)
-    gross = F.round(net * (1 + F.col("l_tax")), 2)
-    ok = totals_additivity_ok(net, vat, gross, tol=0.02)
+    net_c = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    tax_p = F.floor(F.col("l_tax") * 100).cast("long")  # e.g. 0.04 → 4
+    vat_raw = net_c * tax_p  # ≤ ~1e10: no overflow risk under ANSI
+    vat_c = ((vat_raw - F.pmod(vat_raw, 100)) / F.lit(100)).cast("long")  # exact int div
+    gross_c = net_c + vat_c + F.when(F.col("l_orderkey") % 13 == 0, F.lit(3)).otherwise(F.lit(0))
+    ok = totals_additivity_ok(net_c, vat_c, gross_c, tol=2)
     return li.select(
         F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
         F.count(F.lit(1)).alias("n_total"),
@@ -730,9 +740,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_returnflag,
                          CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
                          CAST(floor(l_quantity) AS BIGINT) AS qty,
-                         CAST(floor(l_quantity) AS BIGINT) *
-                           CAST(floor(CAST(floor(l_extendedprice * 100) AS BIGINT) * 1.0 /
-                                      CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS computed_c,
+                         CAST(floor(l_extendedprice * 100) AS BIGINT) -
+                           (CAST(floor(l_extendedprice * 100) AS BIGINT) %
+                            CAST(floor(l_quantity) AS BIGINT)) AS computed_c,
                          CASE WHEN l_orderkey % 10 = 0
                               THEN CAST(floor(l_extendedprice * 100) AS BIGINT) + 500
                               ELSE CAST(floor(l_extendedprice * 100) AS BIGINT) END AS claimed_c
@@ -741,12 +751,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag
         """,
         "q13_vat_additivity": """
-            SELECT sum(CASE WHEN abs(gross - (net + vat)) < 0.02 THEN 1 ELSE 0 END) AS n_ok,
+            SELECT sum(CASE WHEN abs(gross_c - (net_c + vat_c)) < 2 THEN 1 ELSE 0 END) AS n_ok,
                    count(*) AS n_total
-            FROM (SELECT round(l_extendedprice * (1 - l_discount), 2) AS net,
-                         round(round(l_extendedprice * (1 - l_discount), 2) * l_tax, 2) AS vat,
-                         round(round(l_extendedprice * (1 - l_discount), 2) * (1 + l_tax), 2) AS gross
-                  FROM lineitem)
+            FROM (SELECT net_c, vat_c,
+                         net_c + vat_c +
+                           (CASE WHEN l_orderkey % 13 = 0 THEN 3 ELSE 0 END) AS gross_c
+                  FROM (SELECT l_orderkey, net_c, (net_c * tax_p) // 100 AS vat_c
+                        FROM (SELECT l_orderkey,
+                                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS net_c,
+                                     CAST(floor(l_tax * 100) AS BIGINT) AS tax_p
+                              FROM lineitem)))
         """,
         "q14_exact_dedup": """
             SELECT count(*) AS n_total,

@@ -23,8 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# large 61-bit Mersenne prime for universal hashing
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime for universal hashing: operands bounded below 2^31
+# keep every a·x+b intermediate under 2^62 — provably overflow-free in ANSI
+# mode (Spark 4 default), where unchecked long wraparound is a task failure.
+_MERSENNE31 = (1 << 31) - 1
 
 
 def dedup_latest(
@@ -89,12 +91,17 @@ def shingles(text_col: str, k: int = 5):
     ).otherwise(F.array().cast("array<string>"))
 
 
-# position-mixing multipliers for hash-combined shingles (odd constants)
-_SHINGLE_MIX = [
-    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-    0x27D4EB2F165667C5, 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F ^ 0xFF51AFD7ED558CCD,
-    0x2545F4914F6CDD1D, 0x5851F42D4C957F2D,
-]
+# per-position rotation amounts for hash-combined shingles. Rotation+XOR is
+# pure bit arithmetic — provably overflow-free under ANSI mode (the round-1
+# multiply-mix crashed the driver's default-ANSI session with
+# ARITHMETIC_OVERFLOW; correctness must not depend on ansi=false).
+_SHINGLE_ROT = [3, 10, 17, 24, 31, 38, 45, 52]
+
+
+def _rotl64(x, s: int):
+    """Column expr: rotate a 64-bit long left by s (1..63) — bit ops only,
+    never checked arithmetic."""
+    return F.shiftleft(x, s).bitwiseOR(F.shiftrightunsigned(x, 64 - s))
 
 
 def word_hashes(text_col: str):
@@ -110,8 +117,7 @@ def word_hashes(text_col: str):
 
 def shingle_hashes_from(wh_col, k: int = 5):
     """Column expr: 64-bit hash per word k-shingle from a word-hash column —
-    position-weighted arithmetic combination of k SHIFTED SLICES folded with
-    zip_with.
+    position-distinct ROTATION of k SHIFTED SLICES folded with zip_with XOR.
 
     Why this exact shape (hard-won):
     * string shingles (slice+array_join per position) were ~10× the cost of
@@ -122,20 +128,25 @@ def shingle_hashes_from(wh_col, k: int = 5):
       lambdas, and `size(transform(...))≡size(...)` optimizer rewrites make
       this easy to mis-measure;
     * shifted slices + zip_with touch each element a bounded k times even
-      under full inlining: worst case O(k·n), no random access.
+      under full inlining: worst case O(k·n), no random access;
+    * rotate+XOR (not multiply+add) because Spark 4 defaults to ANSI mode
+      where long multiply overflow is a TASK FAILURE — bit ops are the only
+      combination provably safe under any session config. Position rotations
+      are pairwise-distinct so word order matters ("a b" ≠ "b a").
 
-    Hash quality is sketch-grade, which is all minhash/simhash need.
+    Hash quality is sketch-grade (inputs are already xxhash64-avalanched),
+    which is all minhash/simhash need.
     """
-    assert k <= len(_SHINGLE_MIX), "raise k support by extending _SHINGLE_MIX"
+    assert k <= len(_SHINGLE_ROT), "raise k support by extending _SHINGLE_ROT"
     n = F.greatest(F.size(wh_col) - F.lit(k - 1), F.lit(0))
 
-    def _scaled(j: int):
-        m = F.lit(_SHINGLE_MIX[j] & 0x7FFFFFFFFFFFFFFF).cast("long")
-        return F.transform(F.slice(wh_col, F.lit(j + 1), n), lambda x: x * m)
+    def _rotated(j: int):
+        s = _SHINGLE_ROT[j]
+        return F.transform(F.slice(wh_col, F.lit(j + 1), n), lambda x: _rotl64(x, s))
 
-    acc = _scaled(0)
+    acc = _rotated(0)
     for j in range(1, k):
-        acc = F.zip_with(acc, _scaled(j), lambda a, b: a + b)
+        acc = F.zip_with(acc, _rotated(j), lambda a, b: a.bitwiseXOR(b))
     return F.when(n > 0, acc).otherwise(F.array().cast("array<bigint>"))
 
 
@@ -144,21 +155,31 @@ def minhash_from_hashes(hash_col, num_hashes: int = 64, seed: int = 7):
     hashes — ONE pass over the array, maintaining all num_hashes mins via
     zip_with(acc, perms(h), least).
 
-    h_i(x) = (a_i * x + b_i) mod p (universal-ish family; wraparound in long
-    arithmetic is fine for sketching). All JVM-side; no UDF.
+    h_i(x) = (a_i * (x mod p) + b_i) mod p over the 31-bit Mersenne prime
+    p = 2^31-1, with a_i, b_i < p. Every intermediate fits a signed 64-bit
+    long by construction (a_i·x' < 2^62), so this is ANSI-mode-safe —
+    Spark 4's default session treats long overflow as a task failure, and
+    the engine must be correct under configs it doesn't control. A 31-bit
+    universal family is ample for sketching: P(cross-doc hash collision)
+    ≈ |union of shingles|² / 2^32 ≈ 1e-3 for multi-thousand-word docs.
+    All JVM-side; no UDF.
     """
     import random
 
     rng = random.Random(seed)
     coeffs = [
-        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
         for _ in range(num_hashes)
     ]
+    p = F.lit(_MERSENNE31).cast("long")
 
     def _perms(h):
-        return F.array(*[F.pmod(a * h + b, F.lit(_MERSENNE)) for a, b in coeffs])
+        x = F.pmod(h, p)  # [0, 2^31-1): product with a < 2^31 fits in 62 bits
+        return F.array(
+            *[F.pmod(F.lit(a).cast("long") * x + F.lit(b).cast("long"), p) for a, b in coeffs]
+        )
 
-    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_hashes)])
+    init = F.array(*[F.lit(_MERSENNE31).cast("long") for _ in range(num_hashes)])
     sig = F.aggregate(
         hash_col, init, lambda acc, h: F.zip_with(acc, _perms(h), lambda a, b: F.least(a, b))
     )
@@ -276,13 +297,14 @@ def simhash_from_hashes(hash_col):
         )
 
     def _fold(votes):
+        # disjoint bits — OR, never arithmetic add (ANSI-safe by construction)
         total = None
         for i in range(64):
             bit_val = -(1 << 63) if i == 63 else (1 << i)
             term = F.when(
                 F.element_at(votes, i + 1) > 0, F.lit(bit_val).cast("long")
             ).otherwise(F.lit(0).cast("long"))
-            total = term if total is None else total + term
+            total = term if total is None else total.bitwiseOR(term)
         return total
 
     sim = F.aggregate(
@@ -295,8 +317,13 @@ def simhash_from_hashes(hash_col):
 
 
 def simhash64(text_col: str, shingle_k: int = 3):
-    """Column expr: 64-bit SimHash of word k-shingles, as bigint."""
-    return simhash_from_hashes(shingle_hashes(text_col, shingle_k))
+    """Column expr: 64-bit SimHash of word k-shingles, as bigint.
+
+    Convenience composition for small/ad-hoc frames. For bulk pipelines,
+    materialize ``word_hashes`` as its own projection first (see that
+    docstring's O(n²) HOF-inlining caveat) — ``simhash_near_dups`` does.
+    """
+    return simhash_from_hashes(shingle_hashes_from(word_hashes(text_col), shingle_k))
 
 
 def hamming64(a, b):

@@ -43,7 +43,14 @@ def run(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) ->
     import __spark_entry__ as entrymod
     from final_ocr_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    # the DRIVER's oracle harness uses a default Spark 4 session — ANSI ON —
+    # so replicate that here (round 1's ansi=false harness masked two
+    # ARITHMETIC_OVERFLOW crashes the driver then hit)
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={"spark.sql.ansi.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -68,6 +68,40 @@ def test_ngram_jaccard_verify_stage(spark, corpus):
     assert got[(1, 4)] < 0.05
 
 
+def test_sketches_under_default_ansi_mode(spark, corpus):
+    """The driver's oracle harness runs a default Spark 4 session — ANSI ON —
+    so every sketch must be overflow-proof regardless of session config
+    (round-1 q19/q20 hard-failed with ARITHMETIC_OVERFLOW under that session).
+    """
+    from final_ocr_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        mh = {
+            (r["key_a"], r["key_b"])
+            for r in minhash_near_dups(corpus, jaccard_threshold=0.5).collect()
+        }
+        assert (1, 5) in mh
+        sh = {
+            (r["key_a"], r["key_b"])
+            for r in simhash_near_dups(corpus, max_hamming=6).collect()
+        }
+        assert (1, 5) in sh
+        # the convenience composition helper must run too (ADVICE round 1:
+        # it referenced an undefined name and was dead-on-arrival)
+        row = corpus.select(simhash64("text").alias("sh")).filter(
+            F.col("sh").isNotNull()
+        )
+        assert row.count() == 5
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_dedup_latest(spark):
     from final_ocr_spark.operators.dedup import dedup_latest
 
