@@ -341,9 +341,16 @@ def _q18_word_jaccard(spark, sf):
 
 
 def _q19_minhash_pairs(spark, sf):
-    """MinHash+LSH near-dup pairs (non-SQL-expressible — rows-only check).
-    Near-dups are planted by appending truncated copies of every 40th doc."""
-    from final_ocr_spark.operators.dedup import minhash_near_dups
+    """MinHash+LSH candidate generation + EXACT shingle-jaccard verify — the
+    full production near-dup pipeline (recall stage + precision stage).
+
+    Near-dups are planted by appending truncated copies of every 40th doc.
+    The final filter is on EXACT 5-gram jaccard (not the minhash estimate),
+    so brute-force all-pairs SQL is a valid oracle: it matches whenever LSH
+    recall at jaccard≥0.85 is total, which banding theory puts at
+    P(miss) ≈ (1−0.85⁴)¹⁶ < 1e-5 per pair and which holds on this corpus.
+    """
+    from final_ocr_spark.operators.dedup import minhash_near_dups, ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     mutated = (
@@ -354,9 +361,11 @@ def _q19_minhash_pairs(spark, sf):
         )
     )
     corpus = d.unionByName(mutated)
-    return minhash_near_dups(
+    cand = minhash_near_dups(
         corpus, key="doc_id", text_col="text", jaccard_threshold=0.5
-    ).orderBy("key_a", "key_b")
+    ).select("key_a", "key_b")
+    verified = ngram_jaccard_pairs(corpus, cand, key="doc_id", text_col="text", n=5)
+    return verified.filter(F.col("jaccard") >= 0.85).orderBy("key_a", "key_b")
 
 
 def _q20_simhash_pairs(spark, sf):
@@ -389,14 +398,15 @@ def _q21_extract_pages(spark, sf):
 
 
 def _q22_doc_fingerprint(spark, sf):
-    """Document fingerprinting: 64-bit content hash of normalized text +
-    length bucket (rows-only: xxhash64 differs across engines)."""
+    """Document fingerprinting: content hash of normalized text + length
+    bucket. MD5 (not xxhash64) so the fingerprint is engine-independent and
+    the oracle can verify actual hash values — round 1 had no oracle here."""
     d = _t(spark, sf, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return d.select(
         "doc_id",
-        F.xxhash64(norm).alias("fingerprint"),
-        (F.length(norm) / 100).cast("int").alias("len_bucket"),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"),
     )
 
 
@@ -426,15 +436,42 @@ def _q23_quality_profile(spark, sf):
 
 
 def _q24_ann_lsh(spark, sf):
-    """ANN scale path: hyperplane-LSH bucket probe + exact re-rank
-    (rows-only: bucketing not SQL-expressible)."""
-    from final_ocr_spark.operators.similarity import lsh_topk
+    """ANN scale path: precomputed bucket-PARTITIONED sketch index
+    (build_ann_index) + partition-pruned probe + exact re-rank.
+
+    Oracle-checkable by construction: 20 positively-scaled copies of the
+    query vector are planted (cosine exactly 1, identical sign sketch ⇒ they
+    land in the query's own bucket ⇒ index recall for them is provably
+    100%), so exhaustive exact top-20 SQL is a valid oracle.
+    """
+    from final_ocr_spark.operators.similarity import ann_index_topk, build_ann_index
 
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return lsh_topk(emb.filter("vec_id != 0"), [float(x) for x in q], k=20,
-                    bits=10, multiprobe=2).withColumn(
-        "cos_sim", F.round("cos_sim", 4)
+    base = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .select(
+            (F.col("i") + 100000).cast("long").alias("vec_id"),
+            F.transform(
+                "e", lambda x: x * (F.lit(1.0) + F.col("i") * F.lit(0.1))
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    idx_dir = f"/tmp/final_ocr_spark_annidx_{sf.strip('/').replace('/', '_')}"
+    build_ann_index(corpus, idx_dir, bits=8, seed=11)
+    out = ann_index_topk(
+        spark, idx_dir, [float(x) for x in q], k=20, bits=8, seed=11, multiprobe=1
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.round("cos_sim", 4).alias("cos_sim")
     )
 
 
@@ -623,6 +660,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL; tables pre-registered as views)
 
+_DUCK_TYPES = {"string": "VARCHAR", "int": "INTEGER", "bigint": "BIGINT",
+               "double": "DOUBLE"}
+
+
+def _values_oracle(name: str) -> str | None:
+    """Render a committed golden row set (tests/golden/oracle_values.json,
+    regenerated deliberately via `python -m tests.make_oracle_goldens`) as a
+    DuckDB VALUES table.
+
+    The extraction/multimodal queries run over fully deterministic seeded
+    synthetic inputs, so their outputs are pure functions of the code — the
+    committed golden IS the correctness contract (HTML parsing / fake-codec
+    decode aren't SQL-expressible, but their pinned outputs are).
+    """
+    import json
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "tests" / "golden" / "oracle_values.json"
+    if not p.exists():
+        return None
+    data = json.loads(p.read_text(encoding="utf-8")).get(name)
+    if not data:
+        return None
+
+    def lit(v, t: str) -> str:
+        if v is None:
+            return "NULL"
+        if t == "string":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t == "double":
+            return repr(float(v))
+        return str(int(v))
+
+    types = data["types"]
+    rows_sql = ",\n".join(
+        "(" + ", ".join(lit(v, t) for v, t in zip(row, types)) + ")"
+        for row in data["rows"]
+    )
+    casts = ", ".join(
+        f"CAST({c} AS {_DUCK_TYPES.get(t, 'VARCHAR')}) AS {c}"
+        for c, t in zip(data["columns"], types)
+    )
+    collist = ", ".join(data["columns"])
+    return f"SELECT {casts} FROM (VALUES\n{rows_sql}\n) AS t({collist})"
+
 
 def oracle_sql() -> dict[str, str]:
     from final_ocr_spark.functions.numbers import normalize_number_sql
@@ -631,7 +713,14 @@ def oracle_sql() -> dict[str, str]:
     norm_raw = normalize_number_sql("raw")
     norm_amt = normalize_number_sql("amt")
 
-    return {
+    # golden-VALUES oracles for deterministic non-SQL-expressible queries
+    goldens = {
+        name: sql
+        for name in ("q21_extract_pages", "q26_image_features", "q27_video_frames")
+        if (sql := _values_oracle(name)) is not None
+    }
+
+    return goldens | {
         "q1_rollup": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -802,6 +891,63 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
                   WHERE a.doc_id % 2 = 0)
         """,
+        "q19_minhash_pairs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       substring(text, 1, length(text) - 15) AS text
+                FROM documents WHERE doc_id % 40 = 0 AND length(text) > 200
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(
+                           lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                           '\\s+'),
+                         w -> w != '') AS ws
+                FROM corpus
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+4], ' ')
+                                      FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                FROM toks WHERE len(ws) >= 5
+            )
+            SELECT key_a, key_b, jaccard
+            FROM (SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                         len(list_intersect(a.g, b.g)) * 1.0 /
+                           greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS jaccard
+                  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.85
+        """,
+        "q22_doc_fingerprint": """
+            SELECT doc_id, md5(norm) AS fingerprint, length(norm) // 100 AS len_bucket
+            FROM (SELECT doc_id,
+                         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                  FROM documents)
+        """,
+        "q24_ann_lsh": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id != 0
+                UNION ALL
+                SELECT 100000 + i AS vec_id,
+                       list_transform(CAST(e.embedding AS DOUBLE[]),
+                                      x -> x * (1 + i * 0.1)) AS v
+                FROM embeddings e, generate_series(1, 20) t(i)
+                WHERE e.vec_id = 0
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(cos, 4) AS cos_sim
+            FROM (SELECT c.vec_id,
+                         list_dot_product(c.v, q.qv) /
+                           (sqrt(list_dot_product(c.v, c.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                  FROM corpus c, q)
+            ORDER BY cos DESC, vec_id LIMIT 20
+        """,
         "q23_quality_profile": """
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_tok), 4) AS avg_tokens,
@@ -884,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
             ORDER BY key_a, key_b
         """,
-        # q19/q20/q21/q22/q24/q26/q27: non-SQL-expressible (LSH banding /
-        # simhash bit math / HTML+XY-cut extraction / engine-specific xxhash64 /
-        # hyperplane bucketing / fake-codec decode) → rows-only checks
+        # q19/q20: non-SQL-expressible sketch internals (LSH banding /
+        # simhash bit math) → rows-only checks. q21/q26/q27 are covered by
+        # the committed golden-VALUES oracles merged in above.
     }

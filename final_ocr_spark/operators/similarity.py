@@ -135,26 +135,33 @@ def embedding_near_dups(
     base = emb.select(
         F.col(id_col).alias("k"), F.col(vec_col).cast("array<double>").alias("v"),
         sk.alias("b"),
-    ).persist()  # consumed by both sides of the bucket join
+    ).persist()  # consumed by the blocking join AND the verify rejoin
 
-    # probe buckets: own + every single-bit flip (pigeonhole for hamming≤1;
-    # near-identical vectors differ on ~0 hyperplane signs)
+    # KEY-ONLY blocking join: the exploded probe rows carry (k, bucket) only —
+    # never the vector. At 768-dim × 10^12 rows, carrying vectors through the
+    # (bits+1)-way explode would make the bucket-join shuffle payload
+    # (bits+1)·dim doubles per row; keys-only is ~100× slimmer, and the full
+    # vectors rejoin only for the surviving candidate pairs (same pattern as
+    # dedup.py's minhash pair join).
+    slim = base.select("k", "b")
     flips = F.array(
         F.col("b"), *[F.col("b").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
     )
-    left = base.select("k", "v", F.explode(flips).alias("bucket"))
-    right = base.select(
-        F.col("k").alias("k2"), F.col("v").alias("v2"), F.col("b").alias("bucket")
-    )
+    left = slim.select("k", F.explode(flips).alias("bucket"))
+    right = slim.select(F.col("k").alias("k2"), F.col("b").alias("bucket"))
     cand = (
         left.join(right, "bucket")
         .filter(F.col("k") < F.col("k2"))
-        .select("k", "k2", "v", "v2")
+        .select("k", "k2")
         .dropDuplicates(["k", "k2"])
+    )
+    # rejoin vectors for the survivors only
+    pairs = cand.join(base.select("k", "v"), "k").join(
+        base.select(F.col("k").alias("k2"), F.col("v").alias("v2")), "k2"
     )
     cos = _dot(F.col("v"), F.col("v2")) / (_norm(F.col("v")) * _norm(F.col("v2")))
     return (
-        cand.select(
+        pairs.select(
             F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
             cos.alias("cos_sim"),
         )
@@ -162,33 +169,88 @@ def embedding_near_dups(
     )
 
 
-def lsh_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 10,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    bits: int = 12, seed: int = 11, multiprobe: int = 1,
-) -> DataFrame:
-    """ANN: probe the query's hyperplane bucket (± single-bit-flip neighbors
-    when ``multiprobe``≥1), exact cosine re-rank inside the candidates.
-
-    Recall/cost dial: more bits → smaller buckets (cheaper, lower recall);
-    more multiprobe flips → higher recall. At corpus scale the sketch column
-    is precomputed & partitioned by bucket, so a query touches ~N/2^bits
-    rows instead of N.
-    """
-    dim = len(query_vec)
-    sketch = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
-    # query bucket computed driver-side with the same planes
+def _query_bucket(query_vec: list[float], bits: int, seed: int) -> int:
+    """Driver-side bucket of a query vector under the same seeded planes."""
     rng = random.Random(seed)
+    dim = len(query_vec)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
     qb = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qb |= 1 << i
+    return qb
+
+
+def _probe_set(qb: int, bits: int, multiprobe: int) -> list[int]:
     probes = {qb}
     if multiprobe >= 1:
         probes |= {qb ^ (1 << i) for i in range(bits)}
     if multiprobe >= 2:
         probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(bits) for j in range(i)}
+    return sorted(probes)
 
-    cands = emb.withColumn("_b", sketch).filter(F.col("_b").isin(list(probes)))
+
+def build_ann_index(
+    emb: DataFrame, out_dir: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, bits: int = 12, seed: int = 11,
+) -> str:
+    """Materialize the ANN index: (id, vector, bucket) parquet PARTITIONED BY
+    bucket. Build cost is one scan; after that every query is an index probe —
+    the bucket filter becomes a partition filter (directory pruning), so a
+    query reads ~N·(1+bits·multiprobe)/2^bits rows instead of N. This is the
+    10^12-row shape: the round-1 ``lsh_topk`` recomputed the sketch over the
+    FULL table per query (a full scan per query is not ANN at scale).
+    """
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
+    sk = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col),
+            sk.alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ann_index_topk(
+    spark, index_dir: str, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 12, seed: int = 11, multiprobe: int = 1,
+) -> DataFrame:
+    """ANN query against a :func:`build_ann_index` table: probe the query's
+    bucket (± 1-bit / 2-bit flips per ``multiprobe``) via PARTITION PRUNING,
+    exact cosine re-rank inside the candidate set only."""
+    qb = _query_bucket(query_vec, bits, seed)
+    probes = _probe_set(qb, bits, multiprobe)
+    # bucket is a partition column → this filter prunes directories at plan
+    # time (PartitionFilters in the scan node), never touching other buckets
+    cands = spark.read.parquet(index_dir).filter(F.col("bucket").isin(probes))
+    return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int = 12, seed: int = 11, multiprobe: int = 1,
+) -> DataFrame:
+    """One-shot ANN without a prebuilt index: sketch the table once, probe the
+    query's bucket neighborhood, exact cosine re-rank inside the candidates.
+
+    This scans the input once, so it only makes sense for a single ad-hoc
+    query over an unindexed table. For repeated queries — the actual ANN
+    workload — use :func:`build_ann_index` once + :func:`ann_index_topk` per
+    query (partition-pruned probes, no rescan).
+    """
+    dim = len(query_vec)
+    sketch = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    qb = _query_bucket(query_vec, bits, seed)
+    probes = _probe_set(qb, bits, multiprobe)
+    cands = emb.withColumn("_b", sketch).filter(F.col("_b").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)

@@ -16,15 +16,10 @@ def test_rows_only_queries_documented():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     rows_only = qs - os_
-    assert rows_only == {
-        "q19_minhash_pairs",
-        "q20_simhash_pairs",
-        "q21_extract_pages",
-        "q22_doc_fingerprint",
-        "q24_ann_lsh",
-        "q26_image_features",
-        "q27_video_frames",
-    }
+    # round 2: every query is oracle-checked except the simhash hamming-ball
+    # (its hamming<=3 blocking predicate has no SQL equivalent; an exact-verify
+    # restructure would change the operator's semantics)
+    assert rows_only == {"q20_simhash_pairs"}
 
 
 def test_entry_runs(spark):

@@ -66,6 +66,49 @@ def test_lsh_topk_finds_planted_neighbor(spark, emb):
     assert 0 in got and 9000 in got  # near-identical vectors share the bucket
 
 
+def test_ann_index_probe_matches_lsh(spark, emb, tmp_path):
+    """build_ann_index + ann_index_topk must return the same result as the
+    one-shot lsh_topk (same planes/probes), with partition-pruned scans."""
+    from final_ocr_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        lsh_topk,
+    )
+
+    idx = build_ann_index(emb, str(tmp_path / "annidx"), dim=16, bits=8, seed=11)
+    q = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    got_idx = [
+        r["vec_id"]
+        for r in ann_index_topk(spark, idx, list(q), k=5, bits=8, seed=11,
+                                multiprobe=1).collect()
+    ]
+    got_scan = [
+        r["vec_id"]
+        for r in lsh_topk(emb, list(q), k=5, bits=8, seed=11, multiprobe=1).collect()
+    ]
+    assert got_idx == got_scan
+    assert 0 in got_idx and 9000 in got_idx
+    # the probe must prune partitions, not scan the full index
+    plan = ann_index_topk(spark, idx, list(q), k=5, bits=8, seed=11, multiprobe=1) \
+        ._jdf.queryExecution().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+
+def test_embedding_near_dups_key_only_explode(spark, emb):
+    """The blocking explode must carry keys only — never the vector column
+    (at 768-dim × 10^12 rows the vector payload would dominate the shuffle)."""
+    from final_ocr_spark.operators.similarity import embedding_near_dups
+
+    pairs = embedding_near_dups(emb, threshold=0.99, dim=16, bits=8)
+    found = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert (0, 9000) in found
+    plan = pairs._jdf.queryExecution().toString()
+    gen = [l for l in plan.splitlines() if "Generate explode" in l and "Exchange" not in l]
+    assert gen, "explode node missing from plan"
+    # Generate's required child output (2nd bracket group) must not include v
+    assert all(" v#" not in l and "[v#" not in l for l in gen), gen
+
+
 def test_lsh_prunes_candidates(spark, emb):
     from final_ocr_spark.operators.similarity import hyperplane_sketch
     from pyspark.sql import functions as F
