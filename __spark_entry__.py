@@ -620,6 +620,95 @@ def _q32_embedding_neardups(spark, sf):
     ).orderBy("key_a", "key_b")
 
 
+def _q33_sanity_rules(spark, sf):
+    """V4/V5 — suspicious-magnitude flag (ocr.py:919-922) + quantity sanity
+    cap (ocr.py:322). OCR-style corruptions are planted: every 9th order's
+    quantity picked up an id digit-run (×100000), every 11th order's amount
+    lost its decimal separator (×10000); the rules must neutralize exactly
+    those. Integer aggregation only → engine-independent."""
+    from final_ocr_spark.functions.validate import sane_quantity, suspicious_magnitude
+
+    li = _t(spark, sf, "lineitem")
+    qty_raw = F.when(
+        F.col("l_orderkey") % 9 == 0, F.floor(F.col("l_quantity")) * 100000
+    ).otherwise(F.floor(F.col("l_quantity"))).cast("double")
+    amount = F.when(
+        F.col("l_orderkey") % 11 == 0, F.col("l_extendedprice") * 10000
+    ).otherwise(F.col("l_extendedprice"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(sane_quantity(qty_raw).cast("long")).alias("sum_sane_qty"),
+            F.sum(F.when(qty_raw >= 1000, 1).otherwise(0)).alias("n_qty_capped"),
+            F.sum(F.when(suspicious_magnitude(amount), 1).otherwise(0)).alias("n_suspicious"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q34_variant_fields(spark, sf):
+    """R8 — variant-B field sniffing: party phone (ocr2.py:381-393) and
+    per-item discount (ocr2.py:546-549), over synthesized party sections.
+    The phone line must also be EXCLUDED from the address (ocr2.py:389)."""
+    from final_ocr_spark.functions.numbers import normalize_number
+    from final_ocr_spark.functions.parsing import extract_discount, extract_party
+
+    c = _t(spark, sf, "customer")
+    phone = F.concat(
+        F.lit("+48 "), (F.col("c_custkey") % 900 + 100).cast("string"),
+        F.lit("-"), (F.col("c_custkey") % 90 + 10).cast("string"),
+        F.lit("-"), F.col("c_custkey").cast("string"),
+    )
+    text = F.concat(
+        F.lit("Seller:\n"), F.col("c_name"),
+        F.lit("\nPhone: "), phone,
+        F.lit("\nStreet "), F.col("c_custkey").cast("string"), F.lit(" Cityville"),
+        F.lit("\ndiscount $ "), (F.col("c_custkey") % 50).cast("string"), F.lit(".25"),
+        F.lit("\nTax Id: 9"), F.col("c_custkey").cast("string"), F.lit("-82"),
+    )
+    p = extract_party(text, "Seller")
+    return c.select(
+        "c_custkey",
+        p["phone"].alias("party_phone"),
+        p["address"].alias("party_address"),
+        normalize_number(extract_discount(text)).alias("discount_value"),
+    )
+
+
+def _q35_name_cleanup(spark, sf):
+    """R9 — product-name cleanup (ocr2.py:553-565): strip number+unit tokens
+    and the keyword tail (price/amount/total/... onward) from item lines."""
+    from final_ocr_spark.functions.parsing import clean_product_name
+
+    p = _t(spark, sf, "part")
+    item = F.concat(
+        F.col("p_name"), F.lit(" "),
+        (F.col("p_partkey") % 5 + 1).cast("string"), F.lit(" pcs each "),
+        (F.col("p_partkey") % 90 + 10).cast("string"),
+        F.lit(".00 total $ "), (F.col("p_partkey") % 900 + 100).cast("string"),
+        F.lit(".00 10% vat"),
+    )
+    return p.select("p_partkey", clean_product_name(item).alias("clean_name"))
+
+
+# E4 canonicalization test matrix (pinned, feeds both engines — q36)
+E4_CASES = [
+    "Deil Laptop x1", "De11 Desktop Pro", "DeII Server", "plain Dell row",
+    "pipe|char I|I here", "nbsp separated words",
+    "  runs   of\t whitespace  ", "De11 then pipe | end",
+]
+
+
+def _q36_canonicalize(spark, sf):
+    """E4 — OCR-error canonicalization over the pinned substitution matrix
+    (clean_text ocr.py:100-117; table-driven, order-sensitive)."""
+    from final_ocr_spark.functions.parsing import canonicalize_text
+
+    df = spark.createDataFrame([(s,) for s in E4_CASES], ["raw"])
+    return df.select("raw", canonicalize_text(F.col("raw")).alias("canon"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -654,6 +743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_window_agg": _q30_window_agg,
         "q31_party_extract": _q31_party_extract,
         "q32_embedding_neardups": _q32_embedding_neardups,
+        "q33_sanity_rules": _q33_sanity_rules,
+        "q34_variant_fields": _q34_variant_fields,
+        "q35_name_cleanup": _q35_name_cleanup,
+        "q36_canonicalize": _q36_canonicalize,
     }
 
 
@@ -708,10 +801,19 @@ def _values_oracle(name: str) -> str | None:
 
 def oracle_sql() -> dict[str, str]:
     from final_ocr_spark.functions.numbers import normalize_number_sql
+    from final_ocr_spark.functions.parsing import CANON_SUBSTITUTIONS
 
     r5_values = ", ".join(f"('{s}')" for s in R5_CASES)
     norm_raw = normalize_number_sql("raw")
     norm_amt = normalize_number_sql("amt")
+
+    # E4: the oracle's replace chain is GENERATED from the pinned table so
+    # the two sides can never drift
+    e4_values = ", ".join("('" + s.replace("'", "''") + "')" for s in E4_CASES)
+    canon_expr = "raw"
+    for old, new in CANON_SUBSTITUTIONS:
+        canon_expr = f"replace({canon_expr}, '{old}', '{new}')"
+    canon_expr = f"regexp_replace(trim({canon_expr}), '[ \\t]+', ' ', 'g')"
 
     # golden-VALUES oracles for deterministic non-SQL-expressible queries
     goldens = {
@@ -1030,7 +1132,56 @@ def oracle_sql() -> dict[str, str]:
                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
             ORDER BY key_a, key_b
         """,
-        # q19/q20: non-SQL-expressible sketch internals (LSH banding /
-        # simhash bit math) → rows-only checks. q21/q26/q27 are covered by
-        # the committed golden-VALUES oracles merged in above.
+        "q33_sanity_rules": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN qty_raw < 1000 THEN CAST(qty_raw AS BIGINT)
+                            ELSE 1 END) AS sum_sane_qty,
+                   sum(CASE WHEN qty_raw >= 1000 THEN 1 ELSE 0 END) AS n_qty_capped,
+                   sum(CASE WHEN amount > 1000000 THEN 1 ELSE 0 END) AS n_suspicious,
+                   count(*) AS n_rows
+            FROM (SELECT l_returnflag,
+                         CASE WHEN l_orderkey % 9 = 0
+                              THEN floor(l_quantity) * 100000
+                              ELSE floor(l_quantity) END AS qty_raw,
+                         CASE WHEN l_orderkey % 11 = 0
+                              THEN l_extendedprice * 10000
+                              ELSE l_extendedprice END AS amount
+                  FROM lineitem)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q34_variant_fields": """
+            SELECT c_custkey,
+                   '+48 ' || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+                     CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+                     CAST(c_custkey AS VARCHAR) AS party_phone,
+                   'Street ' || CAST(c_custkey AS VARCHAR) || ' Cityville' ||
+                     ' discount $ ' || CAST(c_custkey % 50 AS VARCHAR) || '.25'
+                     AS party_address,
+                   (c_custkey % 50) + 0.25 AS discount_value
+            FROM customer
+        """,
+        "q35_name_cleanup": """
+            SELECT p_partkey,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(item,
+                           '[0-9]+[.,]?[0-9]*\\s*(?:each|pc|pcs|units?|€|\\$|%)', '', 'g'),
+                         '(?i)(?:price|amount|total|worth|vat|tax|discount).*', '', 'g'),
+                       '(?i)\\s+(?:each|pc|pcs|unit|units)\\s*$', '', 'g'),
+                     '\\s+', ' ', 'g')) AS clean_name
+            FROM (SELECT p_partkey,
+                         p_name || ' ' || CAST(p_partkey % 5 + 1 AS VARCHAR) ||
+                         ' pcs each ' || CAST(p_partkey % 90 + 10 AS VARCHAR) ||
+                         '.00 total $ ' || CAST(p_partkey % 900 + 100 AS VARCHAR) ||
+                         '.00 10% vat' AS item
+                  FROM part)
+        """,
+        "q36_canonicalize": f"""
+            SELECT raw, {canon_expr} AS canon
+            FROM (VALUES {e4_values}) AS t(raw)
+        """,
+        # q20: non-SQL-expressible sketch internals (simhash hamming-ball
+        # blocking) → rows-only check. q21/q26/q27 are covered by the
+        # committed golden-VALUES oracles merged in above.
     }

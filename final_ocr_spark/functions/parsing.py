@@ -80,7 +80,9 @@ def extract_section(col: Column, start_marker: str, end_marker: str | None = Non
 # rule set is pinned in one place. Order matters (first-listed applies first).
 CANON_SUBSTITUTIONS: list[tuple[str, str]] = [
     ("Deil", "Dell"),
-    ("DeII", "Dell"),
+    ("De11", "Dell"),  # the reference's actual rule (ocr.py:105): digit 1s
+    ("DeII", "Dell"),  # letter-I variant kept as well ('|'→'I' runs after the
+    # Dell rules both here and in the reference, so the II form can occur)
     ("|", "I"),
     (" ", " "),
 ]
@@ -109,6 +111,40 @@ def extract_total_amount(col: Column) -> Column:
     return first_match(col, TOTAL_PATTERNS)
 
 
+# R8 — variant-B field sniffers (ocr2.py:381-393 phone; ocr2.py:507-549
+# discount). Patterns are RE2-compatible (no lookaheads) so the DuckDB
+# oracle can run the identical regex.
+# capture class uses a literal space, NOT \s — \s matches \n and would let
+# the capture swallow the newline into the next line (trim strips spaces only)
+PHONE_PATTERN = r"(?:Phone|Tel|Mobile)[: ]*([+0-9][+0-9 \-()]*)"
+DISCOUNT_PATTERN = r"(?i)discount\s*[$€]?\s*([0-9]+[.,]?[0-9]*)"
+
+
+def extract_phone(col: Column) -> Column:
+    """R8 — phone-number sniffing (ocr2.py:381-385: first line matching
+    Phone/Tel/Mobile, captured run of digits/+/-/()/space, stripped)."""
+    return F.nullif(F.trim(F.regexp_extract(col, PHONE_PATTERN, 1)), F.lit(""))
+
+
+def extract_discount(col: Column) -> Column:
+    """R8 — per-item discount amount (ocr2.py:546-549: `discount $ 12.50`,
+    case-insensitive; absent → null, callers coalesce to 0 where the
+    reference did)."""
+    return F.nullif(F.regexp_extract(col, DISCOUNT_PATTERN, 1), F.lit(""))
+
+
+def clean_product_name(col: Column) -> Column:
+    """R9 — product-name cleanup (ocr2.py:553-565): drop `<number> <unit>`
+    tokens (each/pc/pcs/unit(s)/currency/%), drop EVERYTHING from the first
+    price/amount/total/worth/vat/tax/discount keyword onward (the reference's
+    keyword-tail strip), then collapse whitespace. Also strips the bare
+    trailing unit word (ocr.py:314)."""
+    out = F.regexp_replace(col, r"[0-9]+[.,]?[0-9]*\s*(?:each|pc|pcs|units?|€|\$|%)", "")
+    out = F.regexp_replace(out, r"(?i)(?:price|amount|total|worth|vat|tax|discount).*", "")
+    out = F.regexp_replace(out, r"(?i)\s+(?:each|pc|pcs|unit|units)\s*$", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def extract_party(col: Column, role: str) -> dict[str, Column]:
     """R4 — party (seller/client) extraction (parse_party_info ocr.py:202-257):
     bounded section after the role marker; first non-empty line is the name,
@@ -116,8 +152,13 @@ def extract_party(col: Column, role: str) -> dict[str, Column]:
     section = F.regexp_extract(col, rf"(?s){role}[:\s]*\n?(.*?)(?:\n\s*\n|Tax Id|$)", 1)
     lines = F.filter(F.split(section, r"\n"), lambda x: F.trim(x) != "")
     name = F.trim(F.element_at(lines, 1))
+    # remaining lines minus the phone line are the address (ocr2.py:389-393
+    # removes the matched phone line before joining address lines)
     address = F.trim(
-        F.array_join(F.slice(lines, 2, 100), " ")
+        F.array_join(
+            F.filter(F.slice(lines, 2, 100), lambda x: ~x.rlike(PHONE_PATTERN)),
+            " ",
+        )
     )
     tax_id = F.nullif(
         F.regexp_extract(col, rf"(?s){role}.*?Tax Id[:\s]*([0-9][0-9\-]+)", 1),
@@ -127,4 +168,7 @@ def extract_party(col: Column, role: str) -> dict[str, Column]:
         "name": F.nullif(name, F.lit("")),
         "address": F.nullif(address, F.lit("")),
         "tax_id": tax_id,
+        # R8 variant-B field: seller phone (ocr2.py:381-385), scoped to the
+        # party section so a client phone never bleeds into the seller's
+        "phone": extract_phone(section),
     }

@@ -220,9 +220,13 @@ def minhash_near_dups(
     # sigs feeds three consumers (banding + both verify joins); without a
     # materialization barrier Catalyst inlines the signature expression into
     # each and recomputes the whole sketch 3× (measured 45 s of 74 s at
-    # sf0.1). Persisting the sketch table is standard LSH practice — it is
+    # sf0.1). Materializing the sketch table is standard LSH practice — it is
     # num_hashes longs per doc, ~0.5 KB, trivially cacheable at any scale.
-    sigs = sigs.persist()
+    # localCheckpoint (not persist): checkpoint blocks are released by the
+    # ContextCleaner when the result DataFrame is garbage-collected, whereas
+    # CacheManager entries from persist() leak until an explicit unpersist —
+    # repeated invocations in a long-lived session accumulated cached blocks.
+    sigs = sigs.localCheckpoint(eager=False)
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -345,7 +349,8 @@ def simhash_near_dups(
     hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
     sh = hashed.select("k", simhash_from_hashes(F.col("h")).alias("sh")).filter(
         F.col("sh").isNotNull()
-    ).persist()  # reused by block-explode and the hamming filter (see minhash)
+    ).localCheckpoint(eager=False)  # reused by block-explode and the hamming
+    # filter; GC-cleaned, unlike persist (see minhash_near_dups)
     blocks = F.array(
         *[
             F.struct(

@@ -135,7 +135,8 @@ def embedding_near_dups(
     base = emb.select(
         F.col(id_col).alias("k"), F.col(vec_col).cast("array<double>").alias("v"),
         sk.alias("b"),
-    ).persist()  # consumed by the blocking join AND the verify rejoin
+    ).localCheckpoint(eager=False)  # consumed by the blocking join AND the
+    # verify rejoin; GC-cleaned, unlike persist (see dedup.minhash_near_dups)
 
     # KEY-ONLY blocking join: the exploded probe rows carry (k, bucket) only —
     # never the vector. At 768-dim × 10^12 rows, carrying vectors through the

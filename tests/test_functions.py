@@ -91,3 +91,67 @@ def test_net_repair_and_additivity(spark):
     df2 = spark.createDataFrame([(5640.17, 564.02, 6204.19), (100.0, 10.0, 200.0)], ["n", "v", "g"])
     ok = df2.select(totals_additivity_ok(F.col("n"), F.col("v"), F.col("g")).alias("ok")).collect()
     assert ok[0]["ok"] is True and ok[1]["ok"] is False
+
+
+def test_v4_v5_sanity_rules(spark):
+    from final_ocr_spark.functions.validate import sane_quantity, suspicious_magnitude
+
+    df = spark.createDataFrame(
+        [(3.0, 209.0), (300000.0, 209.0), (2.0, 9_876_543.0), (None, None)],
+        ["qty", "amt"],
+    )
+    got = df.select(
+        sane_quantity(F.col("qty")).alias("q"),
+        suspicious_magnitude(F.col("amt")).alias("s"),
+    ).collect()
+    assert [r["q"] for r in got] == [3.0, 1.0, 2.0, 1.0]  # cap → default 1
+    assert [r["s"] for r in got] == [False, False, True, False]  # null → False
+
+
+def test_v6_entity_swap_is_config_gated(spark):
+    from final_ocr_spark.functions.validate import entity_swap_repair
+
+    df = spark.createDataFrame(
+        [("Becker GmbH", "Alice Ltd"), ("Widget Co", "Bob Inc")],
+        ["s_name", "c_name"],
+    )
+    seller = {"name": F.col("s_name")}
+    client = {"name": F.col("c_name")}
+
+    # OFF by default: inputs pass through untouched
+    s_off, c_off = entity_swap_repair(seller, client)
+    got = df.select(s_off["name"].alias("s"), c_off["name"].alias("c")).collect()
+    assert [(r["s"], r["c"]) for r in got] == [
+        ("Becker GmbH", "Alice Ltd"), ("Widget Co", "Bob Inc")]
+
+    # enabled: the trigger row swaps, others untouched (ocr.py:1044-1061)
+    s_on, c_on = entity_swap_repair(seller, client, enabled=True)
+    got = df.select(s_on["name"].alias("s"), c_on["name"].alias("c")).collect()
+    assert [(r["s"], r["c"]) for r in got] == [
+        ("Alice Ltd", "Becker GmbH"), ("Widget Co", "Bob Inc")]
+
+
+def test_r8_r9_variant_fields(spark):
+    from final_ocr_spark.functions.parsing import (
+        clean_product_name, extract_discount, extract_phone)
+
+    df = spark.createDataFrame(
+        [
+            ("Seller:\nAcme\nPhone: +48 123-456 789\nMain St 5",
+             "CLEARANCE! Fast Dell Desktop 3.00 each 209.00 total 627.00 10% vat",),
+            ("no phone line here", "plain widget DISCOUNT $ 12,50 tail",),
+        ],
+        ["party", "item"],
+    )
+    got = df.select(
+        extract_phone(F.col("party")).alias("ph"),
+        extract_discount(F.col("item")).alias("disc"),
+        clean_product_name(F.col("item")).alias("name"),
+    ).collect()
+    assert got[0]["ph"] == "+48 123-456 789"
+    assert got[1]["ph"] is None
+    assert got[1]["disc"] == "12,50"  # case-insensitive, raw token (R5 cleans)
+    # number+unit tokens ('3.00 each') dropped, keyword tail ('total ...')
+    # dropped, whitespace collapsed (ocr2.py:553-565)
+    assert got[0]["name"] == "CLEARANCE! Fast Dell Desktop 209.00"
+    assert got[1]["name"] == "plain widget"
