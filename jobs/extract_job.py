@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--catalog", default=None,
+                    help="snapshot-catalog root: --input/--output become "
+                         "TABLE NAMES read/published through the catalog "
+                         "(Iceberg-emulation; SURVEY §4.3)")
     ap.add_argument("--num-parts", type=int, default=256)
     ap.add_argument("--num-groups", type=int, default=16)
     ap.add_argument("--partitions", type=int, default=None,
@@ -45,10 +49,18 @@ def main() -> None:
     spark = get_spark(app_name="final-ocr-spark-extract")
     spark.sparkContext.setLogLevel("WARN")
 
+    catalog = None
+    if args.catalog:
+        from final_ocr_spark.sources.catalog import SnapshotCatalog
+
+        catalog = SnapshotCatalog(args.catalog)
+
     if args.synthetic:
         from final_ocr_spark.sources.synthetic_pages import gen_pages
 
         pages = gen_pages(spark, args.synthetic, seed=args.seed)
+    elif args.input and catalog:
+        pages = catalog.read(spark, args.input)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
@@ -58,18 +70,32 @@ def main() -> None:
         from final_ocr_spark.operators.extract_pages import extract_pages
 
         ext = extract_pages(pages, dedup=not args.no_dedup, partitions=args.partitions)
-        ext.sortWithinPartitions("url").write.mode("overwrite").parquet(args.output)
+        if catalog:
+            snap = catalog.write(ext.sortWithinPartitions("url"), args.output,
+                                 mode="overwrite")
+            out = catalog.read(spark, args.output)
+            dest = f"{args.catalog}::{args.output}@snap{snap['snapshot_id']}"
+        else:
+            ext.sortWithinPartitions("url").write.mode("overwrite").parquet(args.output)
+            out, dest = spark.read.parquet(args.output), args.output
     else:
         from final_ocr_spark.plans.manifest import extract_with_resume
 
-        extract_with_resume(
-            spark, pages, args.output,
+        work_dir = (f"{args.catalog}/_work/{args.output}" if catalog else args.output)
+        done = extract_with_resume(
+            spark, pages, work_dir,
             num_parts=args.num_parts, num_groups=args.num_groups,
             dedup=not args.no_dedup,
         )
+        if catalog:
+            # publish the completed resume output as a new table snapshot
+            snap = catalog.write(done.drop("part_id"), args.output, mode="overwrite")
+            out = catalog.read(spark, args.output)
+            dest = f"{args.catalog}::{args.output}@snap{snap['snapshot_id']}"
+        else:
+            out, dest = done, args.output
 
-    n = spark.read.parquet(args.output).count()
-    print(f"extracted rows: {n} -> {args.output}")
+    print(f"extracted rows: {out.count()} -> {dest}")
     spark.stop()
 
 
