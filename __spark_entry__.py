@@ -714,6 +714,41 @@ def _q36_canonicalize(spark, sf):
     return df.select("raw", canonicalize_text(F.col("raw")).alias("canon"))
 
 
+def _q37_ann_ivf(spark, sf):
+    """ANN scale path #2 — IVF (inverted-file) index: spherical-k-means
+    lists, partition-pruned nprobe probe, exact re-rank. Same planted
+    provable-recall oracle construction as q24 (scaled copies of the query
+    normalize to the query's unit vector ⇒ identical list assignment, and
+    nprobe>1 covers even a last-ulp argmax flip)."""
+    from final_ocr_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    base = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(20))).alias("i"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .select(
+            (F.col("i") + 200000).cast("long").alias("vec_id"),
+            F.transform(
+                "e", lambda x: x * (F.lit(1.0) + F.col("i") * F.lit(0.1))
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(planted)
+    idx_dir = f"/tmp/final_ocr_spark_ivfidx_{sf.strip('/').replace('/', '_')}"
+    build_ivf_index(corpus, idx_dir, n_lists=32, seed=11)
+    out = ivf_topk(spark, idx_dir, [float(x) for x in q], k=20, nprobe=4)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -752,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_variant_fields": _q34_variant_fields,
         "q35_name_cleanup": _q35_name_cleanup,
         "q36_canonicalize": _q36_canonicalize,
+        "q37_ann_ivf": _q37_ann_ivf,
     }
 
 
@@ -1185,6 +1221,27 @@ def oracle_sql() -> dict[str, str]:
         "q36_canonicalize": f"""
             SELECT raw, {canon_expr} AS canon
             FROM (VALUES {e4_values}) AS t(raw)
+        """,
+        "q37_ann_ivf": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id != 0
+                UNION ALL
+                SELECT 200000 + i AS vec_id,
+                       list_transform(CAST(e.embedding AS DOUBLE[]),
+                                      x -> x * (1 + i * 0.1)) AS v
+                FROM embeddings e, generate_series(1, 20) t(i)
+                WHERE e.vec_id = 0
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(cos, 4) AS cos_sim
+            FROM (SELECT c.vec_id,
+                         list_dot_product(c.v, q.qv) /
+                           (sqrt(list_dot_product(c.v, c.v)) *
+                            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                  FROM corpus c, q)
+            ORDER BY cos DESC, vec_id LIMIT 20
         """,
         # q20: non-SQL-expressible sketch internals (simhash hamming-ball
         # blocking) → rows-only check. q21/q26/q27 are covered by the

@@ -236,6 +236,97 @@ def ann_index_topk(
     return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def build_ivf_index(
+    emb: DataFrame, out_dir: str, n_lists: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_size: int = 4096, iters: int = 5, seed: int = 11,
+) -> str:
+    """IVF (inverted-file) ANN index: spherical k-means centroids over a
+    bounded seeded sample, then every vector assigned to its nearest centroid
+    and written PARTITIONED BY list_id. The other classic ANN scale path
+    next to hyperplane LSH (build_ann_index): a query probes only its
+    ``nprobe`` nearest lists via partition pruning — ~N·nprobe/n_lists rows.
+
+    Centroid training is driver-side numpy over ``sample_size`` rows — the
+    standard IVF recipe (train on a sample, assign distributed); assignment
+    is an Arrow-batched numpy matmul, never per-row Python. Deterministic:
+    seeded sample, fixed Lloyd iterations, ties broken by argmax order.
+    Centroids are stored beside the index for the probe side.
+    """
+    import json
+    import pathlib
+
+    import numpy as np
+    import pandas as pd
+
+    base = emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+    sample = [
+        r[vec_col]
+        for r in base.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_size).collect()
+    ]
+    mat = np.array(sample, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(iters):  # spherical k-means: assign → mean → renormalize
+        assign = (mat @ cent.T).argmax(axis=1)
+        for li in range(len(cent)):
+            members = mat[assign == li]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[li] = c / max(np.linalg.norm(c), 1e-12)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(cent)
+
+    def assign_lists(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["list_id"] = (vm @ bc.value.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    assigned = base.mapInPandas(
+        assign_lists, schema=f"{id_col} long, {vec_col} array<double>, list_id int"
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(out_dir)
+    )
+    meta = {"n_lists": int(len(cent)), "seed": seed,
+            "centroids": [[float(x) for x in c] for c in cent]}
+    p = pathlib.Path(out_dir) / "_ivf_centroids.json"
+    p.write_text(json.dumps(meta), encoding="utf-8")
+    return out_dir
+
+
+def ivf_topk(
+    spark, index_dir: str, query_vec: list[float], k: int = 10,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids driver-side, read only the ``nprobe``
+    nearest lists (partition pruning), exact cosine re-rank inside them."""
+    import json
+    import pathlib
+
+    import numpy as np
+
+    meta = json.loads(
+        (pathlib.Path(index_dir) / "_ivf_centroids.json").read_text(encoding="utf-8")
+    )
+    cent = np.array(meta["centroids"], dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in (cent @ q).argsort()[::-1][:nprobe]]
+    cands = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probes))
+    return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

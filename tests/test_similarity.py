@@ -109,6 +109,21 @@ def test_embedding_near_dups_key_only_explode(spark, emb):
     assert all(" v#" not in l and "[v#" not in l for l in gen), gen
 
 
+def test_ivf_index_topk(spark, emb, tmp_path):
+    """IVF: exact top-k must survive the nprobe pruning for the planted
+    near-identical neighbor; the probe scan must be partition-pruned."""
+    from final_ocr_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    idx = build_ivf_index(emb, str(tmp_path / "ivf"), n_lists=16,
+                          sample_size=401, seed=11)
+    q = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    out = ivf_topk(spark, idx, list(q), k=5, nprobe=4)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 0 in ids and 9000 in ids  # self + planted near-dup recalled
+    plan = out._jdf.queryExecution().toString()
+    assert "PartitionFilters: [list_id" in plan
+
+
 def test_lsh_prunes_candidates(spark, emb):
     from final_ocr_spark.operators.similarity import hyperplane_sketch
     from pyspark.sql import functions as F

@@ -41,3 +41,53 @@ def test_stream_extract_available_now(spark, tmp_path):
         if r["url"] in batch
     }
     assert streamed == batch
+
+
+def test_host_quota_state_survives_micro_batches(spark, tmp_path):
+    """applyInPandasWithState per-host quota: a host that used its quota in
+    run 1 must emit NOTHING in run 2 — the counter lives in the state store,
+    not in the micro-batch."""
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+    from final_ocr_spark.streaming.stateful import (
+        host_quota_batch, host_quota_stream, with_host)
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "gated_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = gen_pages(spark, 80, seed=42, partitions=2)
+    first.write.mode("append").parquet(in_dir)
+    q = host_quota_stream(spark, in_dir, out_dir, ckpt, quota=5)
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(out_dir)
+    per_host1 = {r["host"]: r["n"] for r in
+                 got1.groupBy("host").agg(__import__("pyspark").sql.functions
+                                          .count("*").alias("n")).collect()}
+    assert per_host1 and all(n <= 5 for n in per_host1.values())
+
+    # second wave: same hosts return — quota must be enforced ACROSS runs
+    gen_pages(spark, 80, seed=42, start=80, partitions=2).write.mode(
+        "append").parquet(in_dir)
+    q2 = host_quota_stream(spark, in_dir, out_dir, ckpt, quota=5)
+    q2.awaitTermination(120)
+
+    got2 = spark.read.parquet(out_dir)
+    from pyspark.sql import functions as F
+    per_host2 = {r["host"]: r["n"] for r in
+                 got2.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in per_host2.values())  # never exceeds, ever
+
+    # total per host == min(quota, total arrivals per host) — state counted
+    both = gen_pages(spark, 80, seed=42, partitions=2).unionByName(
+        gen_pages(spark, 80, seed=42, start=80, partitions=2))
+    arrivals = {r["host"]: r["n"] for r in with_host(both).groupBy("host")
+                .agg(F.count("*").alias("n")).collect()}
+    for host, n in arrivals.items():
+        assert per_host2.get(host, 0) == min(5, n), host
+
+    # batch backfill form agrees on counts
+    batch_counts = {r["host"]: r["n"] for r in
+                    host_quota_batch(both, quota=5).groupBy("host")
+                    .agg(F.count("*").alias("n")).collect()}
+    assert batch_counts == per_host2
