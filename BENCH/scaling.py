@@ -40,16 +40,23 @@ import subprocess
 import sys
 import time
 
-N_DOCS = 48000
+N_DOCS = 144000  # sized so the 32-core run is ≥25 s: an 11 s job measures
+                 # per-job fixed overhead (submit, scan listing, final agg),
+                 # not steady-state throughput — at 48k docs the same code
+                 # read 27% slower at 32 cores purely from amortization
+                 # (4452 vs 5647 docs/s measured), a startup artifact no
+                 # 100 TB job would see
 SIZE_MULT = 10  # ~34 KB mean page (Common-Crawl-realistic; the 3 KB default
                 # pages understate scaling by inflating per-doc JVM overhead)
-N_FILES = 128
+N_FILES = 384
 SEED = 42
-RUNS = 5       # timed runs per session (MIN reported: host-steal + JIT noise
+RUNS = 4       # timed runs per session (MIN reported: host-steal + JIT noise
                # is strictly additive, so min estimates true capability; the
                # round-1 series was still descending when timing stopped)
-DEDUP_RUNS = 2  # secondary metric needs fewer samples
-WARMUPS = 2    # full-size discarded runs (JIT + python worker spin-up)
+DEDUP_RUNS = 1  # secondary metric needs fewer samples
+WARMUPS = 1    # one full-size discarded run (JIT + python worker spin-up);
+               # with 4 timed runs and min-aggregation the later runs catch
+               # the JIT plateau
 SESSIONS = 3   # fresh JVMs per level, interleaved in time; capability = min
                # over ALL sessions×runs (VM-host throughput drift measured up
                # to 4× within a single session — probe runs spanned 15-70 s

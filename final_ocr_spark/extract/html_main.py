@@ -105,7 +105,8 @@ class _BlockSegmenter(HTMLParser):
     def _flush(self) -> None:
         b = self._cur
         self._cur = None
-        if b is not None and b.text():
+        # pieces-empty fast path: text() would build "" through join+split
+        if b is not None and b.pieces and b.text():
             self.blocks.append(b)
 
     # -- HTMLParser hooks ------------------------------------------------
@@ -131,22 +132,29 @@ class _BlockSegmenter(HTMLParser):
             self._cur.tag_count += 1
 
     def handle_endtag(self, tag: str) -> None:
+        # hot path ordered by frequency; branchy max(0, x-1) guards replaced
+        # with an if (counters never go negative either way)
+        if tag in _BLOCK_TAGS:
+            if self._skip_depth:
+                return
+            if tag == "pre" and self._pre_depth:
+                self._pre_depth -= 1
+            self._flush()
+            return
         if tag in _SKIP_TAGS and tag != "head":
-            self._skip_depth = max(0, self._skip_depth - 1)
+            if self._skip_depth:
+                self._skip_depth -= 1
             return
         if self._skip_depth:
             return
-        if tag == "title":
-            self._in_title = False
-            return
-        if tag in _CHROME_TAGS:
-            self._chrome_depth = max(0, self._chrome_depth - 1)
         if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
-        if tag == "pre":
-            self._pre_depth = max(0, self._pre_depth - 1)
-        if tag in _BLOCK_TAGS:
-            self._flush()
+            if self._link_depth:
+                self._link_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag in _CHROME_TAGS:
+            if self._chrome_depth:
+                self._chrome_depth -= 1
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in ("br", "hr"):
@@ -227,11 +235,22 @@ def extract_html(html_bytes: bytes) -> tuple[str, list[tuple[int, int, str]], in
     text = html_bytes.decode("utf-8", errors="replace")
     seg = _BlockSegmenter()
     try:
-        seg.feed(text)
-        seg.close()
-    except Exception:
-        # html.parser very rarely raises; keep whatever blocks accumulated
+        # fast tokenizer (same boundary regexes, no attr parsing; ~2× the
+        # stdlib parse loop). Raises exactly where the stdlib raises; the
+        # fallback replays through the stdlib parser so failure semantics —
+        # including its partial-state output — are unchanged.
+        from final_ocr_spark.extract.html_lexer import fast_feed
+
+        fast_feed(seg, text)
         seg._flush()
+    except Exception:
+        seg = _BlockSegmenter()
+        try:
+            seg.feed(text)
+            seg.close()
+        except Exception:
+            # html.parser very rarely raises; keep whatever blocks accumulated
+            seg._flush()
 
     blocks = seg.blocks
     keep = _score_blocks(blocks)

@@ -28,29 +28,51 @@ AMOUNT_RE = re.compile(
 )
 
 
+# every char any of the three patterns can consume: digits, currency marks,
+# separators. One cheap pass over this class finds the only regions where the
+# heavy patterns can match at all — letters (most of a document) are skipped
+# at C speed instead of being probed by three alternation patterns.
+_WINDOW_RE = re.compile(r"[0-9$€£][0-9$€£,./\s-]*")
+
+
 def label_value_spans(text: str) -> list[tuple[int, int, str]]:
     """Non-overlapping value spans; precedence date > id > amount, then
-    earlier-start wins (deterministic tie-break). Accepted intervals are kept
-    in a bisect-maintained sorted list so overlap checks are O(log n), not a
-    linear scan (value-dense documents made this quadratic)."""
+    earlier-start wins (deterministic tie-break).
+
+    Two structural speedups, both output-identical (fuzz-verified against
+    the naive form):
+    * the three patterns scan only maximal candidate WINDOWS found by one
+      simple char-class pass (any match consists solely of window-class
+      chars, so every match lies inside a window; windows are padded ±1 char
+      so \\b at the edges evaluates against the true neighbors);
+    * matches from ONE finditer are mutually disjoint and start-sorted, so a
+      priority group only needs overlap checks against the static merged
+      accepted set of higher priorities — no per-span list inserts (the
+      insert form profiled O(n²) on value-dense documents)."""
     import bisect
 
-    cands: list[tuple[int, int, int, str]] = []
-    for prio, (rx, kind) in enumerate(
-        [(DATE_RE, "date"), (ID_RE, "id"), (AMOUNT_RE, "amount")]
-    ):
-        for m in rx.finditer(text):
-            cands.append((m.start(), m.end(), prio, kind))
-    cands.sort(key=lambda c: (c[2], c[0]))  # priority, then position
-    starts: list[int] = []
-    ends: list[int] = []
+    n = len(text)
+    windows = [
+        (max(m.start() - 1, 0), min(m.end() + 1, n))
+        for m in _WINDOW_RE.finditer(text)
+    ]
     out: list[tuple[int, int, str]] = []
-    for s, e, _p, kind in cands:
-        i = bisect.bisect_right(starts, s)
-        if (i > 0 and ends[i - 1] > s) or (i < len(starts) and starts[i] < e):
-            continue
-        starts.insert(i, s)
-        ends.insert(i, e)
-        out.append((s, e, kind))
+    accepted: list[tuple[int, int]] = []  # sorted, disjoint
+    astarts: list[int] = []
+    for rx, kind in [(DATE_RE, "date"), (ID_RE, "id"), (AMOUNT_RE, "amount")]:
+        new: list[tuple[int, int]] = []
+        for ws, we in windows:
+            for m in rx.finditer(text, ws, we):
+                s, e = m.span()
+                i = bisect.bisect_right(astarts, s)
+                if (i > 0 and accepted[i - 1][1] > s) or (
+                    i < len(astarts) and astarts[i] < e
+                ):
+                    continue
+                new.append((s, e))
+                out.append((s, e, kind))
+        if new:
+            accepted = sorted(accepted + new)  # timsort: two sorted runs
+            astarts = [a[0] for a in accepted]
     out.sort()
     return out

@@ -1,0 +1,132 @@
+"""Differential tests: the fast tokenizer must drive _BlockSegmenter into a
+state indistinguishable from the stdlib html.parser — on the synthetic
+corpus AND on adversarial HTML covering every replicated edge case."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from final_ocr_spark.extract.html_lexer import fast_feed
+from final_ocr_spark.extract.html_main import _BlockSegmenter
+
+
+def _observe(seg: _BlockSegmenter):
+    return (
+        [
+            (b.kind, b.chrome_depth, b.text(), b.link_chars, b.tag_count)
+            for b in seg.blocks
+        ],
+        "".join(seg.title_text),
+    )
+
+
+def _run_stdlib(text: str):
+    seg = _BlockSegmenter()
+    try:
+        seg.feed(text)
+        seg.close()
+    except Exception:
+        seg._flush()
+    return _observe(seg)
+
+
+def _run_fast(text: str):
+    seg = _BlockSegmenter()
+    try:
+        fast_feed(seg, text)
+        seg._flush()
+    except Exception:
+        # production fallback: replay through stdlib (html_main.extract_html)
+        return _run_stdlib(text)
+    return _observe(seg)
+
+
+EDGE_CASES = [
+    # entities, bare & , numeric charrefs with/without semicolons
+    "<p>fish &amp; chips &lt;tag&gt; &#65; &#x42 &unknown; a & b &</p>",
+    # script/style CDATA: tags inside must NOT be parsed; fake closers
+    "<p>a</p><script>if (x<y) { s='</scr'+'ipt>'; }</script><p>b</p>",
+    "<style>p>a { color:red }</style><p>after</p>",
+    "<p>x</p><script>unterminated tail is dropped",
+    "<SCRIPT TYPE='x'>hidden <p>not a block</p></SCRIPT ><p>seen</p>",
+    # self-closing vs bare attr value ending in '/'
+    "<p>a<br/>b</p>", "<p><a href=http://x/>link</a>text</p>",
+    "<div class=a/><p>q</p>", "<hr /><p>r</p>",
+    # quoted attrs containing '>' and '<'
+    '<p title="a>b">inside</p>', "<p title='x<y'>inside2</p>",
+    # junk in start tag / weird constructs
+    "<p>a < b and c<1 or <2></p>", "<p@>data</p@>", "</>", "</ x>text",
+    "<p\x00weird>t</p>",
+    # comments (multiline, fake close), PIs, doctype, marked sections
+    "<!-- c1 --><p>a</p><!-- multi\nline -- ><p>b</p>",
+    "<?php echo '<p>no</p>'; ?><p>yes</p>",
+    "<!DOCTYPE html><p>d</p>", "<![CDATA[ <p>raw</p> ]]><p>e</p>",
+    "<![if lt IE 9]><p>ms</p><![endif]>",
+    "<![bogus data ]]><p>f</p>",
+    # truncations at every construct
+    "<p>trunc<", "<p>trunc<di", "<p>trunc<div clas", '<p>t<div a="x',
+    "<p>t<!-- never closed", "<p>t<!DOCTYPE never", "<p>t</di",
+    "<p>t&am", "<p>t&#x4", "trailing &",
+    # title handling, nesting, chrome, links
+    "<head><title>T &amp; t</title></head><body><p>c</p></body>",
+    "<nav><p>menu menu menu</p></nav><p>content here that is long enough ok</p>",
+    "<p><a href='/x'>a link</a> plain <a>two</a></p>",
+    # uppercase tags, void elements, unclosed blocks
+    "<P>Upper</P><BR><LI>item",
+    "<ul><li>one<li>two<li>three</ul>",
+    # empty / whitespace / no-html
+    "", "   \n\t  ", "just plain text with no tags at all",
+    "<" , ">", "<>", "< p>not a tag</ p>",
+]
+
+
+@pytest.mark.parametrize("case", range(len(EDGE_CASES)))
+def test_edge_cases_match_stdlib(case):
+    text = EDGE_CASES[case]
+    assert _run_fast(text) == _run_stdlib(text), repr(text)
+
+
+def test_fuzz_matches_stdlib():
+    rng = random.Random(23)
+    tags = ["p", "div", "span", "a", "li", "script", "style", "title", "nav",
+            "br", "hr", "h1", "h2", "pre", "em", "table", "td"]
+    words = ["alpha", "beta&gamma", "x<y", "a&amp;b", "&#65;", "z>w", "&",
+             "<", "100%", "fish", "&nbsp;", "tail-"]
+    for _ in range(1500):
+        parts = []
+        for _ in range(rng.randrange(1, 40)):
+            r = rng.random()
+            t = rng.choice(tags)
+            if r < 0.35:
+                attr = rng.choice(["", " class=x", ' href="u>v"', " a='1'",
+                                   " data=http://h/", "/", " /"])
+                parts.append(f"<{t}{attr}>")
+            elif r < 0.55:
+                parts.append(f"</{t}>")
+            elif r < 0.9:
+                parts.append(rng.choice(words) + rng.choice([" ", "\n", ""]))
+            else:
+                parts.append(rng.choice(
+                    ["<!-- c -->", "<!DOCTYPE html>", "<?pi?>",
+                     "<![CDATA[x]]>", "<!decl>", "</>", "<"]))
+        text = "".join(parts)
+        if rng.random() < 0.25:
+            text = text[: rng.randrange(len(text) + 1)]  # truncate anywhere
+        assert _run_fast(text) == _run_stdlib(text), repr(text[:200])
+
+
+def test_synthetic_corpus_matches_stdlib():
+    from final_ocr_spark.sources.synthetic_pages import gen_page_row
+
+    n = 0
+    for i in range(400):
+        r = gen_page_row(42, i, size_mult=3)
+        html = r["html"]
+        if html is None or html[:7] == b"%PDFTOK":
+            continue
+        text = html.decode("utf-8", errors="replace")
+        assert _run_fast(text) == _run_stdlib(text), r["url"]
+        n += 1
+    assert n > 250
