@@ -50,13 +50,12 @@ SIZE_MULT = 10  # ~34 KB mean page (Common-Crawl-realistic; the 3 KB default
                 # pages understate scaling by inflating per-doc JVM overhead)
 N_FILES = 384
 SEED = 42
-RUNS = 4       # timed runs per session (MIN reported: host-steal + JIT noise
-               # is strictly additive, so min estimates true capability; the
-               # round-1 series was still descending when timing stopped)
+RUNS = 6       # timed runs per session (MIN reported: host-steal + JIT noise
+               # is strictly additive, so min estimates true capability; a
+               # 4-run series was still descending at run 4 — the min needs
+               # the plateau in-sample at BOTH levels)
 DEDUP_RUNS = 1  # secondary metric needs fewer samples
-WARMUPS = 1    # one full-size discarded run (JIT + python worker spin-up);
-               # with 4 timed runs and min-aggregation the later runs catch
-               # the JIT plateau
+WARMUPS = 2    # full-size discarded runs (JIT + python worker spin-up)
 SESSIONS = 3   # fresh JVMs per level, interleaved in time; capability = min
                # over ALL sessions×runs (VM-host throughput drift measured up
                # to 4× within a single session — probe runs spanned 15-70 s

@@ -20,7 +20,11 @@ import json
 import pathlib
 
 GOLDEN_PATH = pathlib.Path(__file__).parent / "golden" / "oracle_values.json"
-GOLDEN_QUERIES = ["q21_extract_pages", "q26_image_features", "q27_video_frames"]
+# q20's rows depend on the sf0.01 documents table — valid because the driver
+# contract pins the correctness gate to sf=0.01; the other three run over
+# seeded synthetic inputs and are sf-independent.
+GOLDEN_QUERIES = ["q20_simhash_pairs", "q21_extract_pages",
+                  "q26_image_features", "q27_video_frames"]
 
 
 def main() -> None:

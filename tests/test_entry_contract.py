@@ -16,10 +16,10 @@ def test_rows_only_queries_documented():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     rows_only = qs - os_
-    # round 2: every query is oracle-checked except the simhash hamming-ball
-    # (its hamming<=3 blocking predicate has no SQL equivalent; an exact-verify
-    # restructure would change the operator's semantics)
-    assert rows_only == {"q20_simhash_pairs"}
+    # round 2: every query is oracle-checked — SQL-expressible ops against
+    # live DuckDB SQL, deterministic non-SQL ops (extraction, fake-codec
+    # multimodal, simhash hamming-ball) against committed golden VALUES
+    assert rows_only == set()
 
 
 def test_entry_runs(spark):
