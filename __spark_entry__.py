@@ -751,6 +751,41 @@ def _q37_ann_ivf(spark, sf):
     )
 
 
+def _q38_dedup_clusters(spark, sf):
+    """Near-dup CLUSTER formation (iterative connected components over the
+    LSH+exact-verify pair graph) + representative selection — the full
+    production dedup: pairs → components → keep min-key per component.
+    Oracle: DuckDB recursive-CTE transitive closure over the brute-force
+    exact-jaccard pair graph (same edges as q19's oracle)."""
+    from final_ocr_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mutated = (
+        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") > 200))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+        )
+    )
+    corpus = d.unionByName(mutated)
+    cand = minhash_near_dups(
+        corpus, key="doc_id", text_col="text", num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    ).select("key_a", "key_b")
+    pairs = ngram_jaccard_pairs(
+        corpus, cand, key="doc_id", text_col="text", n=5
+    ).filter(F.col("jaccard") >= 0.85).select("key_a", "key_b")
+    clusters = dedup_clusters(pairs)
+    return clusters.select(
+        F.col("key").alias("doc_id"), "cluster_id",
+        (F.col("key") == F.col("cluster_id")).alias("is_representative"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -790,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_name_cleanup": _q35_name_cleanup,
         "q36_canonicalize": _q36_canonicalize,
         "q37_ann_ivf": _q37_ann_ivf,
+        "q38_dedup_clusters": _q38_dedup_clusters,
     }
 
 
@@ -1226,6 +1262,49 @@ def oracle_sql() -> dict[str, str]:
         "q36_canonicalize": f"""
             SELECT raw, {canon_expr} AS canon
             FROM (VALUES {e4_values}) AS t(raw)
+        """,
+        "q38_dedup_clusters": """
+            WITH RECURSIVE
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       substring(text, 1, length(text) - 15) AS text
+                FROM documents WHERE doc_id % 40 = 0 AND length(text) > 200
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(
+                         string_split_regex(
+                           lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                           '\\s+'),
+                         w -> w != '') AS ws
+                FROM corpus
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+4], ' ')
+                                      FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                FROM toks WHERE len(ws) >= 5
+            ),
+            pairs AS (
+                SELECT a.doc_id AS key_a, b.doc_id AS key_b
+                FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+                      greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.85
+            ),
+            edges AS (
+                SELECT key_a AS a, key_b AS b FROM pairs
+                UNION SELECT key_b, key_a FROM pairs
+            ),
+            reach(n, r) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.n
+            )
+            SELECT n AS doc_id, MIN(r) AS cluster_id,
+                   (n = MIN(r)) AS is_representative
+            FROM reach GROUP BY n ORDER BY doc_id
         """,
         "q37_ann_ivf": """
             WITH corpus AS (

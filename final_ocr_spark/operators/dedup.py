@@ -378,6 +378,75 @@ def simhash_near_dups(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, key_a: str = "key_a", key_b: str = "key_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the candidate
+    pair graph → (key, cluster_id) with cluster_id = min key in the
+    component. The step production dedup needs after pair generation: "keep
+    one document per duplicate cluster" requires components, not pairs
+    (A~B, B~C must collapse A,B,C together even when A~C was never emitted).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the elementwise min; iterations needed = component diameter.
+    Near-dup components are dense (LSH emits most intra-cluster pairs), so
+    this converges in 2-4 rounds; for adversarial path-shaped graphs the
+    alternating large-star/small-star variant is the O(log n) upgrade.
+    Each round is one shuffle-join + one aggregation; lineage is cut per
+    round with localCheckpoint so plans stay constant-size. Deterministic:
+    min is order-independent.
+    """
+    edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("k")).distinct()
+        .withColumn("label", F.col("k"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("k").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("a").alias("k"), "nl")
+        )
+        new_labels = (
+            labels.join(neigh, "k", "left")
+            .select(
+                "k",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "k")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("k").alias("key"), F.col("label").alias("cluster_id"))
+
+
+def keep_cluster_representatives(
+    df: DataFrame, clusters: DataFrame, key: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered document except its representative (the min-key
+    member). Documents in no cluster pass through — this is the final
+    "dedup by near-dup cluster" filter of a training-data pipeline."""
+    losers = clusters.filter(F.col("key") != F.col("cluster_id")).select(
+        F.col("key").alias(key)
+    )
+    return df.join(losers, key, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -109,3 +109,31 @@ def test_dedup_latest(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "val"]).withColumn("ts", F.to_timestamp("ts"))
     got = {r["k"]: r["val"] for r in dedup_latest(df, key="k", order_col="ts").collect()}
     assert got == {"u": "new", "v": "only"}
+
+
+def test_dedup_clusters_and_representatives(spark):
+    from final_ocr_spark.operators.dedup import (
+        dedup_clusters, keep_cluster_representatives)
+
+    # two components: {1,2,3} via transitive chain (1-2, 2-3; 1-3 never
+    # emitted) and {7,9}; 5 is unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["key_a", "key_b"])
+    got = {r["key"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 5, 7, 9)], ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in
+                  keep_cluster_representatives(docs, dedup_clusters(pairs)).collect())
+    assert kept == [1, 5, 7]  # one per cluster + the unclustered doc
+
+
+def test_dedup_clusters_path_graph_converges(spark):
+    from final_ocr_spark.operators.dedup import dedup_clusters
+
+    # worst-case shape: a pure path 0-1-2-...-9 (diameter 9)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["key_a", "key_b"])
+    got = {r["key"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}
