@@ -786,6 +786,67 @@ def _q38_dedup_clusters(spark, sf):
     ).orderBy("doc_id")
 
 
+def _rep_corpus(spark, sf):
+    """Deterministic multi-line corpus for the repetition queries: inject
+    newlines / blank lines at pinned word boundaries, and double every third
+    document so line/paragraph duplication is actually present. Same
+    construction in the DuckDB oracle."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    body = F.replace(F.col("text"), F.lit(" data "), F.lit("\n"))
+    body = F.replace(body, F.lit(" join "), F.lit("\n\n"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(body, F.lit("\n"), body))
+        .otherwise(body)
+        .alias("text"),
+    )
+
+
+def _q39_gopher_repetition(spark, sf):
+    """Gopher repetition signals (dup lines/paragraphs, top-n-gram and
+    duplicated-n-gram character counts) + the composite keep flag — all
+    integer arithmetic, zero shuffle (scan-local Column folds)."""
+    from final_ocr_spark.operators.repetition import (
+        gopher_repetition_checks,
+        repetition_features,
+    )
+
+    d = _rep_corpus(spark, sf)
+    f = repetition_features(F.col("text"), top_ns=(2, 3, 4), dup_ns=(5, 10))
+    checks = gopher_repetition_checks(f)
+    keep = F.lit(True)
+    for c in checks.values():
+        keep = keep & c
+    cols = [F.col("doc_id")]
+    for k in ["n_chars", "n_words", "n_lines", "n_distinct_lines",
+              "dup_line_chars", "line_chars", "n_paras", "n_distinct_paras",
+              "dup_para_chars", "para_chars", "top2gram_chars",
+              "top3gram_chars", "top4gram_chars", "dup5gram_chars",
+              "dup10gram_chars"]:
+        cols.append(f[k].alias(k))
+    cols.append(keep.alias("gopher_keep"))
+    return d.select(*cols).orderBy("doc_id")
+
+
+def _q40_c4_clean(spark, sf):
+    """C4 line-level cleaning: per-document kept-line counts, md5 of the
+    cleaned text (engine-independent fingerprint), and the doc-level keep
+    decision."""
+    from final_ocr_spark.operators.repetition import c4_features
+
+    d = _rep_corpus(spark, sf)
+    f = c4_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_lines"].alias("n_lines"),
+        f["n_kept"].alias("n_kept"),
+        F.md5(f["clean_text"].cast("binary")).alias("clean_md5"),
+        f["has_lorem"].alias("has_lorem"),
+        f["has_curly"].alias("has_curly"),
+        f["doc_keep"].alias("doc_keep"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -826,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_canonicalize": _q36_canonicalize,
         "q37_ann_ivf": _q37_ann_ivf,
         "q38_dedup_clusters": _q38_dedup_clusters,
+        "q39_gopher_repetition": _q39_gopher_repetition,
+        "q40_c4_clean": _q40_c4_clean,
     }
 
 
@@ -1305,6 +1368,171 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q39_gopher_repetition": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN b || chr(10) || b
+                            ELSE b END AS text
+                FROM (SELECT doc_id,
+                             replace(replace(text, ' data ', chr(10)),
+                                     ' join ', chr(10) || chr(10)) AS b
+                      FROM documents)
+            ),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(
+                         list_transform(string_split_regex(text, '\\r?\\n'),
+                           l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                         l -> l != '') AS xs
+                FROM corpus
+            ),
+            paras AS (
+                SELECT doc_id,
+                       list_filter(
+                         list_transform(string_split_regex(text, '\\n\\s*\\n'),
+                           p -> regexp_replace(
+                                  regexp_replace(p, '\\s+', ' ', 'g'),
+                                  '^ | $', '', 'g')),
+                         p -> p != '') AS xs
+                FROM corpus
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w != '') AS ws
+                FROM corpus
+            ),
+            line_counts AS (
+                SELECT doc_id, v, count(*) AS c
+                FROM (SELECT doc_id, unnest(xs) AS v FROM lines) GROUP BY 1, 2
+            ),
+            line_agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                       CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT) AS dup_line_chars,
+                       CAST(sum(c * length(v)) AS BIGINT) AS line_chars
+                FROM line_counts GROUP BY 1
+            ),
+            para_counts AS (
+                SELECT doc_id, v, count(*) AS c
+                FROM (SELECT doc_id, unnest(xs) AS v FROM paras) GROUP BY 1, 2
+            ),
+            para_agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_paras,
+                       CAST(count(*) AS BIGINT) AS n_distinct_paras,
+                       CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT) AS dup_para_chars,
+                       CAST(sum(c * length(v)) AS BIGINT) AS para_chars
+                FROM para_counts GROUP BY 1
+            ),
+            g2c AS (SELECT doc_id, v, count(*) AS c FROM (
+                      SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                        FOR i IN range(1, greatest(len(ws), 1))]) AS v
+                      FROM words) GROUP BY 1, 2),
+            g3c AS (SELECT doc_id, v, count(*) AS c FROM (
+                      SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS v
+                      FROM words) GROUP BY 1, 2),
+            g4c AS (SELECT doc_id, v, count(*) AS c FROM (
+                      SELECT doc_id, unnest([array_to_string(ws[i:i+3], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 2, 1))]) AS v
+                      FROM words) GROUP BY 1, 2),
+            g5c AS (SELECT doc_id, v, count(*) AS c FROM (
+                      SELECT doc_id, unnest([array_to_string(ws[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS v
+                      FROM words) GROUP BY 1, 2),
+            g10c AS (SELECT doc_id, v, count(*) AS c FROM (
+                      SELECT doc_id, unnest([array_to_string(ws[i:i+9], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 8, 1))]) AS v
+                      FROM words) GROUP BY 1, 2),
+            top2 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g2c
+                     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
+            top3 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g3c
+                     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
+            top4 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g4c
+                     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
+            dup5 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT) AS chars
+                     FROM g5c GROUP BY 1),
+            dup10 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT) AS chars
+                      FROM g10c GROUP BY 1)
+            SELECT c.doc_id,
+                   CAST(length(c.text) AS BIGINT) AS n_chars,
+                   CAST(len(w.ws) AS BIGINT) AS n_words,
+                   coalesce(la.n_lines, 0) AS n_lines,
+                   coalesce(la.n_distinct_lines, 0) AS n_distinct_lines,
+                   coalesce(la.dup_line_chars, 0) AS dup_line_chars,
+                   coalesce(la.line_chars, 0) AS line_chars,
+                   coalesce(pa.n_paras, 0) AS n_paras,
+                   coalesce(pa.n_distinct_paras, 0) AS n_distinct_paras,
+                   coalesce(pa.dup_para_chars, 0) AS dup_para_chars,
+                   coalesce(pa.para_chars, 0) AS para_chars,
+                   coalesce(t2.chars, 0) AS top2gram_chars,
+                   coalesce(t3.chars, 0) AS top3gram_chars,
+                   coalesce(t4.chars, 0) AS top4gram_chars,
+                   coalesce(d5.chars, 0) AS dup5gram_chars,
+                   coalesce(d10.chars, 0) AS dup10gram_chars,
+                   ((n_lines <= 0 OR (n_lines - n_distinct_lines) * 100 <= n_lines * 30)
+                    AND (n_paras <= 0 OR (n_paras - n_distinct_paras) * 100 <= n_paras * 30)
+                    AND (line_chars <= 0 OR dup_line_chars * 100 <= line_chars * 20)
+                    AND (para_chars <= 0 OR dup_para_chars * 100 <= para_chars * 20)
+                    AND (n_chars <= 0 OR top2gram_chars * 100 <= n_chars * 20)
+                    AND (n_chars <= 0 OR top3gram_chars * 100 <= n_chars * 18)
+                    AND (n_chars <= 0 OR top4gram_chars * 100 <= n_chars * 16)
+                    AND (n_chars <= 0 OR dup5gram_chars * 100 <= n_chars * 15)
+                    AND (n_chars <= 0 OR dup10gram_chars * 100 <= n_chars * 10)) AS gopher_keep
+            FROM corpus c
+            JOIN words w USING (doc_id)
+            LEFT JOIN line_agg la USING (doc_id)
+            LEFT JOIN para_agg pa USING (doc_id)
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN top3 t3 USING (doc_id)
+            LEFT JOIN top4 t4 USING (doc_id)
+            LEFT JOIN dup5 d5 USING (doc_id)
+            LEFT JOIN dup10 d10 USING (doc_id)
+            ORDER BY c.doc_id
+        """,
+        "q40_c4_clean": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN b || chr(10) || b
+                            ELSE b END AS text
+                FROM (SELECT doc_id,
+                             replace(replace(text, ' data ', chr(10)),
+                                     ' join ', chr(10) || chr(10)) AS b
+                      FROM documents)
+            ),
+            lines AS (
+                SELECT doc_id,
+                       list_filter(
+                         list_transform(string_split_regex(text, '\\r?\\n'),
+                           l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+                         l -> l != '') AS xs
+                FROM corpus
+            ),
+            kept AS (
+                SELECT doc_id,
+                       list_filter(xs, l ->
+                         right(l, 1) IN ('.', '!', '?', '"')
+                         AND len(list_filter(string_split_regex(l, '\\s+'),
+                                             w -> w != '')) >= 5
+                         AND NOT contains(lower(l), 'javascript')) AS ks
+                FROM lines
+            )
+            SELECT c.doc_id,
+                   CAST(len(l.xs) AS BIGINT) AS n_lines,
+                   CAST(len(k.ks) AS BIGINT) AS n_kept,
+                   md5(coalesce(array_to_string(k.ks, chr(10)), '')) AS clean_md5,
+                   contains(lower(c.text), 'lorem ipsum') AS has_lorem,
+                   contains(c.text, '{') AS has_curly,
+                   (len(k.ks) >= 3
+                    AND NOT contains(lower(c.text), 'lorem ipsum')
+                    AND NOT contains(c.text, '{')) AS doc_keep
+            FROM corpus c
+            JOIN lines l USING (doc_id)
+            JOIN kept k USING (doc_id)
+            ORDER BY c.doc_id
         """,
         "q37_ann_ivf": """
             WITH corpus AS (

@@ -1,0 +1,301 @@
+"""Repetition-based quality signals and line-level corpus cleaning for
+webtext training-data pipelines.
+
+Two classic filter families, re-expressed as pure Spark Column expressions
+(whole-stage codegen, zero shuffle, scan-local — the shape that holds at
+10^12 documents):
+
+* **Gopher repetition signals** (Rae et al. 2021, table A1): duplicate
+  line / paragraph fractions, duplicate line / paragraph *character*
+  fractions, top-{2,3,4}-gram character fraction, duplicated-{5..10}-gram
+  character fraction.
+* **C4 line-level cleaning** (Raffel et al. 2020 §2.2): keep only lines
+  that end in terminal punctuation and have >= 5 words, drop lines
+  mentioning javascript, flag lorem-ipsum / curly-brace documents, drop
+  documents with < 3 surviving lines.
+
+Design notes (scale + oracle-exactness):
+
+* Every count is an **integer** and every threshold check is an integer
+  cross-multiplication (``100 * num <= pct * den``) — no float division,
+  no ``round()`` — so a DuckDB oracle matches bit-for-bit (see the
+  round()/float-division pitfalls in PLANS.md).
+* Run-length statistics over sorted arrays use a single ``F.aggregate``
+  fold (O(n log n) for the sort, O(n) for the fold). The fold lambda only
+  references its accumulator and element variables, so Catalyst's
+  no-CSE-inside-HOF-lambdas behavior cannot re-evaluate outer arrays per
+  element (the O(n^2) trap documented at dedup.py:shingle_hashes_from).
+* Word n-grams are built by zip_with over *top-level* shifted slices
+  (computed once, subexpression-eliminated), not by per-element slice
+  calls inside a transform lambda.
+
+Reference provenance: the reference repo has no corpus-level quality
+filters (it is a per-document OCR pipeline); these generalize its V9
+completeness scoring (ocr.py:996-1016) to the corpus-hygiene operators a
+Common-Crawl-scale extraction pipeline needs downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LONG0 = "CAST(0 AS LONG)"
+
+
+def _zero() -> Column:
+    return F.lit(0).cast("long")
+
+
+def norm_lines(text_col) -> Column:
+    """array<string>: lines split on \\r?\\n, whitespace-trimmed (regex — NOT
+    F.trim, which strips ASCII spaces only), empties dropped."""
+    lines = F.split(text_col, r"\r?\n")
+    lines = F.transform(lines, lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""))
+    return F.filter(lines, lambda l: l != "")
+
+
+def norm_paragraphs(text_col) -> Column:
+    """array<string>: paragraphs split on blank lines, internal whitespace
+    runs collapsed to single spaces (so re-wrapped duplicates compare
+    equal), empties dropped."""
+    paras = F.split(text_col, r"\n\s*\n")
+    paras = F.transform(
+        paras, lambda p: F.regexp_replace(F.regexp_replace(p, r"\s+", " "), r"^ | $", "")
+    )
+    return F.filter(paras, lambda p: p != "")
+
+
+def words_of(text_col) -> Column:
+    """array<string>: whitespace-delimited tokens, empties dropped."""
+    return F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """array<string>: word n-grams joined by single spaces.
+
+    Built by folding zip_with over shifted top-level slices — each shift is
+    one array expression evaluated once per row (CSE-able), never a slice
+    inside a per-element lambda.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return words
+    grams = words
+    for k in range(1, n):
+        keep = F.greatest(F.size(words) - k, F.lit(0))
+        shifted = F.slice(words, k + 1, keep)
+        grams = F.zip_with(
+            F.slice(grams, 1, keep), shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return grams
+
+
+def run_stats(arr: Column) -> Column:
+    """struct(dup_chars, best_run, best_chars) over runs of equal strings in
+    ``array_sort(arr)``:
+
+    * ``dup_chars`` — sum over values occurring >= 2 times of
+      occurrences * length(value) (characters inside duplicated values,
+      first occurrence included — the Gopher convention for line/paragraph
+      character fractions).
+    * ``best_run`` — occurrence count of the most frequent value
+      (ties broken toward the lexicographically smallest, which the sorted
+      fold gives for free with a strict ``>``).
+    * ``best_chars`` — best_run * length(that value).
+
+    One O(n) fold; the lambda touches only acc fields and the element.
+    """
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _zero().alias("run"),
+        _zero().alias("dup_chars"),
+        _zero().alias("best_run"),
+        _zero().alias("best_chars"),
+    )
+
+    def flushed(acc):
+        # close out the current run (acc.prev repeated acc.run times)
+        run_chars = acc["run"] * F.coalesce(F.length(acc["prev"]).cast("long"), _zero())
+        dup = acc["dup_chars"] + F.when(acc["run"] >= 2, run_chars).otherwise(_zero())
+        better = acc["run"] > acc["best_run"]
+        best_run = F.when(better, acc["run"]).otherwise(acc["best_run"])
+        best_chars = F.when(better, run_chars).otherwise(acc["best_chars"])
+        return dup, best_run, best_chars
+
+    def merge(acc, x):
+        dup, best_run, best_chars = flushed(acc)
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["dup_chars"].alias("dup_chars"),
+                acc["best_run"].alias("best_run"),
+                acc["best_chars"].alias("best_chars"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                dup.alias("dup_chars"),
+                best_run.alias("best_run"),
+                best_chars.alias("best_chars"),
+            )
+        )
+
+    def finish(acc):
+        dup, best_run, best_chars = flushed(acc)
+        return F.struct(
+            dup.alias("dup_chars"),
+            best_run.alias("best_run"),
+            best_chars.alias("best_chars"),
+        )
+
+    return F.aggregate(s, init, merge, finish)
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(arr, _zero(), lambda acc, x: acc + F.length(x))
+
+
+def repetition_features(
+    text_col,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> dict[str, Column]:
+    """All-integer repetition counts for one document (Gopher A1 signals).
+
+    Returns Columns keyed:
+      n_chars, n_words,
+      n_lines, n_distinct_lines, dup_line_chars, line_chars,
+      n_paras, n_distinct_paras, dup_para_chars, para_chars,
+      top{n}gram_chars for n in top_ns,
+      dup{n}gram_chars for n in dup_ns.
+
+    Ratios are intentionally NOT returned — compute them downstream, or use
+    :func:`gopher_repetition_checks` which compares integers exactly.
+    """
+    lines = norm_lines(text_col)
+    paras = norm_paragraphs(text_col)
+    words = words_of(text_col)
+    line_stats = run_stats(lines)
+    para_stats = run_stats(paras)
+    out: dict[str, Column] = {
+        "n_chars": F.length(text_col).cast("long"),
+        "n_words": F.size(words).cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_distinct_lines": F.size(F.array_distinct(lines)).cast("long"),
+        "dup_line_chars": line_stats["dup_chars"],
+        "line_chars": _sum_lengths(lines),
+        "n_paras": F.size(paras).cast("long"),
+        "n_distinct_paras": F.size(F.array_distinct(paras)).cast("long"),
+        "dup_para_chars": para_stats["dup_chars"],
+        "para_chars": _sum_lengths(paras),
+    }
+    for n in top_ns:
+        out[f"top{n}gram_chars"] = run_stats(word_ngrams(words, n))["best_chars"]
+    for n in dup_ns:
+        out[f"dup{n}gram_chars"] = run_stats(word_ngrams(words, n))["dup_chars"]
+    return out
+
+
+# Gopher table A1 thresholds, as integer percents (num/den compared via
+# cross-multiplication; a document KEEPS when every check passes).
+GOPHER_THRESHOLDS_PCT: dict[str, int] = {
+    "dup_line_frac": 30,
+    "dup_para_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_char_frac": 20,
+    "top2gram_char_frac": 20,
+    "top3gram_char_frac": 18,
+    "top4gram_char_frac": 16,
+    "dup5gram_char_frac": 15,
+    "dup6gram_char_frac": 14,
+    "dup7gram_char_frac": 13,
+    "dup8gram_char_frac": 12,
+    "dup9gram_char_frac": 11,
+    "dup10gram_char_frac": 10,
+}
+
+
+def _frac_le(num: Column, den: Column, pct: int) -> Column:
+    """num/den <= pct/100 without floats; vacuously true when den == 0."""
+    return (den <= 0) | (num * 100 <= den * pct)
+
+
+def gopher_repetition_checks(feats: dict[str, Column]) -> dict[str, Column]:
+    """Boolean Gopher repetition checks from :func:`repetition_features`
+    output. All integer arithmetic — engine-independent."""
+    f = feats
+    checks = {
+        "dup_line_frac": _frac_le(
+            f["n_lines"] - f["n_distinct_lines"], f["n_lines"],
+            GOPHER_THRESHOLDS_PCT["dup_line_frac"]),
+        "dup_para_frac": _frac_le(
+            f["n_paras"] - f["n_distinct_paras"], f["n_paras"],
+            GOPHER_THRESHOLDS_PCT["dup_para_frac"]),
+        "dup_line_char_frac": _frac_le(
+            f["dup_line_chars"], f["line_chars"],
+            GOPHER_THRESHOLDS_PCT["dup_line_char_frac"]),
+        "dup_para_char_frac": _frac_le(
+            f["dup_para_chars"], f["para_chars"],
+            GOPHER_THRESHOLDS_PCT["dup_para_char_frac"]),
+    }
+    for key, pct in GOPHER_THRESHOLDS_PCT.items():
+        base = key.replace("_char_frac", "_chars")
+        if "gram" in key and base in f:
+            checks[key] = _frac_le(f[base], f["n_chars"], pct)
+    return checks
+
+
+def gopher_repetition_keep(text_col) -> Column:
+    """Single boolean: document passes every Gopher repetition check."""
+    checks = gopher_repetition_checks(repetition_features(text_col))
+    keep = F.lit(True)
+    for c in checks.values():
+        keep = keep & c
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning
+
+
+def c4_kept_lines(text_col) -> Column:
+    """array<string>: lines surviving the C4 line rules — ends in terminal
+    punctuation (. ! ? \"), >= 5 words, no 'javascript' mention."""
+    def keep(l):
+        n_words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return (
+            F.substring(l, -1, 1).isin(".", "!", "?", '"')
+            & (n_words >= 5)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    return F.filter(norm_lines(text_col), keep)
+
+
+def c4_features(text_col, min_lines: int = 3) -> dict[str, Column]:
+    """C4 document cleaning: cleaned text + doc-level flags.
+
+    Keys: n_lines, n_kept, clean_text (kept lines re-joined with \\n),
+    has_lorem (case-insensitive 'lorem ipsum'), has_curly (literal '{'),
+    doc_keep (>= min_lines kept lines and neither flag).
+    """
+    lines = norm_lines(text_col)
+    kept = c4_kept_lines(text_col)
+    n_kept = F.size(kept).cast("long")
+    has_lorem = F.contains(F.lower(text_col), F.lit("lorem ipsum"))
+    has_curly = F.contains(text_col, F.lit("{"))
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": n_kept,
+        "clean_text": F.array_join(kept, "\n"),
+        "has_lorem": has_lorem,
+        "has_curly": has_curly,
+        "doc_keep": (n_kept >= min_lines) & ~has_lorem & ~has_curly,
+    }
