@@ -847,6 +847,29 @@ def _q40_c4_clean(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q41_source_cap(spark, sf):
+    """Per-source document cap (C4/RefinedWeb per-domain cap, batch form)
+    via the skew-safe two-phase salted window — output identical to the
+    naive single-window plan, largest sort bounded by group/salts."""
+    from final_ocr_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    capped = stratified_cap(
+        d, "source", ["n_chars", "doc_id"], 7, salt_buckets=8, salt_key="doc_id"
+    )
+    return capped.orderBy("source", "doc_id")
+
+
+def _q42_deterministic_sample(spark, sf):
+    """Reproducible corpus sampling: keep decision is md5(salt||key) — a
+    pure function of the key, identical across engines, reruns, and
+    partitionings (unlike df.sample)."""
+    from final_ocr_spark.operators.sampling import deterministic_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return deterministic_sample(d, "doc_id", 0.25, salt="s42").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -889,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dedup_clusters": _q38_dedup_clusters,
         "q39_gopher_repetition": _q39_gopher_repetition,
         "q40_c4_clean": _q40_c4_clean,
+        "q41_source_cap": _q41_source_cap,
+        "q42_deterministic_sample": _q42_deterministic_sample,
     }
 
 
@@ -1368,6 +1393,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q41_source_cap": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n_chars, doc_id) <= 7
+            ORDER BY source, doc_id
+        """,
+        "q42_deterministic_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+            ORDER BY doc_id
         """,
         "q39_gopher_repetition": """
             WITH corpus AS (

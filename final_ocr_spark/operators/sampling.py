@@ -1,0 +1,98 @@
+"""Deterministic corpus sampling and per-group caps for training-data
+pipelines.
+
+Two operators every Common-Crawl-scale pipeline needs:
+
+* :func:`deterministic_sample` — reproducible Bernoulli sampling keyed on a
+  stable column: the keep decision is a pure function of (salt, key), so
+  reruns, resumed jobs, and different cluster sizes select the SAME rows
+  (``df.sample()`` is seed+partitioning dependent and unsuitable for
+  lineage-stable corpus cuts). The hash is md5 (identical bytes on every
+  engine — see PLANS.md: Spark ``md5(cast binary)`` == DuckDB
+  ``md5(varchar)``), so the sample is oracle-checkable bit-for-bit.
+* :func:`stratified_cap` — at most ``cap`` rows per group in a
+  deterministic order (the C4/RefinedWeb per-domain cap; generalizes
+  streaming/stateful.py:host_quota_batch). The naive single window over
+  ``partitionBy(group)`` sorts every group in one task — a single
+  mega-host at web scale becomes one straggler task sorting millions of
+  rows. The two-phase salted form caps within (group, salt-bucket) first —
+  any row with global rank <= cap also has rank <= cap inside its bucket,
+  so phase 1 keeps a superset of the answer while shrinking a g-row group
+  to at most cap * num_salts rows — then runs the exact window on the tiny
+  survivor set. Identical output to the naive form, bounded task size.
+
+The reference repo processes one directory per run and has no sampling;
+these are the corpus-hygiene generalizations its pipeline needs at
+10^12-document scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RESOLUTION = 1 << 16  # sampling granularity: 1/65536
+
+
+def sample_bucket(key_col, salt: str = "") -> Column:
+    """Engine-independent uniform bucket in [0, 65536): the first 4 hex
+    chars of md5(salt || key). Returned as the hex STRING — fixed-length
+    lowercase hex compares lexicographically == numerically, so consumers
+    compare against a hex threshold and never parse integers (keeps the
+    expression identical in any engine with md5 + substring)."""
+    h = F.md5(F.concat(F.lit(salt), key_col.cast("string")).cast("binary"))
+    return F.substring(h, 1, 4)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff md5-bucket(key) < rate (resolution 1/65536).
+
+    Stable under reruns, repartitioning, and resume; disjoint samples come
+    from different salts. Pure Column filter — pushed to the scan, no
+    shuffle, no RNG state."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thr = int(round(rate * _RESOLUTION))
+    if thr >= _RESOLUTION:
+        return df
+    return df.filter(sample_bucket(F.col(key), salt) < F.lit(format(thr, "04x")))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group: str,
+    order_by: list[str],
+    cap: int,
+    *,
+    salt_buckets: int = 0,
+    salt_key: str | None = None,
+) -> DataFrame:
+    """At most ``cap`` rows per ``group``, taking the first ``cap`` in
+    ``order_by`` order (ties must be broken by the ordering columns —
+    include a unique key last for full determinism).
+
+    ``salt_buckets > 0`` enables the two-phase skew-safe plan: phase 1 caps
+    within (group, md5-salt-bucket-of-``salt_key``) — keeping a provable
+    superset — phase 2 applies the exact cap to the survivors. Output is
+    identical to the naive plan; the largest single sort shrinks from
+    max-group-size to ~max-group-size/salt_buckets (phase 1) plus
+    cap*salt_buckets (phase 2).
+    """
+    ordering = [F.col(c) for c in order_by]
+    if salt_buckets > 0:
+        sk = salt_key or order_by[-1]
+        bucket = F.pmod(F.xxhash64(F.col(sk).cast("string")), F.lit(salt_buckets))
+        w1 = Window.partitionBy(F.col(group), bucket).orderBy(*ordering)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= cap)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(group).orderBy(*ordering)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
