@@ -870,6 +870,38 @@ def _q42_deterministic_sample(spark, sf):
     return deterministic_sample(d, "doc_id", 0.25, salt="s42").orderBy("doc_id")
 
 
+def _q43_pii_redact(spark, sf):
+    """PII detection + redaction (Dolma/RefinedWeb masking pass) over a
+    corpus with deterministically injected emails/IPs/phones; counts per
+    kind + md5 of the masked text (engine-independent fingerprint)."""
+    from final_ocr_spark.operators.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0,
+               F.concat(F.lit(" mail user"), i.cast("string"), F.lit("@ex.org")))
+        .otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.concat(F.lit(" ip 10.1."), (i % 250).cast("string"), F.lit(".7")))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.concat(F.lit(" call +44 20 7946 0"),
+                        F.lpad((i % 1000).cast("string"), 3, "0")))
+        .otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", injected.alias("text"))
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(redact_pii(F.col("text")).cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -914,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_c4_clean": _q40_c4_clean,
         "q41_source_cap": _q41_source_cap,
         "q42_deterministic_sample": _q42_deterministic_sample,
+        "q43_pii_redact": _q43_pii_redact,
     }
 
 
@@ -1393,6 +1426,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q43_pii_redact": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.1.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' call +44 20 7946 0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
+                       AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\\+[0-9][0-9 ().-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+                   md5(regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                         '\\+[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+            FROM corpus
+            ORDER BY doc_id
         """,
         "q41_source_cap": """
             SELECT doc_id, source, n_chars
