@@ -902,6 +902,23 @@ def _q43_pii_redact(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q44_sequence_packing(spark, sf):
+    """Training-chunk packing layout: global exclusive prefix sum of token
+    counts via the two-pass range-partition form (no single global window),
+    then integer chunk/position mapping at budget=512."""
+    from final_ocr_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    d = d.select("doc_id", toks.cast("long").alias("n_tokens"))
+    return (
+        pack_sequences(d, "doc_id", "n_tokens", budget=512)
+        .select("doc_id", "n_tokens", "offset", "chunk_id",
+                "pos_in_chunk", "n_chunks")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -947,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_source_cap": _q41_source_cap,
         "q42_deterministic_sample": _q42_deterministic_sample,
         "q43_pii_redact": _q43_pii_redact,
+        "q44_sequence_packing": _q44_sequence_packing,
     }
 
 
@@ -1426,6 +1444,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q44_sequence_packing": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                            w -> w != '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            offs AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS "offset"
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS chunk_id,
+                   "offset" % 512 AS pos_in_chunk,
+                   (greatest("offset" + n_tokens - 1, "offset") // 512)
+                     - ("offset" // 512) + 1 AS n_chunks
+            FROM offs
+            ORDER BY doc_id
         """,
         "q43_pii_redact": """
             WITH corpus AS (
