@@ -98,3 +98,61 @@ def test_c4_doc_flags(spark):
     assert f["has_lorem"] and f["doc_keep"] is False
     f2 = _one(spark, "Good sentence number one here.\n" * 4, c4_features(F.col("text")))
     assert f2["doc_keep"] is True
+
+
+def test_repetition_fuzz_vs_python_reference(spark):
+    """200 seeded random texts, one Spark job, cross-checked against a
+    pure-Python reimplementation of every integer metric."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(1234)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "g hh", "\n", "\n\n", "  "]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(0, 40)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+
+    def py_feats(t):
+        lines = [re.sub(r"^\s+|\s+$", "", l) for l in re.split(r"\r?\n", t)]
+        lines = [l for l in lines if l]
+        paras = [re.sub(r"^ | $", "", re.sub(r"\s+", " ", p))
+                 for p in re.split(r"\n\s*\n", t)]
+        paras = [p for p in paras if p]
+        words = [w for w in re.split(r"\s+", t) if w]
+
+        def dup_chars(xs):
+            return sum(c * len(v) for v, c in Counter(xs).items() if c >= 2)
+
+        def top_chars(xs):
+            if not xs:
+                return 0
+            best = sorted(Counter(xs).items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            return best[1] * len(best[0])
+
+        def grams(n):
+            return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+        return {
+            "n_chars": len(t), "n_words": len(words),
+            "n_lines": len(lines), "n_distinct_lines": len(set(lines)),
+            "dup_line_chars": dup_chars(lines),
+            "line_chars": sum(len(l) for l in lines),
+            "n_paras": len(paras), "n_distinct_paras": len(set(paras)),
+            "dup_para_chars": dup_chars(paras),
+            "para_chars": sum(len(p) for p in paras),
+            "top2gram_chars": top_chars(grams(2)),
+            "top3gram_chars": top_chars(grams(3)),
+            "top4gram_chars": top_chars(grams(4)),
+            "dup5gram_chars": dup_chars(grams(5)),
+        }
+
+    from pyspark.sql import functions as SF
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    feats = repetition_features(SF.col("text"), top_ns=(2, 3, 4), dup_ns=(5,))
+    rows = df.select("i", *[c.alias(k) for k, c in feats.items()]).collect()
+    for r in rows:
+        want = py_feats(texts[r["i"]])
+        got = {k: r[k] for k in want}
+        assert got == want, f"text #{r['i']}: {texts[r['i']]!r}\n{got}\nvs\n{want}"
