@@ -61,6 +61,7 @@ def main() -> None:
         "q19_minhash_pairs": qs["q19_minhash_pairs"],
         "q23_quality_profile": qs["q23_quality_profile"],
         "q25_batch_topk": qs["q25_batch_topk"],
+        "q39_gopher_repetition": qs["q39_gopher_repetition"],
     }
 
     # warm-up: JVM/codegen/Python-worker spin-up excluded from timings
