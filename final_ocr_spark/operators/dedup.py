@@ -15,13 +15,17 @@ pages dominate. Five strategies, all shuffle-conscious:
   (the verifier stage after LSH).
 
 Everything is built-in-function Spark (JVM/codegen) — no Python in the hot
-path; minhash uses vectorized array ops with ``F.transform``/``aggregate``.
+path — except the simhash popcount, where a vectorized Arrow batch beats
+every JVM formulation by 20-30× (measurement in ``simhash_sigs``).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # 31-bit Mersenne prime for universal hashing: operands bounded below 2^31
 # keep every a·x+b intermediate under 2^62 — provably overflow-free in ANSI
@@ -387,6 +391,62 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+@pandas_udf("long")
+def _simhash_np(arrs: pd.Series) -> pd.Series:
+    """Arrow-batched numpy simhash over precomputed shingle-hash arrays.
+
+    Bit-identical to ``simhash_from_hashes``: unpackbits(bitorder='little')
+    on the little-endian int64 view yields exactly bit i = (h >> i) & 1, and
+    bit i of the output is set iff 2·popcount_i > n (⇔ the fold's vote sum
+    > 0, ties → 0).
+    """
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = np.empty(len(arrs), dtype=np.int64)
+    for i, lst in enumerate(arrs):
+        a = np.asarray(lst, dtype=np.int64).view(np.uint64)
+        n = len(a)
+        if n == 0:
+            out[i] = 0  # callers pre-filter; defensive only
+            continue
+        bits = np.unpackbits(a.view(np.uint8), bitorder="little").reshape(n, 64)
+        counts = bits.sum(axis=0, dtype=np.int64)
+        out[i] = np.int64(
+            (weights[(2 * counts) > n].sum(dtype=np.uint64)).astype(np.int64)
+        )
+    return pd.Series(out)
+
+
+def simhash_sigs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(k, sh) SimHash table — Arrow-batched numpy popcount, bit-identical to
+    the ``simhash_from_hashes`` Column fold (pinned by
+    tests/test_dedup.py::test_simhash_sigs_equals_fold_form and the q20
+    golden oracle).
+
+    Why a pandas UDF here, against the module's JVM-first rule (measured,
+    5k docs × ~500 words, local[32], forced evaluation):
+    * interpreted ``aggregate`` fold (64-wide vote vector per shingle):
+      15.6 s — HOF lambdas never enter codegen;
+    * explode → 64 codegen ``sum`` aggregates: 10.9 s — codegen, but still
+      O(shingles × 64) work per doc (negative result, kept for the record);
+    * numpy ``unpackbits`` + column sum over the Arrow batch: **0.54 s** —
+      the per-(shingle×bit) op becomes a vectorized memory-bandwidth pass.
+    Unlike minhash (where OPH removes the ×num_hashes factor and stays
+    JVM-side), simhash inherently needs every (shingle, bit) touched — the
+    vectorized batch is the only formulation that makes that cheap.
+
+    Documents with zero shingles are excluded (same contract as the fold
+    form's null signature)."""
+    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
+    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
+    nonempty = hashed.filter(F.size("h") > 0)
+    return nonempty.select("k", _simhash_np(F.col("h")).alias("sh"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     key: str = "doc_id",
@@ -397,12 +457,9 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash: 4×16-bit block index (pigeonhole — any pair
     with hamming ≤ 3 shares at least one of 4 blocks), then exact hamming
     filter. One shuffle on (block_id, block_value)."""
-    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
-    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
-    sh = hashed.select("k", simhash_from_hashes(F.col("h")).alias("sh")).filter(
-        F.col("sh").isNotNull()
-    ).localCheckpoint(eager=False)  # reused by block-explode and the hamming
-    # filter; GC-cleaned, unlike persist (see minhash_near_dups)
+    sh = simhash_sigs(df, key=key, text_col=text_col, shingle_k=shingle_k)
+    sh = sh.localCheckpoint(eager=False)  # reused by block-explode and the
+    # hamming filter; GC-cleaned, unlike persist (see minhash_near_dups)
     blocks = F.array(
         *[
             F.struct(

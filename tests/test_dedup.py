@@ -137,3 +137,25 @@ def test_dedup_clusters_path_graph_converges(spark):
         [(i, i + 1) for i in range(9)], ["key_a", "key_b"])
     got = {r["key"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(10)}
+
+
+def test_simhash_sigs_equals_fold_form(spark):
+    """The codegen-aggregation simhash must be BIT-IDENTICAL to the
+    interpreted fold form (same vote rule: bit set iff 2*popcount > n)."""
+    from final_ocr_spark.operators.dedup import (
+        simhash_from_hashes, simhash_sigs, shingle_hashes_from, word_hashes)
+
+    docs = [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta " * 3)
+            for i in range(40)] + [(100, "too short")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fold = (
+        df.select(F.col("doc_id").alias("k"), word_hashes("text").alias("wh"))
+        .select("k", shingle_hashes_from(F.col("wh"), 3).alias("h"))
+        .select("k", simhash_from_hashes(F.col("h")).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    agg = simhash_sigs(df, key="doc_id", text_col="text", shingle_k=3)
+    a = {r["k"]: r["sh"] for r in fold.collect()}
+    b = {r["k"]: r["sh"] for r in agg.collect()}
+    assert a == b
+    assert len(a) == 40  # "too short" (2 words) yields no 3-shingles → excluded
