@@ -197,6 +197,41 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 7):
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(k, h) — one row per word k-shingle, h the same position-rotated XOR
+    hash ``shingle_hashes_from`` produces (identical multiset, pinned by
+    test_shingle_rows_match_array_form).
+
+    posexplode words → row-wise ``xxhash64`` (codegen) → window ``lag`` to
+    combine the k adjacent word hashes (codegen). 4× faster than the
+    interpreted array-HOF chain on ~500-word docs (2.68 s → 0.63 s for 5k
+    docs, local[32], warm) — and the ONE exchange it introduces (window
+    partitionBy key) satisfies every downstream clustered distribution on
+    (key, …), so OPH minhash / collect-based consumers add NO further
+    shuffles. Documents with < k words produce no rows (lag is null within
+    the first k-1 positions)."""
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]+", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    ex = df.select(F.col(key).alias("k"), F.posexplode(words).alias("pos", "w"))
+    ex = ex.select("k", "pos", F.xxhash64("w").alias("h0"))
+    w = Window.partitionBy("k").orderBy("pos")
+    sh = None
+    for j in range(shingle_k):
+        # the row at the shingle's LAST word looks back: lag(k-1-j) is the
+        # word at shingle offset j, rotated by that offset's rotation —
+        # exactly _rotated(j) in shingle_hashes_from
+        term = _rotl64(F.lag("h0", shingle_k - 1 - j).over(w), _SHINGLE_ROT[j])
+        sh = term if sh is None else sh.bitwiseXOR(term)
+    return ex.select("k", sh.alias("h")).filter(F.col("h").isNotNull())
+
+
 def minhash_sigs_oph(
     df: DataFrame,
     key: str = "doc_id",
@@ -230,9 +265,7 @@ def minhash_sigs_oph(
     ANSI-safe throughout: pmod / min / xor / rotate only — no checked
     arithmetic anywhere (PLANS.md pitfall 4).
     """
-    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
-    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
-    exploded = hashed.select("k", F.explode("h").alias("h"))
+    exploded = shingle_hash_rows(df, key=key, text_col=text_col, shingle_k=shingle_k)
     part = exploded.groupBy(
         "k", F.pmod(F.col("h"), F.lit(num_hashes)).alias("b")
     ).agg(F.min("h").alias("mn"))
@@ -440,11 +473,12 @@ def simhash_sigs(
     vectorized batch is the only formulation that makes that cheap.
 
     Documents with zero shingles are excluded (same contract as the fold
-    form's null signature)."""
-    wordsh = df.select(F.col(key).alias("k"), word_hashes(text_col).alias("wh"))
-    hashed = wordsh.select("k", shingle_hashes_from(F.col("wh"), shingle_k).alias("h"))
-    nonempty = hashed.filter(F.size("h") > 0)
-    return nonempty.select("k", _simhash_np(F.col("h")).alias("sh"))
+    form's null signature). Shingle rows come from the explode+lag pipeline
+    (shingle_hash_rows) and are grouped back into one array per doc with no
+    extra exchange (collect_list runs on the window's partitioning)."""
+    rows = shingle_hash_rows(df, key=key, text_col=text_col, shingle_k=shingle_k)
+    arrays = rows.groupBy("k").agg(F.collect_list("h").alias("h"))
+    return arrays.select("k", _simhash_np(F.col("h")).alias("sh"))
 
 
 def simhash_near_dups(

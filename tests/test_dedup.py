@@ -159,3 +159,23 @@ def test_simhash_sigs_equals_fold_form(spark):
     b = {r["k"]: r["sh"] for r in agg.collect()}
     assert a == b
     assert len(a) == 40  # "too short" (2 words) yields no 3-shingles → excluded
+
+
+def test_shingle_rows_match_array_form(spark):
+    """explode+lag shingle rows must produce the EXACT multiset of hashes
+    the array-HOF chain produces (rotation alignment pinned here)."""
+    from collections import Counter
+
+    from final_ocr_spark.operators.dedup import (
+        shingle_hash_rows, shingle_hashes_from, word_hashes)
+
+    docs = [(1, "Alpha, beta GAMMA delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four"),  # 4 words -> 0 5-shingles
+            (3, "a b c d e a b c d e a b c d e")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    arr = (df.select(F.col("doc_id").alias("k"), word_hashes("text").alias("wh"))
+             .select("k", F.explode(shingle_hashes_from(F.col("wh"), 5)).alias("h")))
+    rows = shingle_hash_rows(df, shingle_k=5)
+    a = Counter((r["k"], r["h"]) for r in arr.collect())
+    b = Counter((r["k"], r["h"]) for r in rows.collect())
+    assert a == b and not any(k == 2 for k, _ in b)
