@@ -1581,11 +1581,11 @@ def oracle_sql() -> dict[str, str]:
                       SELECT doc_id, unnest([array_to_string(ws[i:i+9], ' ')
                         FOR i IN range(1, greatest(len(ws) - 8, 1))]) AS v
                       FROM words) GROUP BY 1, 2),
-            top2 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g2c
+            top2 AS (SELECT doc_id, CAST(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END AS BIGINT) AS chars FROM g2c
                      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
-            top3 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g3c
+            top3 AS (SELECT doc_id, CAST(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END AS BIGINT) AS chars FROM g3c
                      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
-            top4 AS (SELECT doc_id, CAST(c * length(v) AS BIGINT) AS chars FROM g4c
+            top4 AS (SELECT doc_id, CAST(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END AS BIGINT) AS chars FROM g4c
                      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, v ASC) = 1),
             dup5 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(v) ELSE 0 END) AS BIGINT) AS chars
                      FROM g5c GROUP BY 1),

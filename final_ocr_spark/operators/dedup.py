@@ -424,29 +424,37 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@pandas_udf("long")
-def _simhash_np(arrs: pd.Series) -> pd.Series:
+def _simhash_np():
     """Arrow-batched numpy simhash over precomputed shingle-hash arrays.
 
     Bit-identical to ``simhash_from_hashes``: unpackbits(bitorder='little')
     on the little-endian int64 view yields exactly bit i = (h >> i) & 1, and
     bit i of the output is set iff 2·popcount_i > n (⇔ the fold's vote sum
     > 0, ties → 0).
+
+    Deferred factory (not a module-level ``@pandas_udf``): decorating at
+    import time resolves the return-type string, which requires an active
+    SparkSession — importing this module must stay session-free.
     """
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    out = np.empty(len(arrs), dtype=np.int64)
-    for i, lst in enumerate(arrs):
-        a = np.asarray(lst, dtype=np.int64).view(np.uint64)
-        n = len(a)
-        if n == 0:
-            out[i] = 0  # callers pre-filter; defensive only
-            continue
-        bits = np.unpackbits(a.view(np.uint8), bitorder="little").reshape(n, 64)
-        counts = bits.sum(axis=0, dtype=np.int64)
-        out[i] = np.int64(
-            (weights[(2 * counts) > n].sum(dtype=np.uint64)).astype(np.int64)
-        )
-    return pd.Series(out)
+
+    @pandas_udf("long")
+    def simhash_np(arrs: pd.Series) -> pd.Series:
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out = np.empty(len(arrs), dtype=np.int64)
+        for i, lst in enumerate(arrs):
+            a = np.asarray(lst, dtype=np.int64).view(np.uint64)
+            n = len(a)
+            if n == 0:
+                out[i] = 0  # callers pre-filter; defensive only
+                continue
+            bits = np.unpackbits(a.view(np.uint8), bitorder="little").reshape(n, 64)
+            counts = bits.sum(axis=0, dtype=np.int64)
+            out[i] = np.int64(
+                (weights[(2 * counts) > n].sum(dtype=np.uint64)).astype(np.int64)
+            )
+        return pd.Series(out)
+
+    return simhash_np
 
 
 def simhash_sigs(
@@ -478,7 +486,7 @@ def simhash_sigs(
     extra exchange (collect_list runs on the window's partitioning)."""
     rows = shingle_hash_rows(df, key=key, text_col=text_col, shingle_k=shingle_k)
     arrays = rows.groupBy("k").agg(F.collect_list("h").alias("h"))
-    return arrays.select("k", _simhash_np(F.col("h")).alias("sh"))
+    return arrays.select("k", _simhash_np()(F.col("h")).alias("sh"))
 
 
 def simhash_near_dups(

@@ -197,7 +197,14 @@ def repetition_features(
         "para_chars": _sum_lengths(paras),
     }
     for n in top_ns:
-        out[f"top{n}gram_chars"] = run_stats(word_ngrams(words, n))["best_chars"]
+        rs = run_stats(word_ngrams(words, n))
+        # a gram occurring ONCE is not repetition: without the >= 2 gate a
+        # single long 4-gram in a short document trips the 16% threshold
+        # (the signal is meant to catch repeated boilerplate, not existence
+        # of a 4-gram). Pinned here and mirrored in the q39 oracle.
+        out[f"top{n}gram_chars"] = F.when(
+            rs["best_run"] >= 2, rs["best_chars"]
+        ).otherwise(_zero())
     for n in dup_ns:
         out[f"dup{n}gram_chars"] = run_stats(word_ngrams(words, n))["dup_chars"]
     return out

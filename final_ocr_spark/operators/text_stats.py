@@ -81,13 +81,19 @@ def quality_score(text_col) -> Column:
     return F.round(total * F.lit(100.0 / len(checks)), 1)
 
 
-@pandas_udf("string")
-def detect_lang_udf(texts: pd.Series) -> pd.Series:
+def detect_lang_udf():
     """Arrow-batched language ID wrapping the pure-Python heuristic
-    (final_ocr_spark.extract.langid)."""
-    from final_ocr_spark.extract.langid import detect_lang
+    (final_ocr_spark.extract.langid). Deferred factory — a module-level
+    ``@pandas_udf`` resolves its return-type string at import, which
+    requires an active SparkSession."""
 
-    return texts.map(lambda t: detect_lang(t) if isinstance(t, str) else "und")
+    @pandas_udf("string")
+    def detect(texts: pd.Series) -> pd.Series:
+        from final_ocr_spark.extract.langid import detect_lang
+
+        return texts.map(lambda t: detect_lang(t) if isinstance(t, str) else "und")
+
+    return detect
 
 
 def fingerprint64(text_col) -> Column:
@@ -106,5 +112,5 @@ def profile_documents(df: DataFrame, text_col: str = "text", lang_col: str | Non
     cols.append(bpe_ish_token_count(F.col(text_col)).alias("n_subword_tokens"))
     cols.append(fingerprint64(F.col(text_col)).alias("fingerprint"))
     if lang_col is None:
-        cols.append(detect_lang_udf(F.col(text_col)).alias("lang_detected"))
+        cols.append(detect_lang_udf()(F.col(text_col)).alias("lang_detected"))
     return df.select(*cols)

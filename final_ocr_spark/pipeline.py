@@ -1,0 +1,130 @@
+"""End-to-end corpus pipeline: the full production dataflow from raw pages
+to a training-ready corpus, composed from the engine's tested operators.
+
+    pages(url, warc_ts, html, text, lang)
+      1. extract          mapInPandas main-content extraction, per-row
+                          quarantine, latest-wins url dedup on the
+                          EXTRACTED rows (~4× smaller than html)
+      2. quality gate     Gopher repetition checks + quality score +
+                          optional C4 line cleaning — scan-local Column
+                          exprs, zero extra shuffle
+      3. PII redaction    email/IP/phone masking — scan-local
+      4. exact dedup      fingerprint group-by (one shuffle of 8-byte keys)
+      5. near-dup dedup   MinHash-OPH → LSH banding → exact-jaccard verify
+                          → connected components → keep min-url per cluster
+      6. host cap         at most N docs per host (skew-safe salted cap)
+      7. sample           optional deterministic md5 sample (stable across
+                          reruns and cluster sizes)
+
+Each stage is independently oracle-checked through the driver contract
+(q19/q38-q43); this module only WIRES them, adding no new semantics — the
+composition itself is pinned by tests/test_pipeline.py on a corpus with
+planted duplicates, near-duplicates, spam, PII, and a hot host.
+
+Scale notes: stages 1-3 fuse into the extraction scan's output projection
+(one python stage + Column exprs); 4 shuffles hashes, not text; 5 shuffles
+slim (key, bucket) rows only (see operators/dedup.py); 6-7 are one salted
+window and a pushed-down filter. Nothing here collects to the driver.
+
+The reference repo's equivalent is the whole of process_invoices
+(ocr2.py:559-607): a sequential per-file loop with no dedup, no hygiene,
+no caps — this is that loop re-expressed as a declarative, resumable,
+cluster-scale dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from final_ocr_spark.operators.dedup import (
+    dedup_clusters,
+    keep_cluster_representatives,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+)
+from final_ocr_spark.operators.extract_pages import extract_pages
+from final_ocr_spark.operators.pii import redact_pii
+from final_ocr_spark.operators.repetition import gopher_repetition_keep
+from final_ocr_spark.operators.sampling import deterministic_sample, stratified_cap
+from final_ocr_spark.operators.text_stats import fingerprint64, quality_score
+from final_ocr_spark.streaming.stateful import with_host
+
+
+def corpus_pipeline(
+    pages: DataFrame,
+    *,
+    min_quality: float = 50.0,
+    gopher: bool = True,
+    redact: bool = True,
+    near_dup: bool = True,
+    jaccard_threshold: float = 0.85,
+    minhash_hashes: int = 32,
+    minhash_bands: int = 8,
+    host_cap: int | None = None,
+    sample_rate: float | None = None,
+    sample_salt: str = "corpus",
+    extract_partitions: int | None = None,
+) -> DataFrame:
+    """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
+    quality_score). See module docstring for the stage list; every stage is
+    optional via its kwarg except extraction and exact dedup."""
+    # 1. extract + latest-wins url dedup; quarantined rows dropped
+    ext = extract_pages(pages, dedup=True, partitions=extract_partitions)
+    docs = (
+        ext.filter(F.col("error").isNull() & (F.length("extracted_text") > 0))
+        .select(
+            "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+        )
+    )
+    docs = with_host(docs)
+
+    # 2. quality gate (scan-local)
+    docs = docs.withColumn("quality_score", quality_score(F.col("text")))
+    docs = docs.filter(F.col("quality_score") >= F.lit(min_quality))
+    if gopher:
+        docs = docs.filter(gopher_repetition_keep(F.col("text")))
+
+    # 3. PII redaction (scan-local)
+    if redact:
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
+
+    # 4. exact dedup: min-url per normalized fingerprint, one slim shuffle
+    docs = docs.withColumn("_fp", fingerprint64(F.col("text")))
+    w = Window.partitionBy("_fp")
+    docs = (
+        docs.withColumn("_keep", F.min("url").over(w))
+        .filter(F.col("url") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+    # 5. near-dup dedup: candidates → exact verify → components → reps
+    if near_dup:
+        cand = minhash_near_dups(
+            docs,
+            key="url",
+            text_col="text",
+            num_hashes=minhash_hashes,
+            bands=minhash_bands,
+            jaccard_threshold=min(0.5, jaccard_threshold),
+        ).select("key_a", "key_b")
+        verified = (
+            ngram_jaccard_pairs(docs, cand, key="url", text_col="text", n=5)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("key_a", "key_b")
+        )
+        clusters = dedup_clusters(verified)
+        docs = keep_cluster_representatives(docs, clusters, key="url")
+
+    # 6. per-host cap (skew-safe)
+    if host_cap is not None:
+        docs = stratified_cap(
+            docs, "host", ["warc_ts", "url"], host_cap,
+            salt_buckets=16, salt_key="url",
+        )
+
+    # 7. deterministic sample
+    if sample_rate is not None:
+        docs = deterministic_sample(docs, "url", sample_rate, salt=sample_salt)
+
+    return docs

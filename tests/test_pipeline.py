@@ -1,0 +1,87 @@
+"""End-to-end corpus pipeline on a corpus with planted dups, near-dups,
+spam, PII, and a hot host."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from final_ocr_spark.pipeline import corpus_pipeline
+from final_ocr_spark.schema import PAGES_SCHEMA
+
+TS = datetime(2024, 5, 1, 12, 0, 0)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then it runs far "
+        "away into the green hills where a small river flows past the old "
+        "stone bridge near the quiet village every single morning")
+
+
+def _pages(spark, rows):
+    data = [(url, TS, None, text, "en") for url, text in rows]
+    return spark.createDataFrame(data, PAGES_SCHEMA)
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    rows = [
+        ("https://a.example.com/1", GOOD),
+        ("https://a.example.com/1-copy", GOOD),                  # exact dup
+        ("https://b.example.com/2", GOOD + " extra"),            # near-dup of GOOD
+        ("https://c.example.com/3",
+         "it was the best of times it was the worst of times it was the age "
+         "of wisdom it was the age of foolishness it was the epoch of belief"),
+        ("https://d.example.com/4",
+         "contact me at john.doe@example.com for all of the details about "
+         "the meeting that we planned for the next week in the main office "
+         "on the second floor of the building near the station"),
+        ("https://spam.example.com/5", "buy now " * 60),         # gopher kill
+        ("https://hot.example.com/h1",
+         "a first unique document about cats and the many ways that they "
+         "sleep through the long warm afternoon on the windowsill in the sun"),
+        ("https://hot.example.com/h2",
+         "a second unique document about dogs and the many ways that they "
+         "play through the long warm afternoon in the garden by the fence"),
+        ("https://hot.example.com/h3",
+         "a third unique document about birds and the many ways that they "
+         "sing through the long warm afternoon in the old oak tree branches"),
+    ]
+    out = corpus_pipeline(
+        _pages(spark, rows), host_cap=2, extract_partitions=4
+    ).collect()
+    urls = sorted(r["url"] for r in out)
+
+    # exact dup: only min url survives
+    assert "https://a.example.com/1" in urls
+    assert "https://a.example.com/1-copy" not in urls
+    # near-dup of GOOD clustered and dropped (a.example.com/1 is min)
+    assert "https://b.example.com/2" not in urls
+    # spam killed by the gopher repetition gate
+    assert all("spam" not in u for u in urls)
+    # hot host capped at 2
+    assert sum("hot.example.com" in u for u in urls) == 2
+    # PII masked in the surviving text
+    d4 = [r for r in out if r["url"].startswith("https://d.")][0]
+    assert "<EMAIL>" in d4["text"] and "john.doe@example.com" not in d4["text"]
+    # survivors carry the documented schema
+    assert {"url", "warc_ts", "text", "lang", "host", "quality_score"} <= set(out[0].asDict())
+
+
+def test_corpus_pipeline_sample_and_toggles(spark):
+    rows = [(f"https://s{i}.example.com/p", GOOD + f" tail{i} " + " ".join(
+        f"w{i}x{j}" for j in range(30))) for i in range(12)]
+    base = corpus_pipeline(
+        _pages(spark, rows), near_dup=False, gopher=False, redact=False
+    )
+    n_base = base.count()
+    assert n_base == 12
+    sampled = corpus_pipeline(
+        _pages(spark, rows), near_dup=False, gopher=False, redact=False,
+        sample_rate=0.5, sample_salt="t",
+    )
+    n_s = sampled.count()
+    assert 0 < n_s < 12
+    # deterministic: same salt → same sample
+    again = corpus_pipeline(
+        _pages(spark, rows), near_dup=False, gopher=False, redact=False,
+        sample_rate=0.5, sample_salt="t",
+    )
+    assert sorted(r["url"] for r in sampled.collect()) == sorted(
+        r["url"] for r in again.collect())

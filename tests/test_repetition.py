@@ -129,7 +129,7 @@ def test_repetition_fuzz_vs_python_reference(spark):
             if not xs:
                 return 0
             best = sorted(Counter(xs).items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            return best[1] * len(best[0])
+            return best[1] * len(best[0]) if best[1] >= 2 else 0
 
         def grams(n):
             return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
