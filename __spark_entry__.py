@@ -919,6 +919,55 @@ def _q44_sequence_packing(spark, sf):
     )
 
 
+def _q45_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3/Llama 13-gram collision rule): the
+    benchmark is a planted 20-word verbatim span from every 50th document;
+    every doc sharing a 13-gram with it is flagged with its hit count."""
+    from final_ocr_spark.operators.decontaminate import contaminated_keys
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]+", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    bench = (
+        d.withColumn("_ws", words)
+        .filter((F.col("doc_id") % 50 == 0) & (F.size("_ws") >= 29))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.array_join(F.slice("_ws", 10, 20), " ").alias("text"),
+        )
+    )
+    return (
+        contaminated_keys(d, bench, n=13)
+        .orderBy("doc_id")
+    )
+
+
+def _q46_vocab_stats(spark, sf):
+    """Corpus vocabulary statistics: top-5 terms per language by term
+    frequency (ties → lexicographic), with document frequency — the
+    explode → two-level aggregation shape of corpus-level token stats."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]+", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    ex = d.select("doc_id", "lang", F.explode(words).alias("word"))
+    counts = ex.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("lang", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -965,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_deterministic_sample": _q42_deterministic_sample,
         "q43_pii_redact": _q43_pii_redact,
         "q44_sequence_packing": _q44_sequence_packing,
+        "q45_decontaminate": _q45_decontaminate,
+        "q46_vocab_stats": _q46_vocab_stats,
     }
 
 
@@ -1444,6 +1495,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q45_decontaminate": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                         lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                         '\\s+'), w -> w != '') AS ws
+                FROM documents
+            ),
+            bgrams AS (
+                SELECT DISTINCT g FROM (
+                    SELECT unnest([array_to_string(bw[i:i+12], ' ')
+                                   FOR i IN range(1, greatest(len(bw) - 11, 1))]) AS g
+                    FROM (SELECT ws[10:29] AS bw FROM words
+                          WHERE doc_id % 50 = 0 AND len(ws) >= 29)
+                )
+            ),
+            dg AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+12], ' ')
+                               FOR i IN range(1, greatest(len(ws) - 11, 1))]) AS g
+                FROM words
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM dg JOIN bgrams USING (g)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "q46_vocab_stats": """
+            WITH ex AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(
+                         lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                         '\\s+'), w -> w != '')) AS word
+                FROM documents
+            ),
+            counts AS (
+                SELECT lang, word,
+                       CAST(count(*) AS BIGINT) AS tf,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+                FROM ex GROUP BY lang, word
+            )
+            SELECT lang, word, tf, doc_freq,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY tf DESC, word) AS INT) AS rank
+            FROM counts
+            QUALIFY rank <= 5
+            ORDER BY lang, rank
         """,
         "q44_sequence_packing": """
             WITH toks AS (

@@ -99,7 +99,10 @@ def shingles(text_col: str, k: int = 5):
 # pure bit arithmetic — provably overflow-free under ANSI mode (the round-1
 # multiply-mix crashed the driver's default-ANSI session with
 # ARITHMETIC_OVERFLOW; correctness must not depend on ansi=false).
-_SHINGLE_ROT = [3, 10, 17, 24, 31, 38, 45, 52]
+# pairwise-distinct rotation amounts in 1..63 — position j of a shingle is
+# rotated by _SHINGLE_ROT[j] so word order matters; 16 entries support
+# k ≤ 16 (dedup uses k=5, decontamination k=13)
+_SHINGLE_ROT = [3, 10, 17, 24, 31, 38, 45, 52, 7, 14, 21, 28, 35, 42, 49, 56]
 
 
 def _rotl64(x, s: int):
