@@ -542,12 +542,15 @@ def dedup_clusters(
     one document per duplicate cluster" requires components, not pairs
     (A~B, B~C must collapse A,B,C together even when A~C was never emitted).
 
-    Min-label propagation: each iteration joins labels across edges and
-    takes the elementwise min; iterations needed = component diameter.
-    Near-dup components are dense (LSH emits most intra-cluster pairs), so
-    this converges in 2-4 rounds; for adversarial path-shaped graphs the
-    alternating large-star/small-star variant is the O(log n) upgrade.
-    Each round is one shuffle-join + one aggregation; lineage is cut per
+    Min-label propagation + POINTER JUMPING: each round (1) propagates the
+    min label across edges, then (2) compresses label chains by joining
+    each label to ITS label (label-of-label), which at least halves the
+    remaining distance to the root — so convergence is O(log diameter)
+    rounds, not O(diameter). A 200-node path converges in 8 rounds where
+    plain propagation needs 200 (pinned by
+    test_dedup_clusters_long_path_pointer_jumping). Near-dup components
+    are dense (LSH emits most intra-cluster pairs) and finish in 2-3.
+    Each round is two shuffle-joins + one aggregation; lineage is cut per
     round with localCheckpoint so plans stay constant-size. Deterministic:
     min is order-independent.
     """
@@ -570,11 +573,21 @@ def dedup_clusters(
             .agg(F.min("nl").alias("nl"))
             .select(F.col("a").alias("k"), "nl")
         )
+        propagated = labels.join(neigh, "k", "left").select(
+            "k",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label <- label(label). Every label IS a node key
+        # (labels start as keys and min over them preserves that), so the
+        # self-join below always finds a row; halves chain depth per round.
+        lut = propagated.select(
+            F.col("k").alias("label"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(neigh, "k", "left")
+            propagated.join(lut, "label", "left")
             .select(
                 "k",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )

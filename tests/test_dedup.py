@@ -179,3 +179,16 @@ def test_shingle_rows_match_array_form(spark):
     a = Counter((r["k"], r["h"]) for r in arr.collect())
     b = Counter((r["k"], r["h"]) for r in rows.collect())
     assert a == b and not any(k == 2 for k, _ in b)
+
+
+def test_dedup_clusters_long_path_pointer_jumping(spark):
+    """A 200-node path (diameter 199) must converge well inside 12 rounds —
+    possible only because each round compresses label chains (pointer
+    jumping), not just propagates one hop."""
+    from final_ocr_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["key_a", "key_b"])
+    got = {r["key"]: r["cluster_id"]
+           for r in dedup_clusters(pairs, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(200)}
