@@ -968,6 +968,36 @@ def _q46_vocab_stats(spark, sf):
     )
 
 
+def _q47_url_canonicalize(spark, sf):
+    """URL canonicalization (crawl dedup key): scheme/host case, www, default
+    ports, fragments, tracking params, trailing slashes — plus the
+    registrable-domain heuristic; over deterministically synthesized messy
+    URLs."""
+    from final_ocr_spark.functions.urls import normalize_url, registered_domain
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    base = F.concat(
+        F.lit("HTTP://WWW.Site"), (i % 20).cast("string"), F.lit(".Example.COM")
+    )
+    v = i % 5
+    url = (
+        F.when(v == 0, F.concat(base, F.lit(":80/path/")))
+        .when(v == 1, F.concat(base, F.lit("/path?utm_source=x&b=2&a=1")))
+        .when(v == 2, F.concat(base, F.lit("/Path#frag")))
+        .when(v == 3, F.concat(base, F.lit(":8080/path")))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    norm = normalize_url(url)
+    host = F.regexp_extract(norm, r"^[a-z0-9+.-]+://([^/:?#]+)", 1)
+    return d.select(
+        "doc_id",
+        url.alias("url_raw"),
+        norm.alias("url_norm"),
+        registered_domain(host).alias("domain"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -1016,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_sequence_packing": _q44_sequence_packing,
         "q45_decontaminate": _q45_decontaminate,
         "q46_vocab_stats": _q46_vocab_stats,
+        "q47_url_canonicalize": _q47_url_canonicalize,
     }
 
 
@@ -1495,6 +1526,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q47_url_canonicalize": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'HTTP://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+                       CASE doc_id % 5
+                         WHEN 0 THEN ':80/path/'
+                         WHEN 1 THEN '/path?utm_source=x&b=2&a=1'
+                         WHEN 2 THEN '/Path#frag'
+                         WHEN 3 THEN ':8080/path'
+                         ELSE '/' END AS url_raw
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url_raw,
+                       lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                       regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 2) AS auth,
+                       regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 3) AS path0,
+                       regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$', 4) AS query0
+                FROM urls
+            ),
+            norm AS (
+                SELECT doc_id, url_raw, scheme,
+                       regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\\.', '') AS host,
+                       regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+                       CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                            ELSE regexp_replace(path0, '/+$', '') END AS path,
+                       coalesce(array_to_string(list_sort(list_filter(
+                         string_split(query0, '&'),
+                         kv -> kv != '' AND NOT regexp_matches(kv, '^(?:utm_[^=]*|gclid|fbclid|ref)='))), '&'), '') AS qs
+                FROM parts
+            )
+            SELECT doc_id, url_raw,
+                   scheme || '://' || host ||
+                   CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443') THEN ''
+                        ELSE ':' || port END ||
+                   path ||
+                   CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
+                   CASE WHEN len(hp) <= 1 THEN host
+                        WHEN len(hp) >= 3 AND hp[-2] IN ('co','com','net','org','gov','ac','edu')
+                          THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+                        ELSE hp[-2] || '.' || hp[-1] END AS domain
+            FROM (SELECT *, string_split(host, '.') AS hp FROM norm)
+            ORDER BY doc_id
         """,
         "q45_decontaminate": """
             WITH words AS (

@@ -39,7 +39,7 @@ def test_detect_lang_udf(spark):
          ("el perro y el gato en la casa de los abuelos por la tarde",)],
         ["t"],
     )
-    got = [r["l"] for r in df.select(detect_lang_udf(F.col("t")).alias("l")).collect()]
+    got = [r["l"] for r in df.select(detect_lang_udf()(F.col("t")).alias("l")).collect()]
     assert got == ["en", "es"]
 
 
