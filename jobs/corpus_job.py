@@ -1,0 +1,81 @@
+"""Production entry point: the full corpus pipeline (extract → hygiene →
+dedup → caps → sample) as one spark-submit job.
+
+Example (cluster):
+    python jobs/package.py   # builds dist/final_ocr_spark.zip
+    spark-submit \\
+        --py-files dist/final_ocr_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        jobs/corpus_job.py \\
+        --input /data/pages --output /data/corpus \\
+        --host-cap 100000 --sample-rate 0.5
+
+Local smoke:
+    python jobs/corpus_job.py --synthetic 2000 --output /tmp/corpus_demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="pages parquet path")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic pages instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=50.0)
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--no-redact", action="store_true")
+    ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--jaccard", type=float, default=0.85)
+    ap.add_argument("--host-cap", type=int, default=None)
+    ap.add_argument("--sample-rate", type=float, default=None)
+    ap.add_argument("--sample-salt", default="corpus")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from final_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="final-ocr-spark-corpus")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from final_ocr_spark.sources.synthetic_pages import gen_pages
+
+        pages = gen_pages(spark, args.synthetic, seed=args.seed)
+    elif args.input:
+        from final_ocr_spark.schema import PAGES_SCHEMA
+
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    from final_ocr_spark.pipeline import corpus_pipeline
+
+    corpus = corpus_pipeline(
+        pages,
+        min_quality=args.min_quality,
+        gopher=not args.no_gopher,
+        redact=not args.no_redact,
+        near_dup=not args.no_near_dup,
+        jaccard_threshold=args.jaccard,
+        host_cap=args.host_cap,
+        sample_rate=args.sample_rate,
+        sample_salt=args.sample_salt,
+        extract_partitions=args.partitions,
+    )
+    corpus.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"corpus written: {args.output} rows={n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,33 @@ def test_dedup_clusters_long_path_pointer_jumping(spark):
     got = {r["key"]: r["cluster_id"]
            for r in dedup_clusters(pairs, max_iters=12).collect()}
     assert got == {i: 0 for i in range(200)}
+
+
+def test_dedup_clusters_random_graph_fuzz(spark):
+    """300 random edges over 150 nodes vs a pure-Python union-find."""
+    import random
+
+    from final_ocr_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(77)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(150))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+
+    pairs = spark.createDataFrame(edges, ["key_a", "key_b"])
+    got = {r["key"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == want
