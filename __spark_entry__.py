@@ -340,6 +340,36 @@ def _q18_word_jaccard(spark, sf):
     return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
+def _mutated_corpus(spark, sf):
+    """The planted near-dup corpus shared by q19/q20/q38: documents plus a
+    15-char-truncated copy of every 40th doc (doc_id + 1000000). The SAME
+    construction feeds all three oracles — keep in sync with their SQL."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mutated = (
+        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") > 200))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+        )
+    )
+    return d.unionByName(mutated)
+
+
+def _verified_near_dup_pairs(corpus, jaccard: float = 0.85):
+    """Shared recall+precision near-dup stage for q19/q38: minhash-LSH
+    candidates (32 hashes / 8 bands — recall ≥0.997 per pair at J≥0.85,
+    1-(1-0.85⁴)⁸) filtered by EXACT 5-gram jaccard, which is what the
+    brute-force SQL oracles replicate."""
+    from final_ocr_spark.operators.dedup import minhash_near_dups, ngram_jaccard_pairs
+
+    cand = minhash_near_dups(
+        corpus, key="doc_id", text_col="text", num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    ).select("key_a", "key_b")
+    verified = ngram_jaccard_pairs(corpus, cand, key="doc_id", text_col="text", n=5)
+    return verified.filter(F.col("jaccard") >= jaccard)
+
+
 def _q19_minhash_pairs(spark, sf):
     """MinHash+LSH candidate generation + EXACT shingle-jaccard verify — the
     full production near-dup pipeline (recall stage + precision stage).
@@ -350,27 +380,9 @@ def _q19_minhash_pairs(spark, sf):
     recall at jaccard≥0.85 is total, which banding theory puts at
     P(miss) ≈ (1−0.85⁴)¹⁶ < 1e-5 per pair and which holds on this corpus.
     """
-    from final_ocr_spark.operators.dedup import minhash_near_dups, ngram_jaccard_pairs
-
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    mutated = (
-        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") > 200))
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
-        )
+    return _verified_near_dup_pairs(_mutated_corpus(spark, sf)).orderBy(
+        "key_a", "key_b"
     )
-    corpus = d.unionByName(mutated)
-    # 32 hashes / 8 bands×4 rows: half the sketch-fold cost of the 64-hash
-    # default; recall at the exact-verify threshold (J≥0.85) stays ≥0.997 per
-    # pair (1-(1-0.85⁴)⁸) and the est prefilter is only a recall stage here —
-    # the EXACT verify below is the precision gate the oracle replicates.
-    cand = minhash_near_dups(
-        corpus, key="doc_id", text_col="text", num_hashes=32, bands=8,
-        jaccard_threshold=0.5,
-    ).select("key_a", "key_b")
-    verified = ngram_jaccard_pairs(corpus, cand, key="doc_id", text_col="text", n=5)
-    return verified.filter(F.col("jaccard") >= 0.85).orderBy("key_a", "key_b")
 
 
 def _q20_simhash_pairs(spark, sf):
@@ -379,17 +391,8 @@ def _q20_simhash_pairs(spark, sf):
     VALUES oracle (pinned at the driver's sf0.01 correctness gate)."""
     from final_ocr_spark.operators.dedup import simhash_near_dups
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    mutated = (
-        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") > 200))
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
-        )
-    )
-    corpus = d.unionByName(mutated)
     return simhash_near_dups(
-        corpus, key="doc_id", text_col="text", max_hamming=3
+        _mutated_corpus(spark, sf), key="doc_id", text_col="text", max_hamming=3
     ).orderBy("key_a", "key_b")
 
 
@@ -757,28 +760,11 @@ def _q38_dedup_clusters(spark, sf):
     production dedup: pairs → components → keep min-key per component.
     Oracle: DuckDB recursive-CTE transitive closure over the brute-force
     exact-jaccard pair graph (same edges as q19's oracle)."""
-    from final_ocr_spark.operators.dedup import (
-        dedup_clusters,
-        minhash_near_dups,
-        ngram_jaccard_pairs,
-    )
+    from final_ocr_spark.operators.dedup import dedup_clusters
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    mutated = (
-        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") > 200))
-        .select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
-        )
+    pairs = _verified_near_dup_pairs(_mutated_corpus(spark, sf)).select(
+        "key_a", "key_b"
     )
-    corpus = d.unionByName(mutated)
-    cand = minhash_near_dups(
-        corpus, key="doc_id", text_col="text", num_hashes=32, bands=8,
-        jaccard_threshold=0.5,
-    ).select("key_a", "key_b")
-    pairs = ngram_jaccard_pairs(
-        corpus, cand, key="doc_id", text_col="text", n=5
-    ).filter(F.col("jaccard") >= 0.85).select("key_a", "key_b")
     clusters = dedup_clusters(pairs)
     return clusters.select(
         F.col("key").alias("doc_id"), "cluster_id",
@@ -924,12 +910,10 @@ def _q45_decontaminate(spark, sf):
     benchmark is a planted 20-word verbatim span from every 50th document;
     every doc sharing a 13-gram with it is flagged with its hit count."""
     from final_ocr_spark.operators.decontaminate import contaminated_keys
+    from final_ocr_spark.operators.dedup import sketch_words
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]+", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = sketch_words("text")
     bench = (
         d.withColumn("_ws", words)
         .filter((F.col("doc_id") % 50 == 0) & (F.size("_ws") >= 29))
@@ -948,12 +932,10 @@ def _q46_vocab_stats(spark, sf):
     """Corpus vocabulary statistics: top-5 terms per language by term
     frequency (ties → lexicographic), with document frequency — the
     explode → two-level aggregation shape of corpus-level token stats."""
+    from final_ocr_spark.operators.dedup import sketch_words
+
     d = _t(spark, sf, "documents").select("doc_id", "lang", "text")
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]+", " ")), r"\s+"),
-        lambda w: w != "",
-    )
-    ex = d.select("doc_id", "lang", F.explode(words).alias("word"))
+    ex = d.select("doc_id", "lang", F.explode(sketch_words("text")).alias("word"))
     counts = ex.groupBy("lang", "word").agg(
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct("doc_id").alias("doc_freq"),

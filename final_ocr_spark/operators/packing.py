@@ -37,7 +37,10 @@ def global_prefix_sum(
 ) -> DataFrame:
     """df + ``out_col`` = sum of ``value_col`` over all rows strictly before
     this row in ``order_col`` order (exclusive prefix sum). ``order_col``
-    must be unique for a deterministic result."""
+    must be unique for a deterministic result, and ``value_col`` must be
+    NON-NEGATIVE (per-partition totals are taken as max of the running
+    sum, which equals the final sum only when it never decreases — token
+    counts and byte sizes qualify; signed deltas do not)."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     d = df.repartitionByRange(int(n), F.col(order_col))
     d = d.withColumn("_pid", F.spark_partition_id())
@@ -45,6 +48,12 @@ def global_prefix_sum(
     d = d.withColumn(
         "_cum_incl", F.sum(F.col(value_col).cast("long")).over(w)
     )
+    # materialize BEFORE the totals collect: the collect below and the
+    # returned join are two separate jobs — without a barrier each re-runs
+    # repartitionByRange, whose sampled boundaries (and thus _pid
+    # assignments) are not guaranteed identical across runs, silently
+    # corrupting every offset. Checkpointing also halves the compute.
+    d = d.localCheckpoint(eager=False)
     # one row per partition — driver-side prefix is O(num_partitions)
     totals = sorted(
         (r["_pid"], r["_t"])
@@ -88,11 +97,16 @@ def pack_sequences(
     b = F.lit(budget)
     off = F.col("offset")
     end = off + F.col(token_col).cast("long")  # exclusive
-    chunk = ((off - F.pmod(off, b)) / b).cast("long")
-    last_tok = F.greatest(end - 1, off)
-    last_chunk = ((last_tok - F.pmod(last_tok, b)) / b).cast("long")
+    # true integer division (`div`), never `/`: long/long `/` is DOUBLE
+    # division, which loses exactness past 2^53 — real at 10^12-doc global
+    # token offsets (and would diverge from the oracle's integer `//`).
+    d = d.withColumn("_last_tok", F.greatest(end - 1, off))
     return (
-        d.withColumn("chunk_id", chunk)
+        d.withColumn("chunk_id", F.expr(f"offset div {budget}"))
         .withColumn("pos_in_chunk", F.pmod(off, b))
-        .withColumn("n_chunks", last_chunk - chunk + 1)
+        .withColumn(
+            "n_chunks",
+            F.expr(f"_last_tok div {budget}") - F.col("chunk_id") + 1,
+        )
+        .drop("_last_tok")
     )

@@ -34,11 +34,12 @@ cluster-scale dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from final_ocr_spark.operators.dedup import (
     dedup_clusters,
+    dedup_exact,
     keep_cluster_representatives,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -47,7 +48,7 @@ from final_ocr_spark.operators.extract_pages import extract_pages
 from final_ocr_spark.operators.pii import redact_pii
 from final_ocr_spark.operators.repetition import gopher_repetition_keep
 from final_ocr_spark.operators.sampling import deterministic_sample, stratified_cap
-from final_ocr_spark.operators.text_stats import fingerprint64, quality_score
+from final_ocr_spark.operators.text_stats import quality_score
 from final_ocr_spark.streaming.stateful import with_host
 
 
@@ -89,14 +90,9 @@ def corpus_pipeline(
     if redact:
         docs = docs.withColumn("text", redact_pii(F.col("text")))
 
-    # 4. exact dedup: min-url per normalized fingerprint, one slim shuffle
-    docs = docs.withColumn("_fp", fingerprint64(F.col("text")))
-    w = Window.partitionBy("_fp")
-    docs = (
-        docs.withColumn("_keep", F.min("url").over(w))
-        .filter(F.col("url") == F.col("_keep"))
-        .drop("_fp", "_keep")
-    )
+    # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
+    # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)
+    docs = dedup_exact(docs, text_col="text", keep_col="url")
 
     # 5. near-dup dedup: candidates → exact verify → components → reps
     if near_dup:

@@ -222,3 +222,46 @@ def test_dedup_clusters_random_graph_fuzz(spark):
     pairs = spark.createDataFrame(edges, ["key_a", "key_b"])
     got = {r["key"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == want
+
+
+def test_minhash_sigs_equals_fold_form(spark):
+    """Codegen-aggregate minhash must be BIT-IDENTICAL to the classic
+    permutation fold (same Mersenne family, same seed stream)."""
+    from final_ocr_spark.operators.dedup import (
+        minhash_from_hashes, minhash_sigs, shingle_hashes_from, word_hashes)
+
+    docs = [(i, f"alpha beta gamma delta {i} epsilon zeta eta theta iota " * 2)
+            for i in range(25)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fold = (
+        df.select(F.col("doc_id").alias("k"), word_hashes("text").alias("wh"))
+        .select("k", shingle_hashes_from(F.col("wh"), 5).alias("h"))
+        .select("k", minhash_from_hashes(F.col("h"), 32).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    agg = minhash_sigs(df, num_hashes=32, shingle_k=5)
+    a = {r["k"]: r["sig"] for r in fold.collect()}
+    b = {r["k"]: r["sig"] for r in agg.collect()}
+    assert a == b and len(a) == 25
+
+
+def test_minhash_short_docs_no_densification_bias(spark):
+    """Regression (round-2 review): two 6-word docs sharing their minimum
+    shingle but with true 5-gram Jaccard 1/3 must NOT pair at threshold
+    0.7 — the OPH densification fill inflated their est_jaccard to ~0.98."""
+    from final_ocr_spark.operators.dedup import minhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo xray"),
+         (2, "alpha bravo charlie delta echo quebec")],
+        ["doc_id", "text"])
+    pairs = minhash_near_dups(df, num_hashes=64, jaccard_threshold=0.7).collect()
+    assert pairs == []
+    # the estimator itself must sit near the true 1/3, not ~1.0: fraction
+    # of equal signature positions (LSH banding at J=0.33 is legitimately
+    # low-recall, so check the signatures directly)
+    from final_ocr_spark.operators.dedup import minhash_sigs
+
+    sigs = {r["k"]: r["sig"] for r in minhash_sigs(df, num_hashes=64).collect()}
+    frac = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
+    assert 0.1 < frac < 0.6, frac
