@@ -980,6 +980,41 @@ def _q47_url_canonicalize(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q48_asof_join(spark, sf):
+    """Point-in-time as-of join: every click matched to the user's latest
+    preceding (<=) purchase — union + window last(ignorenulls), ONE
+    exchange, never a range-exploded join. Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from final_ocr_spark.operators.events import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    return (
+        asof_join(
+            clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+            right_cols=["purchase_value"],
+        )
+        .select("event_id", "user_id", "ts", "purchase_value")
+        .orderBy("event_id")
+    )
+
+
+def _q49_sessionize(spark, sf):
+    """Gap-based sessionization (1-hour inactivity gap) + per-session
+    rollup — lag + running-sum window, one shuffle on user_id."""
+    from final_ocr_spark.operators.events import session_stats
+
+    e = _t(spark, sf, "events").select("user_id", "ts")
+    return session_stats(e, "user_id", "ts", gap_seconds=3600).orderBy(
+        "user_id", "session_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -1029,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_decontaminate": _q45_decontaminate,
         "q46_vocab_stats": _q46_vocab_stats,
         "q47_url_canonicalize": _q47_url_canonicalize,
+        "q48_asof_join": _q48_asof_join,
+        "q49_sessionize": _q49_sessionize,
     }
 
 
@@ -1508,6 +1545,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q48_asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "q49_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ),
+            flags AS (
+                SELECT user_id, ts, es,
+                       CASE WHEN lag(es) OVER w IS NULL
+                                 OR es - lag(es) OVER w > 3600
+                            THEN 1 ELSE 0 END AS ns
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, es,
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flags
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+            FROM sess
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_id
         """,
         "q47_url_canonicalize": """
             WITH urls AS (
