@@ -32,7 +32,12 @@ AMOUNT_RE = re.compile(
 # separators. One cheap pass over this class finds the only regions where the
 # heavy patterns can match at all — letters (most of a document) are skipped
 # at C speed instead of being probed by three alternation patterns.
-_WINDOW_RE = re.compile(r"[0-9$€£][0-9$€£,./\s-]*")
+# \d (NOT [0-9]): the heavy patterns use Unicode-aware \d, so the window
+# class must cover every Unicode digit too — with ASCII [0-9] a date/id
+# written in Arabic-Indic or fullwidth digits fell outside every window and
+# its span was silently dropped (round-2 review finding; pinned by
+# test_spans_unicode_digits_match_naive).
+_WINDOW_RE = re.compile(r"[\d$€£][\d$€£,./\s-]*")
 
 
 def label_value_spans(text: str) -> list[tuple[int, int, str]]:

@@ -139,6 +139,10 @@ def clean_product_name(col: Column) -> Column:
     price/amount/total/worth/vat/tax/discount keyword onward (the reference's
     keyword-tail strip), then collapse whitespace. Also strips the bare
     trailing unit word (ocr.py:314)."""
+    # 'pc' before 'pcs' is the REFERENCE's alternation order (ocr2.py:556);
+    # regex alternation is leftmost-first in Python AND Java, so '3 pcs'
+    # leaves a stray 's' in both engines — faithful quirk, kept untouched
+    # deliberately (byte parity with the reference beats tidiness here).
     out = F.regexp_replace(col, r"[0-9]+[.,]?[0-9]*\s*(?:each|pc|pcs|units?|€|\$|%)", "")
     out = F.regexp_replace(out, r"(?i)(?:price|amount|total|worth|vat|tax|discount).*", "")
     out = F.regexp_replace(out, r"(?i)\s+(?:each|pc|pcs|unit|units)\s*$", "")
@@ -152,12 +156,23 @@ def extract_party(col: Column, role: str) -> dict[str, Column]:
     section = F.regexp_extract(col, rf"(?s){role}[:\s]*\n?(.*?)(?:\n\s*\n|Tax Id|$)", 1)
     lines = F.filter(F.split(section, r"\n"), lambda x: F.trim(x) != "")
     name = F.trim(F.element_at(lines, 1))
-    # remaining lines minus the phone line are the address (ocr2.py:389-393
-    # removes the matched phone line before joining address lines)
+    # remaining lines minus ONLY THE FIRST phone-matching line are the
+    # address — the reference (ocr2.py:389-393) does lines.remove(line);
+    # break, so a later address line that merely LOOKS phone-like
+    # ('Mobile 12 Park Rd') must survive. (midx referenced inside the
+    # lambda re-evaluates per element — party sections are <10 lines.)
+    rest = F.slice(lines, 2, 100)
+    midx = F.array_min(
+        F.transform(
+            rest,
+            lambda x, i: F.when(x.rlike(PHONE_PATTERN), i).otherwise(
+                F.lit(None).cast("integer")
+            ),
+        )
+    )
     address = F.trim(
         F.array_join(
-            F.filter(F.slice(lines, 2, 100), lambda x: ~x.rlike(PHONE_PATTERN)),
-            " ",
+            F.filter(rest, lambda x, i: midx.isNull() | (i != midx)), " "
         )
     )
     tax_id = F.nullif(

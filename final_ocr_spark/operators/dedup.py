@@ -386,6 +386,12 @@ def minhash_near_dups(
     # ContextCleaner when the result DataFrame is garbage-collected, whereas
     # CacheManager entries from persist() leak until an explicit unpersist —
     # repeated invocations in a long-lived session accumulated cached blocks.
+    # TRADEOFF (known, accepted): localCheckpoint truncates lineage, so
+    # losing an executor after materialization fails the job instead of
+    # recomputing. For preemptible/spot clusters, write the sketch table to
+    # durable storage instead (it is tiny) and read it back — the standard
+    # production LSH layout; the in-session form here optimizes the
+    # single-tenant batch case.
     sigs = sigs.localCheckpoint(eager=False)
 
     band_arr = F.transform(

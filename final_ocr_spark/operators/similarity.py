@@ -289,8 +289,12 @@ def build_ivf_index(
             pdf["list_id"] = (vm @ bc.value.T).argmax(axis=1).astype("int32")
             yield pdf
 
+    # derive the id type from the input — hardcoding 'long' broke string
+    # doc keys (round-2 review finding)
+    id_type = base.schema[id_col].dataType.simpleString()
     assigned = base.mapInPandas(
-        assign_lists, schema=f"{id_col} long, {vec_col} array<double>, list_id int"
+        assign_lists,
+        schema=f"{id_col} {id_type}, {vec_col} array<double>, list_id int",
     )
     (
         assigned.repartition("list_id")

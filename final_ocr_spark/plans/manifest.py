@@ -165,6 +165,17 @@ def extract_with_resume(
     from final_ocr_spark.operators.extract_pages import extract_pages
 
     manifest = PartitionManifest(out_dir)
+    # a resume with a DIFFERENT num_parts would interpret done part_ids
+    # under a new hash scheme — silently skipping never-extracted rows and
+    # keeping stale ones. Refuse loudly (round-2 review finding).
+    for e in manifest.entries():
+        prev = e.get("num_parts")
+        if prev is not None and prev != num_parts:
+            raise ValueError(
+                f"manifest at {out_dir} was written with num_parts={prev}; "
+                f"resuming with num_parts={num_parts} would mix two "
+                "incompatible partitioning schemes — use the original value"
+            )
     done = manifest.done_parts()
     todo_all = [p for p in range(num_parts) if p not in done]
 

@@ -140,7 +140,19 @@ class SnapshotCatalog:
             "files": base_files + new_files,
         }
         snap_path = md / f"snap-{sid:08d}.json"
-        snap_path.write_text(json.dumps(snap, sort_keys=True), encoding="utf-8")
+        # fsync the snapshot file (and its directory entry) BEFORE the HEAD
+        # flip — an fsynced HEAD pointing at a torn/empty snap file after a
+        # power loss would make the table unreadable instead of serving the
+        # previous snapshot (round-2 review finding)
+        with open(snap_path, "w", encoding="utf-8") as f:
+            f.write(json.dumps(snap, sort_keys=True))
+            f.flush()
+            os.fsync(f.fileno())
+        dfd = os.open(md, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
         # 3. atomic publish: temp + rename of the HEAD pointer
         tmp = md / f".{HEAD_FILE}.{uuid.uuid4().hex}"

@@ -18,7 +18,18 @@ inline strings (no sharedStrings table needed); formulas are never emitted.
 from __future__ import annotations
 
 import zipfile
-from xml.sax.saxutils import escape
+import re as _re
+
+from xml.sax.saxutils import escape, quoteattr
+
+# XML 1.0 cannot represent most C0 control chars at all (even escaped);
+# OCR text routinely contains \x0c form feeds — encode them the way Excel
+# itself does (_x000C_-style) so the workbook stays openable.
+_XML_ILLEGAL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_text(s: str) -> str:
+    return escape(_XML_ILLEGAL.sub(lambda m: f"_x{ord(m.group()):04X}_", s))
 
 from pyspark.sql import DataFrame
 
@@ -65,7 +76,7 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-        f"{escape(str(value))}</t></is></c>"
+        f"{_xml_text(str(value))}</t></is></c>"
     )
 
 
@@ -101,7 +112,7 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
         raise ValueError("at least one sheet required")
     names = list(sheets)
     sheet_tags = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        f'<sheet name={quoteattr(n)} sheetId="{i+1}" r:id="rId{i+1}"/>'
         for i, n in enumerate(names)
     )
     rels = "".join(

@@ -41,21 +41,27 @@ def _quota_fn(quota: int):
     import pandas as pd
 
     def enforce(key, pdfs, state: GroupState):
+        # A group arrives as an ITERATOR of Arrow chunks (~10k rows each);
+        # the deterministic "(warc_ts, url) first" contract must hold over
+        # the WHOLE group, so keep a running best-of set of at most `room`
+        # rows across chunks (memory bounded by room + one chunk) — taking
+        # per-chunk would make the output depend on Arrow chunking
+        # (round-2 review finding; pinned by
+        # test_host_quota_stream_multi_chunk_determinism).
         taken = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            if taken >= quota:
-                continue  # must drain the iterator regardless
-            pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-            room = quota - taken
-            take = pdf.iloc[:room]
-            taken += len(take)
-            if len(take):
-                out.append(take)
-        state.update((taken,))
-        if out:
-            yield from out
+        room = quota - taken
+        best = None
+        for pdf in pdfs:  # must drain the iterator regardless
+            if room <= 0 or not len(pdf):
+                continue
+            cand = pdf if best is None else pd.concat([best, pdf])
+            cand = cand.sort_values(["warc_ts", "url"], kind="mergesort")
+            best = cand.iloc[:room]
+        if best is not None and len(best):
+            state.update((taken + len(best),))
+            yield best
         else:
+            state.update((taken,))
             yield pd.DataFrame(columns=[f.name for f in PAGES_SCHEMA.fields] + ["host"])
 
     return enforce

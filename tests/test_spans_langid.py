@@ -47,3 +47,38 @@ def test_langid_stopwords():
 def test_langid_empty():
     assert detect_lang("") == "und"
     assert detect_lang("12345 67890") == "und"
+
+
+def test_spans_unicode_digits_match_naive():
+    """Round-2 review regression: the window prescan must cover Unicode
+    digits (\\d), not just ASCII — spans in Arabic-Indic or fullwidth
+    digits used to fall outside every window and vanish. Cross-checked
+    against a windowless naive implementation over mixed corpora."""
+    import bisect
+    import re
+
+    from final_ocr_spark.extract.spans import AMOUNT_RE, DATE_RE, ID_RE
+
+    def naive(text):
+        out, accepted = [], []
+        for rx, kind in [(DATE_RE, "date"), (ID_RE, "id"), (AMOUNT_RE, "amount")]:
+            for m in rx.finditer(text):
+                s, e = m.span()
+                if any(s < ae and as_ < e for as_, ae in accepted):
+                    continue
+                accepted.append((s, e))
+                out.append((s, e, kind))
+            accepted.sort()
+        return sorted(out)
+
+    cases = [
+        "invoice ١٢٣٤٥٦ total",   # Arabic-Indic id
+        "date ２０２４-０１-０２ end",  # fullwidth
+        "mixed 123456 and ۱۲۳۴۵۶ ids",  # ext Arabic
+        "plain 2024-01-02 $1,234.56 and 987654 tail",
+        "no digits at all here",
+    ]
+    for text in cases:
+        assert label_value_spans(text) == naive(text), text
+    # the Arabic-Indic id must actually be FOUND (the old ASCII window lost it)
+    assert label_value_spans(cases[0]) != []

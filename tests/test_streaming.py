@@ -91,3 +91,31 @@ def test_host_quota_state_survives_micro_batches(spark, tmp_path):
                     host_quota_batch(both, quota=5).groupBy("host")
                     .agg(F.count("*").alias("n")).collect()}
     assert batch_counts == per_host2
+
+
+def test_host_quota_stream_multi_chunk_determinism(spark, tmp_path):
+    """Round-2 review regression: with Arrow batches far smaller than a
+    host's group, the quota must still select the globally (warc_ts, url)
+    earliest rows — per-chunk selection would depend on Arrow chunking."""
+    from pyspark.sql import functions as F
+
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+    from final_ocr_spark.streaming.stateful import host_quota_batch, host_quota_stream
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "gated_out")
+    ckpt = str(tmp_path / "ckpt")
+    gen_pages(spark, 120, seed=7, partitions=1).write.parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        q = host_quota_stream(spark, in_dir, out_dir, ckpt, quota=4)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {(r["host"], r["url"]) for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["host"], r["url"]) for r in
+            host_quota_batch(spark.read.parquet(in_dir), quota=4).collect()}
+    assert got == want
