@@ -105,3 +105,18 @@ def test_s9_localized_report(spark, tmp_path):
     assert n == 1
     txt = (tmp_path / "reports" / "7.txt").read_text(encoding="utf-8")
     assert txt == ar
+
+
+def test_xlsx_control_chars_and_quoted_sheet_names(tmp_path):
+    """Round-2 review regression: C0 control chars must be encoded
+    _x000C_-style (XML 1.0 cannot carry them even escaped) and sheet names
+    containing double quotes must not break the name attribute."""
+    from final_ocr_spark.sources.xlsx import write_xlsx
+
+    p = str(tmp_path / "ctl.xlsx")
+    write_xlsx(p, {'Q3 "final"': [["head"], ["page\x0cbreak & <tag>"]]})
+    # workbook.xml parses and the quoted name round-trips
+    assert _sheet_names(p) == ['Q3 "final"']
+    # worksheet parses; control char encoded, markup escaped
+    rows = _read_sheet(p)
+    assert rows[1][0] == "page_x000C_break & <tag>"
