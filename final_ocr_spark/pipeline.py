@@ -15,6 +15,8 @@ to a training-ready corpus, composed from the engine's tested operators.
       6. host cap         at most N docs per host (skew-safe salted cap)
       7. sample           optional deterministic md5 sample (stable across
                           reruns and cluster sizes)
+    plus optional benchmark decontamination (13-gram overlap removal)
+    between 5 and 6 when an eval-set DataFrame is supplied.
 
 Each stage is independently oracle-checked through the driver contract
 (q19/q38-q43); this module only WIRES them, adding no new semantics — the
@@ -65,6 +67,8 @@ def corpus_pipeline(
     host_cap: int | None = None,
     sample_rate: float | None = None,
     sample_salt: str = "corpus",
+    benchmark: DataFrame | None = None,
+    benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
@@ -111,6 +115,18 @@ def corpus_pipeline(
         )
         clusters = dedup_clusters(verified)
         docs = keep_cluster_representatives(docs, clusters, key="url")
+
+    # 5b. benchmark decontamination (optional): drop docs sharing an n-gram
+    # with the eval set — broadcast semi-join on gram hashes, corpus-side
+    # rides its scan
+    if benchmark is not None:
+        from final_ocr_spark.operators.decontaminate import decontaminate
+
+        docs = decontaminate(
+            docs, benchmark, key="url", text_col="text",
+            bench_key=benchmark.columns[0], bench_text_col="text",
+            n=benchmark_ngram,
+        )
 
     # 6. per-host cap (skew-safe)
     if host_cap is not None:

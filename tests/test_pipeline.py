@@ -85,3 +85,21 @@ def test_corpus_pipeline_sample_and_toggles(spark):
     )
     assert sorted(r["url"] for r in sampled.collect()) == sorted(
         r["url"] for r in again.collect())
+
+
+def test_corpus_pipeline_decontamination(spark):
+    rows = [
+        ("https://a.example.com/1", GOOD),
+        ("https://c.example.com/3",
+         "it was the best of times it was the worst of times it was the age "
+         "of wisdom it was the age of foolishness it was the epoch of belief"),
+    ]
+    bench = spark.createDataFrame(
+        [(1, "it was the best of times it was the worst of times it was the age")],
+        ["qid", "text"])
+    out = corpus_pipeline(
+        _pages(spark, rows), near_dup=False, gopher=False, redact=False,
+        benchmark=bench,
+    ).collect()
+    urls = [r["url"] for r in out]
+    assert urls == ["https://a.example.com/1"]  # contaminated doc dropped
