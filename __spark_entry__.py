@@ -1015,6 +1015,36 @@ def _q49_sessionize(spark, sf):
     )
 
 
+def _q50_count_min(spark, sf):
+    """Count-min sketch term-frequency estimates (md5-bucketed, engine-
+    independent): sketch built over corpus words in one bounded aggregation
+    (≤ depth×256 rows regardless of corpus size), probed for pinned terms;
+    exact counts alongside prove the one-sided error bound."""
+    from final_ocr_spark.operators.dedup import sketch_words
+    from final_ocr_spark.operators.sketches import cms_build, cms_lookup
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(sketch_words("text")).alias("tok"))
+    cms = cms_build(toks, "tok", depth=4)
+    terms = spark.createDataFrame(
+        [(t,) for t in ["data", "join", "spark", "window", "zzz_absent"]],
+        ["term"],
+    )
+    est = cms_lookup(cms, terms, "term", depth=4)
+    exact = toks.groupBy(F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0).cast("long")).alias("exact_count"),
+        )
+        .orderBy("term")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -1066,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_url_canonicalize": _q47_url_canonicalize,
         "q48_asof_join": _q48_asof_join,
         "q49_sessionize": _q49_sessionize,
+        "q50_count_min": _q50_count_min,
     }
 
 
@@ -1545,6 +1576,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q50_count_min": """
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split_regex(
+                         lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                         '\\s+'), w -> w != '')) AS tok
+                FROM documents
+            ),
+            terms(term) AS (
+                VALUES ('data'), ('join'), ('spark'), ('window'), ('zzz_absent')
+            ),
+            buckets AS (
+                SELECT d,
+                       substr(md5('cms:' || CAST(d AS VARCHAR) || tok), 1, 2) AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM toks, range(4) r(d)
+                GROUP BY 1, 2
+            ),
+            lookups AS (
+                SELECT t.term, r.d,
+                       substr(md5('cms:' || CAST(r.d AS VARCHAR) || t.term), 1, 2) AS bucket
+                FROM terms t, range(4) r(d)
+            ),
+            est AS (
+                SELECT term, CAST(min(coalesce(b.cnt, 0)) AS BIGINT) AS est_count
+                FROM lookups l LEFT JOIN buckets b USING (d, bucket)
+                GROUP BY term
+            ),
+            exact AS (
+                SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact_count
+                FROM toks GROUP BY 1
+            )
+            SELECT term, est_count, coalesce(e.exact_count, 0) AS exact_count
+            FROM est LEFT JOIN exact e USING (term)
+            ORDER BY term
         """,
         "q48_asof_join": """
             SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value
