@@ -32,12 +32,16 @@ AMOUNT_RE = re.compile(
 # separators. One cheap pass over this class finds the only regions where the
 # heavy patterns can match at all — letters (most of a document) are skipped
 # at C speed instead of being probed by three alternation patterns.
-# \d (NOT [0-9]): the heavy patterns use Unicode-aware \d, so the window
-# class must cover every Unicode digit too — with ASCII [0-9] a date/id
-# written in Arabic-Indic or fullwidth digits fell outside every window and
-# its span was silently dropped (round-2 review finding; pinned by
-# test_spans_unicode_digits_match_naive).
-_WINDOW_RE = re.compile(r"[\d$€£][\d$€£,./\s-]*")
+# TWO window classes: the heavy patterns use Unicode-aware \d, so the window
+# must cover every Unicode digit — with ASCII [0-9] alone, a date/id written
+# in Arabic-Indic or fullwidth digits fell outside every window and its span
+# was silently dropped (round-2 review finding; pinned by
+# test_spans_unicode_digits_match_naive). But the \d class scans 2× slower
+# (measured 0.066 s → 0.135 s per 2000 prescans), so pure-ASCII documents —
+# which provably contain no Unicode digits — dispatch to the ASCII class via
+# str.isascii() (~40 ns, C-level).
+_WINDOW_RE_ASCII = re.compile(r"[0-9$][0-9$,./\s-]*")
+_WINDOW_RE_UNI = re.compile(r"[\d$€£][\d$€£,./\s-]*")
 
 
 def label_value_spans(text: str) -> list[tuple[int, int, str]]:
@@ -57,9 +61,10 @@ def label_value_spans(text: str) -> list[tuple[int, int, str]]:
     import bisect
 
     n = len(text)
+    window_re = _WINDOW_RE_ASCII if text.isascii() else _WINDOW_RE_UNI
     windows = [
         (max(m.start() - 1, 0), min(m.end() + 1, n))
-        for m in _WINDOW_RE.finditer(text)
+        for m in window_re.finditer(text)
     ]
     out: list[tuple[int, int, str]] = []
     accepted: list[tuple[int, int]] = []  # sorted, disjoint
