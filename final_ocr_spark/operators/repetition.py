@@ -40,9 +40,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_LONG0 = "CAST(0 AS LONG)"
-
-
 def _zero() -> Column:
     return F.lit(0).cast("long")
 

@@ -34,14 +34,21 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1 << 16  # sampling granularity: 1/65536
 
 
+def md5_hex_bucket(col, salt: str = "", hex_chars: int = 4) -> Column:
+    """Engine-independent uniform bucket: the first ``hex_chars`` hex chars
+    of md5(salt || value), as the hex STRING — fixed-length lowercase hex
+    compares lexicographically == numerically, so consumers compare against
+    a hex threshold (or group on the string) and never parse integers. The
+    expression is identical in any engine with md5 + substring; shared by
+    the deterministic sampler here and the count-min sketch
+    (operators/sketches.py)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary"))
+    return F.substring(h, 1, hex_chars)
+
+
 def sample_bucket(key_col, salt: str = "") -> Column:
-    """Engine-independent uniform bucket in [0, 65536): the first 4 hex
-    chars of md5(salt || key). Returned as the hex STRING — fixed-length
-    lowercase hex compares lexicographically == numerically, so consumers
-    compare against a hex threshold and never parse integers (keeps the
-    expression identical in any engine with md5 + substring)."""
-    h = F.md5(F.concat(F.lit(salt), key_col.cast("string")).cast("binary"))
-    return F.substring(h, 1, 4)
+    """Uniform bucket in [0, 65536) as 4 hex chars (see md5_hex_bucket)."""
+    return md5_hex_bucket(key_col, salt, 4)
 
 
 def deterministic_sample(

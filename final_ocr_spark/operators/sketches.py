@@ -29,11 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from final_ocr_spark.operators.sampling import md5_hex_bucket
+
 WIDTH = 256  # buckets per depth row: 2 hex chars of md5
 
 
 def _bucket(token, seed: str):
-    return F.substring(F.md5(F.concat(F.lit(seed), token).cast("binary")), 1, 2)
+    return md5_hex_bucket(token, seed, 2)
 
 
 def cms_build(
