@@ -34,10 +34,14 @@ def url_parts(url) -> dict[str, Column]:
     """scheme/host/port/path/query as Columns ('' when absent)."""
     u = F.trim(url)
     auth = F.regexp_extract(u, _URL_RE, 2)
+    # IPv6 literals bracket the host ([::1]); the colon split must not eat
+    # them, so bracketed authorities take the whole [...] as host
+    v6 = F.regexp_extract(auth, r"^(\[[^\]]*\])", 1)
+    host = F.when(v6 != "", v6).otherwise(F.regexp_extract(auth, r"^([^:]*)", 1))
     return {
         "scheme": F.lower(F.regexp_extract(u, _URL_RE, 1)),
-        "host": F.lower(F.regexp_extract(auth, r"^([^:]*)", 1)),
-        "port": F.regexp_extract(auth, r":([0-9]+)$", 1),
+        "host": F.lower(host),
+        "port": F.regexp_extract(auth, r"[^:](?::([0-9]+))$", 1),
         "path": F.regexp_extract(u, _URL_RE, 3),
         "query": F.regexp_extract(u, _URL_RE, 4),
     }

@@ -53,3 +53,17 @@ def test_url_parts(spark):
     r = df.select(*[c.alias(k) for k, c in p.items()]).collect()[0].asDict()
     assert r == {"scheme": "https", "host": "host.com", "port": "9090",
                  "path": "/a/b", "query": "q=1"}
+
+
+def test_ipv6_authorities(spark):
+    cases = {
+        "http://[::1]:8080/x": {"host": "[::1]", "port": "8080"},
+        "https://[2001:db8::1]/y": {"host": "[2001:db8::1]", "port": ""},
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    p = url_parts(F.col("u"))
+    rows = df.select(p["host"].alias("h"), p["port"].alias("p")).collect()
+    for (u, want), r in zip(cases.items(), rows):
+        assert (r["h"], r["p"]) == (want["host"], want["port"]), u
+    # normalization keeps the bracketed host intact
+    assert _norm(spark, ["http://[::1]:8080/x/"]) == ["http://[::1]:8080/x"]
