@@ -1045,6 +1045,45 @@ def _q50_count_min(spark, sf):
     )
 
 
+def _q51_incremental_dedup(spark, sf):
+    """Incremental near-dup detection: a new batch (fresh docs + planted
+    truncated copies of historical ones) checked against the EXISTING
+    corpus via its precomputed signature table — the historical corpus is
+    never re-sketched. Exact 5-gram verify on the candidates makes
+    brute-force new×hist SQL a valid oracle (LSH recall ≈ 1 at J≥0.85)."""
+    from final_ocr_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_sigs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") < 400)
+    planted = (
+        hist.filter((F.col("doc_id") % 25 == 0) & (F.length("text") > 200))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) - 12)").alias("text"),
+        )
+    )
+    new = d.filter(F.col("doc_id") >= 400).unionByName(planted)
+    hist_sigs = minhash_sigs(hist, num_hashes=32)
+    cand = incremental_near_dups(
+        new, hist_sigs, num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).select(F.col("new_key").alias("key_a"), F.col("hist_key").alias("key_b"))
+    union = d.unionByName(planted)
+    return (
+        ngram_jaccard_pairs(union, cand, key="doc_id", text_col="text", n=5)
+        .filter(F.col("jaccard") >= 0.85)
+        .select(
+            F.col("key_a").alias("new_key"),
+            F.col("key_b").alias("hist_key"),
+            "jaccard",
+        )
+        .orderBy("new_key", "hist_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_rollup": _q1_rollup,
@@ -1097,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_join": _q48_asof_join,
         "q49_sessionize": _q49_sessionize,
         "q50_count_min": _q50_count_min,
+        "q51_incremental_dedup": _q51_incremental_dedup,
     }
 
 
@@ -1576,6 +1616,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "q51_incremental_dedup": """
+            WITH hist AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 400
+            ),
+            newb AS (
+                SELECT doc_id, text FROM documents WHERE doc_id >= 400
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id,
+                       substring(text, 1, length(text) - 12) AS text
+                FROM documents
+                WHERE doc_id < 400 AND doc_id % 25 = 0 AND length(text) > 200
+            ),
+            hg AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+4], ' ')
+                         FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(
+                               lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                               '\\s+'), w -> w != '') AS ws
+                      FROM hist)
+                WHERE len(ws) >= 5
+            ),
+            ng AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+4], ' ')
+                         FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(
+                               lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                               '\\s+'), w -> w != '') AS ws
+                      FROM newb)
+                WHERE len(ws) >= 5
+            )
+            SELECT n.doc_id AS new_key, h.doc_id AS hist_key,
+                   len(list_intersect(n.g, h.g)) * 1.0 /
+                     greatest(len(list_distinct(list_concat(n.g, h.g))), 1) AS jaccard
+            FROM ng n CROSS JOIN hg h
+            WHERE len(list_intersect(n.g, h.g)) * 1.0 /
+                  greatest(len(list_distinct(list_concat(n.g, h.g))), 1) >= 0.85
+            ORDER BY new_key, hist_key
         """,
         "q50_count_min": """
             WITH toks AS (

@@ -354,6 +354,32 @@ def minhash_sigs_oph(
     return m.select("k", sig.alias("sig"))
 
 
+def band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(k, band, bucket) LSH band-bucket rows from a (k, sig) signature
+    table. Bucket rows are SLIM (key + band + 64-bit bucket hash) —
+    signatures rejoin only for surviving pairs; the sigs table is tiny
+    relative to the corpus (num_hashes longs per doc). Shared by in-corpus
+    (minhash_near_dups) and incremental (incremental_near_dups) banding."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+    return sigs.select("k", F.explode(band_arr).alias("bb")).select(
+        "k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     key: str = "doc_id",
@@ -393,28 +419,7 @@ def minhash_near_dups(
     # production LSH layout; the in-session form here optimizes the
     # single-tenant batch case.
     sigs = sigs.localCheckpoint(eager=False)
-
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket"),
-        ),
-    )
-    # bucket rows are SLIM (key + band + bucket hash) — signatures rejoin
-    # only for the surviving distinct pairs (sigs table is tiny relative to
-    # the corpus: num_hashes longs per doc → broadcast-friendly)
-    buckets = sigs.select(
-        "k", F.explode(band_arr).alias("bb")
-    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = band_buckets(sigs, bands, rows_per_band)
 
     # candidate pairs: self-join within (band, bucket). Skew guard: a
     # degenerate bucket (all-identical boilerplate) is capped via row_number.
@@ -446,6 +451,63 @@ def minhash_near_dups(
         verified.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("key_a", "key_b", "est_jaccard")
+    )
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    hist_sigs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus — the
+    corpus-maintenance shape: the historical side arrives as its
+    PRECOMPUTED ``(k, sig)`` signature table (built once by
+    :func:`minhash_sigs` and persisted alongside the corpus), so each new
+    batch costs O(|new|) sketch work plus a band join against stored
+    buckets — the 10^12-doc corpus is never re-sketched or re-scanned.
+
+    Returns (new_key, hist_key, est_jaccard). Within-batch duplicates are
+    the caller's separate minhash_near_dups pass; historical signatures
+    must have been built with the SAME num_hashes/shingle_k (positions are
+    only comparable within one family)."""
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_sigs(
+        new_df, key=key, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    ).localCheckpoint(eager=False)
+    nb = band_buckets(new_sigs, bands, rows_per_band)
+    hb = band_buckets(hist_sigs, bands, rows_per_band)
+    pairs = (
+        nb.join(
+            hb.select(
+                F.col("k").alias("hist_key"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(F.col("k").alias("new_key"), "hist_key")
+        .distinct()
+    )
+    sa = new_sigs.select(F.col("k").alias("new_key"), F.col("sig").alias("sig_a"))
+    sb = hist_sigs.select(F.col("k").alias("hist_key"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.join(sa, "new_key")
+        .join(sb, "hist_key")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_key", "hist_key", "est_jaccard")
     )
 
 

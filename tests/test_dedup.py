@@ -265,3 +265,21 @@ def test_minhash_short_docs_no_densification_bias(spark):
     sigs = {r["k"]: r["sig"] for r in minhash_sigs(df, num_hashes=64).collect()}
     frac = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 64
     assert 0.1 < frac < 0.6, frac
+
+
+def test_incremental_near_dups(spark, corpus):
+    """New-batch-vs-historical dedup: the historical side is a precomputed
+    signature table; a new doc near-duplicating a historical one must pair,
+    a fresh doc must not."""
+    from final_ocr_spark.operators.dedup import incremental_near_dups, minhash_sigs
+
+    hist_sigs = minhash_sigs(corpus)  # docs 1-5
+    new = spark.createDataFrame(
+        [(100, corpus.filter("doc_id = 1").collect()[0]["text"] + " tiny tail"),
+         (101, "genuinely new content about astronomy and the slow drift of "
+               "stars across the northern sky during long winter nights")],
+        ["doc_id", "text"])
+    pairs = incremental_near_dups(new, hist_sigs, jaccard_threshold=0.5)
+    got = {(r["new_key"], r["hist_key"]) for r in pairs.collect()}
+    assert (100, 1) in got
+    assert all(nk != 101 for nk, _ in got)
