@@ -119,3 +119,25 @@ def test_host_quota_stream_multi_chunk_determinism(spark, tmp_path):
     want = {(r["host"], r["url"]) for r in
             host_quota_batch(spark.read.parquet(in_dir), quota=4).collect()}
     assert got == want
+
+
+def test_stream_extract_drops_in_batch_duplicates(spark, tmp_path):
+    """The watermarked dropDuplicates must collapse exact (url, warc_ts)
+    duplicates inside a micro-batch; corpus-level latest-wins across far
+    apart re-crawls stays a batch-dedup concern (module docstring)."""
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+    from final_ocr_spark.streaming.stream_extract import stream_extract_pages
+
+    in_dir = str(tmp_path / "pages_in")
+    pages = gen_pages(spark, 30, seed=3, partitions=1)
+    pages.write.mode("append").parquet(in_dir)
+    pages.write.mode("append").parquet(in_dir)  # the whole corpus duplicated
+    q = stream_extract_pages(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # the dedup key is (url, warc_ts): the doubled corpus collapses back to
+    # one row per original page (the generator itself plants same-url
+    # re-crawls with different warc_ts — those legitimately survive)
+    assert out.count() == 30
+    assert out.select("url", "warc_ts").distinct().count() == 30
