@@ -1316,11 +1316,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_net_repair": """
             SELECT l_returnflag,
-                   sum(CASE WHEN abs(claimed_c - computed_c) > 10
-                            THEN computed_c ELSE claimed_c END) AS sum_net_repaired_cents,
-                   sum(CASE WHEN claimed_c != (CASE WHEN abs(claimed_c - computed_c) > 10
+                   -- CAST: DuckDB sum() over integers widens to HUGEINT (int128);
+                   -- Spark emits BIGINT.  Values are identical; only the declared
+                   -- type diverged, which the driver's type-sensitive hash catches.
+                   CAST(sum(CASE WHEN abs(claimed_c - computed_c) > 10
+                            THEN computed_c ELSE claimed_c END) AS BIGINT) AS sum_net_repaired_cents,
+                   CAST(sum(CASE WHEN claimed_c != (CASE WHEN abs(claimed_c - computed_c) > 10
                                                     THEN computed_c ELSE claimed_c END)
-                            THEN 1 ELSE 0 END) AS n_repaired
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired
             FROM (SELECT l_returnflag,
                          CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
                          CAST(floor(l_quantity) AS BIGINT) AS qty,
@@ -1335,7 +1338,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag
         """,
         "q13_vat_additivity": """
-            SELECT sum(CASE WHEN abs(gross_c - (net_c + vat_c)) < 2 THEN 1 ELSE 0 END) AS n_ok,
+            SELECT CAST(sum(CASE WHEN abs(gross_c - (net_c + vat_c)) < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ok,  -- BIGINT: DuckDB integer sum() is HUGEINT
                    count(*) AS n_total
             FROM (SELECT net_c, vat_c,
                          net_c + vat_c +
@@ -1527,10 +1531,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q33_sanity_rules": """
             SELECT l_returnflag,
-                   sum(CASE WHEN qty_raw < 1000 THEN CAST(qty_raw AS BIGINT)
-                            ELSE 1 END) AS sum_sane_qty,
-                   sum(CASE WHEN qty_raw >= 1000 THEN 1 ELSE 0 END) AS n_qty_capped,
-                   sum(CASE WHEN amount > 1000000 THEN 1 ELSE 0 END) AS n_suspicious,
+                   -- CAST: DuckDB integer sum() widens to HUGEINT; Spark emits BIGINT
+                   CAST(sum(CASE WHEN qty_raw < 1000 THEN CAST(qty_raw AS BIGINT)
+                            ELSE 1 END) AS BIGINT) AS sum_sane_qty,
+                   CAST(sum(CASE WHEN qty_raw >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_capped,
+                   CAST(sum(CASE WHEN amount > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious,
                    count(*) AS n_rows
             FROM (SELECT l_returnflag,
                          CASE WHEN l_orderkey % 9 = 0
