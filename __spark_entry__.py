@@ -372,7 +372,10 @@ def _verified_near_dup_pairs(corpus, jaccard: float = 0.85):
 
 def _q19_minhash_pairs(spark, sf):
     """MinHash+LSH candidate generation + EXACT shingle-jaccard verify — the
-    full production near-dup pipeline (recall stage + precision stage).
+    full production near-dup pipeline (recall stage + precision stage) —
+    PLUS the incremental variant (new batch vs precomputed historical
+    signature table) as stage='incr' rows, so both dedup modes sit behind
+    one driver correctness row (the driver gate checks 50 queries).
 
     Near-dups are planted by appending truncated copies of every 40th doc.
     The final filter is on EXACT 5-gram jaccard (not the minhash estimate),
@@ -380,9 +383,13 @@ def _q19_minhash_pairs(spark, sf):
     recall at jaccard≥0.85 is total, which banding theory puts at
     P(miss) ≈ (1−0.85⁴)¹⁶ < 1e-5 per pair and which holds on this corpus.
     """
-    return _verified_near_dup_pairs(_mutated_corpus(spark, sf)).orderBy(
-        "key_a", "key_b"
+    full = _verified_near_dup_pairs(_mutated_corpus(spark, sf)).select(
+        F.lit("full").alias("stage"), "key_a", "key_b", "jaccard"
     )
+    incr = _incremental_near_dup_pairs(spark, sf).select(
+        F.lit("incr").alias("stage"), "key_a", "key_b", "jaccard"
+    )
+    return full.unionByName(incr).orderBy("stage", "key_a", "key_b")
 
 
 def _q20_simhash_pairs(spark, sf):
@@ -1045,12 +1052,14 @@ def _q50_count_min(spark, sf):
     )
 
 
-def _q51_incremental_dedup(spark, sf):
+def _incremental_near_dup_pairs(spark, sf):
     """Incremental near-dup detection: a new batch (fresh docs + planted
     truncated copies of historical ones) checked against the EXISTING
     corpus via its precomputed signature table — the historical corpus is
     never re-sketched. Exact 5-gram verify on the candidates makes
-    brute-force new×hist SQL a valid oracle (LSH recall ≈ 1 at J≥0.85)."""
+    brute-force new×hist SQL a valid oracle (LSH recall ≈ 1 at J≥0.85).
+    Surfaced to the driver as q19's stage='incr' rows (formerly q51, which
+    sat past the driver's 50-query cap and never got a correctness row)."""
     from final_ocr_spark.operators.dedup import (
         incremental_near_dups,
         minhash_sigs,
@@ -1075,12 +1084,7 @@ def _q51_incremental_dedup(spark, sf):
     return (
         ngram_jaccard_pairs(union, cand, key="doc_id", text_col="text", n=5)
         .filter(F.col("jaccard") >= 0.85)
-        .select(
-            F.col("key_a").alias("new_key"),
-            F.col("key_b").alias("hist_key"),
-            "jaccard",
-        )
-        .orderBy("new_key", "hist_key")
+        .select("key_a", "key_b", "jaccard")
     )
 
 
@@ -1136,7 +1140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_join": _q48_asof_join,
         "q49_sessionize": _q49_sessionize,
         "q50_count_min": _q50_count_min,
-        "q51_incremental_dedup": _q51_incremental_dedup,
     }
 
 
@@ -1413,12 +1416,44 @@ def oracle_sql() -> dict[str, str]:
                                       FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
                 FROM toks WHERE len(ws) >= 5
             )
-            SELECT key_a, key_b, jaccard
+            SELECT 'full' AS stage, key_a, key_b, jaccard
             FROM (SELECT a.doc_id AS key_a, b.doc_id AS key_b,
                          len(list_intersect(a.g, b.g)) * 1.0 /
                            greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS jaccard
                   FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.85
+            UNION ALL
+            -- incremental mode: new batch vs historical corpus only (formerly q51)
+            SELECT 'incr' AS stage, n.doc_id AS key_a, h.doc_id AS key_b,
+                   len(list_intersect(n.g, h.g)) * 1.0 /
+                     greatest(len(list_distinct(list_concat(n.g, h.g))), 1) AS jaccard
+            FROM (SELECT doc_id,
+                         list_distinct([array_to_string(ws[i:i+4], ' ')
+                           FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                  FROM (SELECT doc_id,
+                               list_filter(string_split_regex(
+                                 lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                                 '\\s+'), w -> w != '') AS ws
+                        FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+                              UNION ALL
+                              SELECT doc_id + 2000000 AS doc_id,
+                                     substring(text, 1, length(text) - 12) AS text
+                              FROM documents
+                              WHERE doc_id < 400 AND doc_id % 25 = 0
+                                AND length(text) > 200))
+                  WHERE len(ws) >= 5) n
+            CROSS JOIN
+                 (SELECT doc_id,
+                         list_distinct([array_to_string(ws[i:i+4], ' ')
+                           FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
+                  FROM (SELECT doc_id,
+                               list_filter(string_split_regex(
+                                 lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
+                                 '\\s+'), w -> w != '') AS ws
+                        FROM documents WHERE doc_id < 400)
+                  WHERE len(ws) >= 5) h
+            WHERE len(list_intersect(n.g, h.g)) * 1.0 /
+                  greatest(len(list_distinct(list_concat(n.g, h.g))), 1) >= 0.85
         """,
         "q22_doc_fingerprint": """
             SELECT doc_id, md5(norm) AS fingerprint, length(norm) // 100 AS len_bucket
@@ -1482,8 +1517,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey AS doc_key,
                    CAST(l_orderkey + 10000000 AS VARCHAR) AS inv_id,
                    count(*) AS n_items,
-                   round(sum(qty * price * 1.0), 2) AS sum_net,
-                   round(sum((qty * price * 11) // 10 * 1.0), 2) AS sum_gross
+                   CAST(round(sum(qty * price * 1.0), 2) AS DOUBLE) AS sum_net,
+                   CAST(round(sum((qty * price * 11) // 10 * 1.0), 2) AS DOUBLE) AS sum_gross
             FROM (SELECT l_orderkey,
                          (l_orderkey % 5 + 1) AS qty,
                          ((l_partkey % 90 + 10) * 10) AS price
@@ -1555,7 +1590,7 @@ def oracle_sql() -> dict[str, str]:
                    'Street ' || CAST(c_custkey AS VARCHAR) || ' Cityville' ||
                      ' discount $ ' || CAST(c_custkey % 50 AS VARCHAR) || '.25'
                      AS party_address,
-                   (c_custkey % 50) + 0.25 AS discount_value
+                   CAST((c_custkey % 50) + 0.25 AS DOUBLE) AS discount_value
             FROM customer
         """,
         "q35_name_cleanup": """
@@ -1621,48 +1656,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS doc_id, MIN(r) AS cluster_id,
                    (n = MIN(r)) AS is_representative
             FROM reach GROUP BY n ORDER BY doc_id
-        """,
-        "q51_incremental_dedup": """
-            WITH hist AS (
-                SELECT doc_id, text FROM documents WHERE doc_id < 400
-            ),
-            newb AS (
-                SELECT doc_id, text FROM documents WHERE doc_id >= 400
-                UNION ALL
-                SELECT doc_id + 2000000 AS doc_id,
-                       substring(text, 1, length(text) - 12) AS text
-                FROM documents
-                WHERE doc_id < 400 AND doc_id % 25 = 0 AND length(text) > 200
-            ),
-            hg AS (
-                SELECT doc_id,
-                       list_distinct([array_to_string(ws[i:i+4], ' ')
-                         FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
-                FROM (SELECT doc_id,
-                             list_filter(string_split_regex(
-                               lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
-                               '\\s+'), w -> w != '') AS ws
-                      FROM hist)
-                WHERE len(ws) >= 5
-            ),
-            ng AS (
-                SELECT doc_id,
-                       list_distinct([array_to_string(ws[i:i+4], ' ')
-                         FOR i IN range(1, greatest(len(ws) - 3, 1))]) AS g
-                FROM (SELECT doc_id,
-                             list_filter(string_split_regex(
-                               lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')),
-                               '\\s+'), w -> w != '') AS ws
-                      FROM newb)
-                WHERE len(ws) >= 5
-            )
-            SELECT n.doc_id AS new_key, h.doc_id AS hist_key,
-                   len(list_intersect(n.g, h.g)) * 1.0 /
-                     greatest(len(list_distinct(list_concat(n.g, h.g))), 1) AS jaccard
-            FROM ng n CROSS JOIN hg h
-            WHERE len(list_intersect(n.g, h.g)) * 1.0 /
-                  greatest(len(list_distinct(list_concat(n.g, h.g))), 1) >= 0.85
-            ORDER BY new_key, hist_key
         """,
         "q50_count_min": """
             WITH toks AS (

@@ -670,7 +670,7 @@ def simhash_near_dups(
 
 def dedup_clusters(
     pairs: DataFrame, key_a: str = "key_a", key_b: str = "key_b",
-    max_iters: int = 25,
+    max_iters: int = 25, algorithm: str = "jump", _stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTER formation: connected components over the candidate
     pair graph → (key, cluster_id) with cluster_id = min key in the
@@ -689,7 +689,22 @@ def dedup_clusters(
     Each round is two shuffle-joins + one aggregation; lineage is cut per
     round with localCheckpoint so plans stay constant-size. Deterministic:
     min is order-independent.
+
+    ``algorithm="star"`` selects the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) instead: the state is the EDGE set itself (never a separate
+    label table), each half-round is one groupBy + one join over edges,
+    and edges only ever point downward toward smaller ids — the shape that
+    survives path-like 100 TB-scale graphs where label-table joins churn.
+    Same output contract, same determinism, converges in fewer rounds on
+    long paths (pinned by test_dedup_clusters_star_long_path).
+
+    ``_stats`` (optional dict) receives {"rounds": n} for instrumentation.
     """
+    if algorithm == "star":
+        return _dedup_clusters_star(pairs, key_a, key_b, max_iters, _stats)
+    if algorithm != "jump":
+        raise ValueError(f"unknown algorithm {algorithm!r}; use 'jump' or 'star'")
     edges = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -699,7 +714,8 @@ def dedup_clusters(
         .withColumn("label", F.col("k"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
         neigh = (
             edges.join(
                 labels.select(F.col("k").alias("b"), F.col("label").alias("nl")),
@@ -742,7 +758,130 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing); raise max_iters"
         )
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels.select(F.col("k").alias("key"), F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters_star(
+    pairs: DataFrame, key_a: str, key_b: str, max_iters: int,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. SoCC'14).
+
+    Invariant: the working set is a directed edge list (u → v, v < u after
+    small-star) that converges to a star forest where every node points at
+    its component's minimum id. Per round:
+
+    * **large-star(u)**: m = min(Γ(u) ∪ {u}) over the symmetrized
+      adjacency; for every neighbor v > u emit (v, m). Strictly-larger
+      neighbors re-attach to the local minimum — long chains collapse.
+    * **small-star(u)**: orient edges (u, v) with v < u; m = min in-star;
+      re-emit (v, m) for every smaller neighbor plus (u, m). Flattens each
+      in-star to height one.
+
+    Both phases are a groupBy-min plus an edge re-join — edge-linear work,
+    no label table, no growing intermediate — and the edge count never
+    exceeds the symmetrized input. Proven convergence in O(log² n) rounds,
+    O(log n) in practice; on path graphs it beats pointer jumping's round
+    count (test-pinned). Convergence = edge set stable, detected by an
+    order-independent (count, sum, xor) fingerprint over xxhash64(u, v) —
+    collision probability ~2⁻¹²⁸ per round, negligible against task-retry
+    nondeterminism risk.
+    """
+    edges = (
+        pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor, not sum: summing full-range xxhash64 longs overflows and
+        # is a TASK FAILURE under ANSI mode. XOR of two independent hashes
+        # (arg orders swapped) gives an order-independent 128-bit set id.
+        row = (
+            e.select(
+                F.xxhash64("a", "b").alias("h1"), F.xxhash64("b", "a").alias("h2")
+            )
+            .agg(
+                F.count("h1").alias("n"),
+                F.bit_xor("h1").alias("x1"),
+                F.bit_xor("h2").alias("x2"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["x1"], row["x2"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        dirc = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = dirc.groupBy("a").agg(F.min("b").alias("m"))
+        return (
+            dirc.join(mins, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .unionByName(mins.select(F.col("a").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    prev = _fingerprint(edges)
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        # Two large-star applications per round (the CC-MR-style repeated
+        # large-star of the two-phase family): each halves chain length, so
+        # a round compresses paths ~4× before small-star flattens the local
+        # stars — fewer synchronization rounds than one-large-star
+        # alternation OR pointer jumping (test-pinned on a 200-node path).
+        edges = (
+            _small_star(_large_star(_large_star(edges)))
+            .localCheckpoint(eager=False)
+        )
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dedup_clusters(star) did not converge in {max_iters} rounds; "
+            f"raise max_iters"
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # At convergence every edge is (node → component min). Roots point at
+    # themselves; singletons never appear in `pairs` (same contract as jump).
+    nodes = (
+        pairs.select(F.col(key_a).alias("key"))
+        .unionByName(pairs.select(F.col(key_b).alias("key")))
+        .distinct()
+    )
+    return (
+        nodes.join(
+            edges.select(F.col("a").alias("key"), F.col("b").alias("cid")),
+            "key", "left",
+        )
+        .select("key", F.coalesce("cid", "key").alias("cluster_id"))
+    )
 
 
 def keep_cluster_representatives(
