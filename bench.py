@@ -50,6 +50,14 @@ def main() -> None:
         pages = gen_pages(spark, n_pages, seed=42, partitions=cpus * 4)
         return extract_pages(pages, dedup=True)
 
+    def bench_minhash(spark, sf_dir):
+        # the FULL-corpus near-dup pipeline only (r1/r2-comparable): the
+        # driver-gate q19 also unions the incremental stage since r3, which
+        # would shift this series for a non-performance reason
+        return entrymod._verified_near_dup_pairs(
+            entrymod._mutated_corpus(spark, sf_dir)
+        )
+
     qs = entrymod.queries()
     headline = {
         "extract_pages": bench_extract,
@@ -58,7 +66,7 @@ def main() -> None:
         "q3_dedup_latest": qs["q3_dedup_latest"],
         "q15_token_quality": qs["q15_token_quality"],
         "q17_cosine_topk": qs["q17_cosine_topk"],
-        "q19_minhash_pairs": qs["q19_minhash_pairs"],
+        "q19_minhash_pairs": bench_minhash,
         "q23_quality_profile": qs["q23_quality_profile"],
         "q25_batch_topk": qs["q25_batch_topk"],
         "q39_gopher_repetition": qs["q39_gopher_repetition"],
@@ -75,6 +83,18 @@ def main() -> None:
         rows[name] = _force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # second, warm pass: the first execution of a plan pays whole-stage-
+    # codegen compilation + JVM JIT + Python-worker/Arrow spin-up for ITS
+    # stages — measured 3-4x over steady state for q19/q25 in isolated
+    # fresh-JVM runs (BENCH/requery.py). `queries` above stays the r1/r2-
+    # comparable cold series; `queries_warm` is the steady-state number
+    # that predicts sustained-throughput behavior on a long-lived cluster.
+    warm: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        warm[name] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_pages / timings["extract_pages"], 1)
     print(
@@ -84,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
                 "sf": sf,
                 "extract_docs": n_pages,
                 "extract_docs_per_sec": docs_per_sec,

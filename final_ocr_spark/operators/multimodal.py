@@ -73,22 +73,38 @@ def _decode_fake_image(data: bytes) -> np.ndarray:
 def decode_image(data: bytes) -> np.ndarray:
     """Decode encoded image bytes to a grayscale ndarray.
 
-    Real-codec path is STUBBED in this container: cv2/PIL are unavailable
-    (verified), so only the deterministic FAKEIMG format decodes; anything
-    else raises NotImplementedError — swap in cv2.imdecode on a cluster with
-    codecs installed (maps the reference's cv2.imread, ocr.py:18).
+    SEAM CONTRACT (executable spec: tests/test_codec_contract.py — the same
+    test file runs unchanged on a cluster where cv2 IS installed):
+
+    * returns ``np.ndarray``, ``dtype=uint8``, ``ndim=2``, shape ``(h, w)``;
+    * pure function of the input bytes — byte-identical output on repeat
+      calls (no RNG, no wall clock, no global state);
+    * NEVER returns ``None``: undecodable input raises (the reference's
+      ``cv2.imread`` returns None on failure, ocr.py:18; this seam converts
+      that to an exception so the per-row quarantine in ``image_features``
+      catches it instead of poisoning downstream numpy calls);
+    * a lossless encode→decode round trip is pixel-identical.
+
+    The FAKEIMG branch is the in-sandbox implementation of the contract;
+    the cv2 branch below is the real-cluster drop-in (standard public
+    ``cv2.imdecode`` recipe), exercised by the same contract test when cv2
+    is importable. cv2/PIL are verified-absent in this container.
     """
     if data[:7] == b"FAKEIMG":
         return _decode_fake_image(data)
-    try:  # pragma: no cover - not installed in sandbox
-        import cv2  # noqa: F401
-
-        raise NotImplementedError("wire cv2.imdecode here when cv2 is present")
+    try:
+        import cv2
     except ImportError:
         raise NotImplementedError(
             "real image codecs (cv2/PIL) are not installed in this container; "
             "only the deterministic FAKEIMG test format is supported"
         ) from None
+    img = cv2.imdecode(  # pragma: no cover - cv2 absent in sandbox
+        np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
+    )
+    if img is None:  # pragma: no cover
+        raise ValueError("cv2.imdecode could not decode payload")
+    return img  # pragma: no cover
 
 
 def _phash64(img: np.ndarray) -> int:
