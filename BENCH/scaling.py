@@ -40,7 +40,10 @@ import subprocess
 import sys
 import time
 
-N_DOCS = 144000  # sized so the 32-core run is ≥25 s: an 11 s job measures
+N_DOCS = 192000  # resized round 3 (was 144000): the XY-cut numpy fast path
+                 # sped extraction ~1.3×, which would have pushed the 32-core
+                 # run under the 25 s floor below.
+                 # sized so the 32-core run is ≥25 s: an 11 s job measures
                  # per-job fixed overhead (submit, scan listing, final agg),
                  # not steady-state throughput — at 48k docs the same code
                  # read 27% slower at 32 cores purely from amortization
@@ -168,6 +171,11 @@ def orchestrate() -> dict:
         results[cpus] = best
     eff = results[32]["docs_per_sec"] / (4.0 * results[8]["docs_per_sec"])
     eff_dd = results[32]["dedup_docs_per_sec"] / (4.0 * results[8]["dedup_docs_per_sec"])
+    # estimator robustness: best-run is a biased estimator (bias grows with
+    # samples), so the gate is ALSO stated under median-of-session-bests
+    med8 = statistics.median(results[8]["all_session_docs_per_sec"])
+    med32 = statistics.median(results[32]["all_session_docs_per_sec"])
+    eff_med = med32 / (4.0 * med8)
     return {
         "n_docs": N_DOCS,
         "warmups_per_level": WARMUPS,
@@ -177,8 +185,12 @@ def orchestrate() -> dict:
         "local32": results[32],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_with_dedup": round(eff_dd, 3),
+        "median_of_session_bests_8": round(med8, 1),
+        "median_of_session_bests_32": round(med32, 1),
+        "scaling_efficiency_median_est": round(eff_med, 3),
         "gate": ">=0.8",
         "pass": eff >= 0.8,
+        "pass_median_est": eff_med >= 0.8,
     }
 
 
@@ -215,6 +227,15 @@ with the latest-wins dedup shuffle appended (secondary metric).
 {s['scaling_efficiency']}** — gate ≥0.8: **{'PASS' if s['pass'] else 'FAIL'}**.
 With the dedup shuffle appended: {s['scaling_efficiency_with_dedup']}.
 
+**Estimator robustness.** Best-run-across-sessions is a biased estimator
+(bias grows with sample count), so the verdict is also stated under the
+stricter median-of-session-bests: local[8] {s['median_of_session_bests_8']}
+docs/s vs local[32] {s['median_of_session_bests_32']} docs/s → efficiency
+**{s['scaling_efficiency_median_est']}** —
+**{'PASS' if s['pass_median_est'] else 'FAIL'}** under the median
+estimator. The gate verdict is reported under both so it cannot hinge on
+estimator choice.
+
 Raw timings, every session (extract, seconds):
 local[8] {s['local8']['all_session_times_sec']}
 local[32] {s['local32']['all_session_times_sec']}
@@ -249,6 +270,21 @@ local[32] {s['local32']['all_session_docs_per_sec']}.
   bound on real-cluster efficiency. Raw python multiprocessing on this box
   scales 8→32 at 0.88 efficiency, bounding what any python-heavy job can
   show here.
+* **Round-3 extractor change**: the PDF/XY-cut branch was rewritten on
+  numpy index arrays (bit-identical to the pure-Python spec by
+  differential fuzz; goldens unchanged), ~3× on the PDF branch → ~1.3×
+  whole-corpus extraction. This measurement was taken AFTER that change
+  (the policy: any extraction-core change invalidates prior scaling
+  evidence), with the corpus resized {s['n_docs']} docs to keep the
+  32-core run ≥25 s.
+
+## Bench-series note: cold-JIT vs steady state (round 3)
+
+The r2 bench "regressions" (q19 +23%, q25 +97%) were first-execution
+plan-compilation artifacts, not throughput: isolated fresh-JVM runs
+(BENCH/requery.py) measured run1 at 3-4× run2 for both queries, with warm
+runs beating their r1 series ~2.5×. bench.py emits a `queries_warm`
+second pass alongside the r1/r2-comparable cold series.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md, encoding="utf-8")
 

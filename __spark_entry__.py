@@ -1013,13 +1013,16 @@ def _q48_asof_join(spark, sf):
 
 def _q49_sessionize(spark, sf):
     """Gap-based sessionization (1-hour inactivity gap) + per-session
-    rollup — lag + running-sum window, one shuffle on user_id."""
+    rollup — run through the SKEW-GUARDED two-phase chunked mode
+    (per-(key, day) local windows + O(#chunks) summary pass) so the scale
+    path gets the hard driver signal; the single-window form is
+    equivalence-pinned against it in tests/test_events.py."""
     from final_ocr_spark.operators.events import session_stats
 
     e = _t(spark, sf, "events").select("user_id", "ts")
-    return session_stats(e, "user_id", "ts", gap_seconds=3600).orderBy(
-        "user_id", "session_id"
-    )
+    return session_stats(
+        e, "user_id", "ts", gap_seconds=3600, chunk_seconds=86400
+    ).orderBy("user_id", "session_id")
 
 
 def _q50_count_min(spark, sf):

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 PDFTOK_MAGIC = b"%PDFTOK 1"
 
 # minimum whitespace valley widths (in the synthetic unit space ~ points);
@@ -159,14 +161,186 @@ def _assemble_region(tokens: list[Token]) -> list[str]:
     return [" ".join(p.split()) for p in paragraphs if p.strip()]
 
 
-def extract_pdf_tokens(data: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
-    """bytes → (extracted_text, block spans, n_blocks). Same contract as
-    extract_html: paragraphs joined by '\\n', spans offset into the text."""
+# --------------------------------------------------------------------------
+# numpy fast path.  The pure-Python functions above are the REFERENCE SPEC:
+# profiling showed PDF docs at ~10% of the corpus taking ~36% of extraction
+# time, almost all in _xycut/_largest_gap tuple churn.  The array form below
+# is bit-identical by construction (same IEEE-double operations in the same
+# order; lexsort == tuple-sort for the merge; np.argmax == first-max like the
+# `>` loop) and is differential-fuzzed against the spec in
+# tests/test_layout_xycut.py.
+# --------------------------------------------------------------------------
+
+
+def _parse_pdftok_arrays(data: bytes):
+    """parse_pdftok, array form: (texts, x0, y0, x1, y1). Same skip rules.
+
+    Clean documents (the overwhelming majority) bulk-convert all four
+    coordinate columns in one numpy call; any line numpy can't parse drops
+    the whole document to a per-line loop that replicates ``float()``'s
+    acceptance exactly — so skip behavior matches parse_pdftok on every
+    input (differential-fuzzed incl. malformed payloads).
+    """
+    texts: list[str] = []
+    raw: list[list[str]] = []
+    for line in data.decode("utf-8", errors="replace").splitlines()[1:]:
+        parts = line.rsplit(None, 4)
+        if len(parts) != 5 or not parts[0]:
+            continue
+        texts.append(parts[0])
+        raw.append(parts[1:])
+    try:
+        arr = np.asarray(raw, dtype=np.float64).reshape(-1, 4)
+    except ValueError:
+        # some line numpy can't parse: redo per-line with float()'s exact
+        # acceptance, skipping (not failing) the offending lines
+        texts = []
+        keep: list[list[float]] = []
+        for line in data.decode("utf-8", errors="replace").splitlines()[1:]:
+            parts = line.rsplit(None, 4)
+            if len(parts) != 5 or not parts[0]:
+                continue
+            try:
+                c = [float(parts[1]), float(parts[2]),
+                     float(parts[3]), float(parts[4])]
+            except ValueError:
+                continue
+            texts.append(parts[0])
+            keep.append(c)
+        arr = np.array(keep, dtype=np.float64).reshape(-1, 4)
+    return texts, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+
+
+def _largest_gap_np(s: np.ndarray, e: np.ndarray, min_gap: float):
+    """_largest_gap on start/end arrays: lexsort == sorted(tuples); running
+    max == interval merge; first strict max == the `w > best_w` loop."""
+    if s.size < 2:
+        return None
+    o = np.lexsort((e, s))
+    ss, ee = s[o], e[o]
+    cm = np.maximum.accumulate(ee)
+    gaps = ss[1:] - cm[:-1]          # >0 exactly at merged-interval boundaries
+    bmask = gaps > 0
+    if not bmask.any():
+        return None
+    w = gaps[bmask]
+    i = int(np.argmax(w))
+    if w[i] >= min_gap:
+        return (cm[:-1][bmask][i] + ss[1:][bmask][i]) / 2.0
+    return None
+
+
+def _xycut_idx(idx, x0, y0, x1, y1, depth: int = 0) -> list:
+    """_xycut on an index array; regions preserve original token order."""
+    if idx.size == 0:
+        return []
+    if depth > 12:
+        return [idx]
+    xmid = _largest_gap_np(x0[idx], x1[idx], MIN_X_GAP)
+    if xmid is not None:
+        lm = (x0[idx] + x1[idx]) / 2.0 < xmid
+        left, right = idx[lm], idx[~lm]
+        if left.size and right.size:
+            return (_xycut_idx(left, x0, y0, x1, y1, depth + 1)
+                    + _xycut_idx(right, x0, y0, x1, y1, depth + 1))
+    ymid = _largest_gap_np(y0[idx], y1[idx], MIN_Y_GAP)
+    if ymid is not None:
+        tm = (y0[idx] + y1[idx]) / 2.0 < ymid
+        top, bot = idx[tm], idx[~tm]
+        if top.size and bot.size:
+            return (_xycut_idx(top, x0, y0, x1, y1, depth + 1)
+                    + _xycut_idx(bot, x0, y0, x1, y1, depth + 1))
+    return [idx]
+
+
+def _assemble_region_idx(texts, x0, y0, x1, y1, idx) -> list[str]:
+    """_assemble_region over an index array (plain-float lists inside the
+    sequential line-clustering loop; string logic verbatim from the spec)."""
+    n = idx.size
+    if n == 0:
+        return []
+    rx0 = x0[idx].tolist()
+    ry0 = y0[idx].tolist()
+    ry1 = y1[idx].tolist()
+    rtx = [texts[i] for i in idx.tolist()]
+    cy = [(a + b) / 2.0 for a, b in zip(ry0, ry1)]
+    order = sorted(range(n), key=lambda i: (cy[i], rx0[i]))
+
+    lines: list[list[int]] = []
+    cur: list[int] = [order[0]]
+    for i in order[1:]:
+        p = cur[-1]
+        h = max(ry1[p] - ry0[p], 1.0)
+        if abs(cy[i] - cy[p]) <= 0.5 * h:
+            cur.append(i)
+        else:
+            lines.append(cur)
+            cur = [i]
+    lines.append(cur)
+
+    line_texts: list[str] = []
+    line_tops: list[float] = []
+    line_bots: list[float] = []
+    for ln in lines:
+        ln_sorted = sorted(ln, key=lambda i: rx0[i])
+        line_texts.append(" ".join(rtx[i] for i in ln_sorted))
+        line_tops.append(min(ry0[i] for i in ln))
+        line_bots.append(max(ry1[i] for i in ln))
+
+    heights = sorted(b - a for a, b in zip(line_tops, line_bots))
+    med_h = heights[len(heights) // 2] if heights else 10.0
+
+    paragraphs: list[str] = []
+    buf = ""
+    for i, lt in enumerate(line_texts):
+        gap = line_tops[i] - line_bots[i - 1] if i > 0 else 0.0
+        new_para = i > 0 and gap > PARA_GAP_FACTOR * max(med_h, 1.0)
+        if new_para:
+            if buf:
+                paragraphs.append(buf)
+            buf = lt
+        elif not buf:
+            buf = lt
+        elif buf.endswith("-"):
+            buf = buf[:-1] + lt
+        else:
+            buf = buf + " " + lt
+    if buf:
+        paragraphs.append(buf)
+    return [" ".join(p.split()) for p in paragraphs if p.strip()]
+
+
+def extract_pdf_tokens_ref(data: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
+    """Reference-spec (pure-Python) form of extract_pdf_tokens — kept as the
+    differential-fuzz oracle for the numpy fast path."""
     tokens = parse_pdftok(data)
     regions = _xycut(tokens)
     paragraphs: list[str] = []
     for region in regions:
         paragraphs.extend(_assemble_region(region))
+    return _layout_output(paragraphs)
+
+
+def _layout_output(paragraphs: list[str]):
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for i, p in enumerate(paragraphs):
+        kind = "title" if i == 0 else "paragraph"
+        parts.append(p)
+        spans.append((pos, pos + len(p), kind))
+        pos += len(p) + 1
+    return "\n".join(parts), spans, len(parts)
+
+
+def extract_pdf_tokens(data: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
+    """bytes → (extracted_text, block spans, n_blocks). Same contract as
+    extract_html: paragraphs joined by '\\n', spans offset into the text."""
+    texts, x0, y0, x1, y1 = _parse_pdftok_arrays(data)
+    regions = _xycut_idx(np.arange(len(texts), dtype=np.int64), x0, y0, x1, y1)
+    paragraphs: list[str] = []
+    for region in regions:
+        paragraphs.extend(_assemble_region_idx(texts, x0, y0, x1, y1, region))
 
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []

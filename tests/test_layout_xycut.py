@@ -53,3 +53,28 @@ def test_malformed_lines_skipped():
 def test_empty_payload():
     text, spans, n = extract_pdf_tokens(b"%PDFTOK 1\n")
     assert text == "" and spans == [] and n == 0
+
+
+def test_numpy_fast_path_differential_fuzz():
+    """The numpy XY-cut must be BYTE-IDENTICAL to the pure-Python reference
+    spec over a large synthetic layout corpus (multi-column, tables,
+    hyphenation, malformed lines) — this is the guarantee that lets the
+    fast path stand behind the frozen extraction goldens."""
+    from final_ocr_spark.extract.layout_xycut import (
+        extract_pdf_tokens, extract_pdf_tokens_ref)
+    from final_ocr_spark.sources.synthetic_pages import LANGS, _gen_pdftok
+    import random
+
+    for i in range(400):
+        rng = random.Random(1000 + i)
+        lang = LANGS[i % len(LANGS)]
+        data, _plain = _gen_pdftok(rng, lang, size_mult=1 + (i % 4) * 3)
+        assert extract_pdf_tokens(data) == extract_pdf_tokens_ref(data), i
+
+    # malformed payloads: truncation mid-line, junk coords, empty body
+    base, _ = _gen_pdftok(random.Random(7), "en", 2)
+    for payload in (base[: len(base) // 2],
+                    b"%PDFTOK 1\nword 1 2 3 zzz\nok 0 0 5 5\n",
+                    b"%PDFTOK 1\n",
+                    b"%PDFTOK 1\n  \n\n"):
+        assert extract_pdf_tokens(payload) == extract_pdf_tokens_ref(payload)

@@ -72,3 +72,37 @@ def test_minhash_sigs_partial_aggregation(spark):
         [(1, "a b c d e f g h i j k")], ["doc_id", "text"])
     plan = _plan(minhash_sigs(df, num_hashes=8))
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_sessionize_chunked_partitions_by_key_and_chunk(spark):
+    """The chunked skew guard's HEAVY window must partition by
+    (key, _chunk) — that is the mechanism that spreads a hot key across
+    tasks — and the plan must stay join-light (sort-merge/shuffle-hash on
+    equi-keys only, no nested-loop/cartesian)."""
+    from datetime import datetime
+
+    from final_ocr_spark.operators.events import sessionize
+
+    ts = datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, ts)], ["uid", "ts"])
+    out = sessionize(df, "uid", "ts", gap_seconds=60, chunk_seconds=3600)
+    plan = _plan(out)
+    assert "hashpartitioning(uid" in plan and "_chunk" in plan.split(
+        "hashpartitioning(uid", 1)[1].split(")")[0]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_chunked_partitions_by_key_and_chunk(spark):
+    from datetime import datetime
+
+    from final_ocr_spark.operators.events import asof_join
+
+    ts = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, ts, "a")], ["uid", "lts", "tag"])
+    right = spark.createDataFrame([(1, ts, 1.0)], ["uid", "rts", "price"])
+    out = asof_join(left, right, on="uid", left_ts="lts", right_ts="rts",
+                    right_cols=["price"], chunk_seconds=3600)
+    plan = _plan(out)
+    assert "hashpartitioning(uid" in plan and "_chunk" in plan.split(
+        "hashpartitioning(uid", 1)[1].split(")")[0]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
