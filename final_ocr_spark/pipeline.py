@@ -70,6 +70,7 @@ def corpus_pipeline(
     benchmark: DataFrame | None = None,
     benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
+    cluster_algorithm: str = "jump",
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -113,7 +114,10 @@ def corpus_pipeline(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("key_a", "key_b")
         )
-        clusters = dedup_clusters(verified)
+        # jump = min-label+pointer-jumping (dense LSH cluster graphs);
+        # star = large-star/small-star, the edge-only-state form for
+        # path-shaped/huge graphs — see dedup_clusters
+        clusters = dedup_clusters(verified, algorithm=cluster_algorithm)
         docs = keep_cluster_representatives(docs, clusters, key="url")
 
     # 5b. benchmark decontamination (optional): drop docs sharing an n-gram

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--host-cap", type=int, default=None)
     ap.add_argument("--sample-rate", type=float, default=None)
     ap.add_argument("--sample-salt", default="corpus")
+    ap.add_argument("--cluster-algorithm", choices=["jump", "star"],
+                    default="jump",
+                    help="near-dup connected components: jump = min-label+"
+                         "pointer-jumping (dense graphs), star = large-star/"
+                         "small-star (path-shaped/huge graphs)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -70,6 +75,7 @@ def main() -> None:
         sample_rate=args.sample_rate,
         sample_salt=args.sample_salt,
         extract_partitions=args.partitions,
+        cluster_algorithm=args.cluster_algorithm,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -103,3 +103,24 @@ def test_corpus_pipeline_decontamination(spark):
     ).collect()
     urls = [r["url"] for r in out]
     assert urls == ["https://a.example.com/1"]  # contaminated doc dropped
+
+
+def test_corpus_pipeline_star_clusters_match_jump(spark):
+    """cluster_algorithm='star' must keep/drop exactly the same documents as
+    the default pointer-jumping clustering on a planted near-dup corpus."""
+    rows = [
+        ("https://a.example.com/1", GOOD),
+        ("https://b.example.com/2", GOOD + " extra"),
+        ("https://c.example.com/3", GOOD + " extra words"),
+        ("https://d.example.com/4",
+         "a wholly unrelated document about gardens and the quiet ways the "
+         "seasons change the colors of the leaves across the long year"),
+    ]
+    jump = sorted(r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False).collect())
+    star = sorted(r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False,
+        cluster_algorithm="star").collect())
+    assert star == jump
+    assert "https://a.example.com/1" in star  # min-url representative kept
+    assert "https://b.example.com/2" not in star
