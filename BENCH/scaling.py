@@ -285,6 +285,19 @@ local[32] {s['local32']['all_session_docs_per_sec']}.
   evidence), with the corpus resized {s['n_docs']} docs to keep the
   32-core run ≥25 s.
 
+## Post-measurement validity note (round 3)
+
+After this measurement, one extraction-core change landed: non-finite
+token coordinates ('nan'/'inf' strings, which float() parses) are now
+rejected at the PDFTOK parse seam in both the spec and fast paths — NaN
+geometry made cut/sort behavior ill-defined and the two paths diverged on
+adversarial inputs (caught by code review, fuzz-pinned since). The
+synthetic corpus never emits non-finite coordinates, so the change is a
+no-op on the measured workload: verified by a 3-run local[32] throughput
+probe on the 6k bench corpus (2385/2728/2843 docs/s, consistent with the
+same host phase's pre-change runs) and byte-identical goldens. The
+measured efficiencies above remain the evidence of record.
+
 ## Bench-series note: cold-JIT vs steady state (round 3)
 
 The r2 bench "regressions" (q19 +23%, q25 +97%) were first-execution

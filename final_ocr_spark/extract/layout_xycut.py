@@ -22,6 +22,7 @@ Coordinates are floats, y grows downward. Pure function of bytes.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -46,7 +47,14 @@ class Token:
 
 
 def parse_pdftok(data: bytes) -> list[Token]:
-    """Parse the token/layout payload; malformed lines are skipped per-row."""
+    """Parse the token/layout payload; malformed lines are skipped per-row.
+
+    Non-finite coordinates (``float()`` happily parses 'nan'/'inf') are
+    skipped too: NaN boxes make comparison-based geometry ill-defined —
+    a NaN midpoint fails BOTH sides of a cut and NaN sort keys break
+    ordering transitivity — so they are rejected at the seam, identically
+    in this spec path and the numpy fast path (fuzz-pinned).
+    """
     toks: list[Token] = []
     text = data.decode("utf-8", errors="replace")
     for line in text.splitlines()[1:]:  # skip magic line
@@ -58,7 +66,7 @@ def parse_pdftok(data: bytes) -> list[Token]:
                       float(parts[3]), float(parts[4]))
         except ValueError:
             continue
-        if t.text:
+        if t.text and all(math.isfinite(v) for v in (t.x0, t.y0, t.x1, t.y1)):
             toks.append(t)
     return toks
 
@@ -191,6 +199,10 @@ def _parse_pdftok_arrays(data: bytes):
         raw.append(parts[1:])
     try:
         arr = np.asarray(raw, dtype=np.float64).reshape(-1, 4)
+        finite = np.isfinite(arr).all(axis=1)
+        if not finite.all():
+            arr = arr[finite]
+            texts = [t for t, ok in zip(texts, finite.tolist()) if ok]
     except ValueError:
         # some line numpy can't parse: redo per-line with float()'s exact
         # acceptance, skipping (not failing) the offending lines
@@ -204,6 +216,8 @@ def _parse_pdftok_arrays(data: bytes):
                 c = [float(parts[1]), float(parts[2]),
                      float(parts[3]), float(parts[4])]
             except ValueError:
+                continue
+            if not all(math.isfinite(v) for v in c):
                 continue
             texts.append(parts[0])
             keep.append(c)
@@ -341,13 +355,4 @@ def extract_pdf_tokens(data: bytes) -> tuple[str, list[tuple[int, int, str]], in
     paragraphs: list[str] = []
     for region in regions:
         paragraphs.extend(_assemble_region_idx(texts, x0, y0, x1, y1, region))
-
-    parts: list[str] = []
-    spans: list[tuple[int, int, str]] = []
-    pos = 0
-    for i, p in enumerate(paragraphs):
-        kind = "title" if i == 0 else "paragraph"
-        parts.append(p)
-        spans.append((pos, pos + len(p), kind))
-        pos += len(p) + 1
-    return "\n".join(parts), spans, len(parts)
+    return _layout_output(paragraphs)

@@ -79,14 +79,24 @@ def build_bloom(
     directly. One explode to k rows per key, then partial/final bit_or —
     the same one-tiny-shuffle shape as the count-min sketch.
     """
-    if m_bits is None or k_hashes is None:
+    if (m_bits is None) != (k_hashes is None):
+        raise ValueError("pass BOTH m_bits and k_hashes, or neither "
+                         "(partial sizing would silently desync probe sets)")
+    if m_bits is None:
         if n_items is None:
             raise ValueError("pass n_items (expected distinct keys) or m_bits+k_hashes")
         m_bits, k_hashes = bloom_params(n_items, fpp)
     per_probe = _probe_rows(df, key, m_bits, k_hashes).select("word_idx", "mask")
+    words = per_probe.groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+    # sentinel row (word_idx −1 never matches a probe: pmod ≥ 0) keeps the
+    # (m_bits, k) metadata present even for an EMPTY build set, so a filter
+    # over zero history still answers "definitely new" for everything
+    # instead of failing the incremental-ingest bootstrap
+    sentinel = df.sparkSession.createDataFrame(
+        [(-1, 0)], "word_idx long, bits long"
+    )
     return (
-        per_probe.groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("bits"))
+        words.unionByName(sentinel)
         .withColumn("m_bits", F.lit(m_bits))
         .withColumn("k", F.lit(k_hashes))
     )
@@ -94,7 +104,14 @@ def build_bloom(
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two filters built with IDENTICAL (m_bits, k): bit_or per word.
-    This is how per-increment filters roll up without touching history."""
+    This is how per-increment filters roll up without touching history.
+    Mismatched parameters are rejected loudly — merging differently-sized
+    filters would corrupt bits silently, including FALSE NEGATIVES."""
+    if _bloom_meta(a) != _bloom_meta(b):
+        raise ValueError(
+            f"cannot merge Bloom filters with different (m_bits, k): "
+            f"{_bloom_meta(a)} vs {_bloom_meta(b)}"
+        )
     return (
         a.unionByName(b)
         .groupBy("word_idx", "m_bits", "k")
@@ -147,7 +164,10 @@ def split_new_vs_maybe_seen(
     the scalable incremental-ingest shape: the expensive join's input
     shrinks from |batch| to |overlap| + fpp·|batch|.
     """
-    tagged = with_bloom_membership(batch, bloom, key)
+    # localCheckpoint: both returned frames are consumed downstream, and
+    # without it the whole membership pipeline (batch scan + k-way explode
+    # + broadcast join + shuffle) would execute once PER output
+    tagged = with_bloom_membership(batch, bloom, key).localCheckpoint(eager=False)
     return (
         tagged.filter(~F.col("maybe_seen")).drop("maybe_seen"),
         tagged.filter(F.col("maybe_seen")).drop("maybe_seen"),

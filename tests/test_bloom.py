@@ -74,3 +74,30 @@ def test_membership_plan_is_broadcast(spark):
     out = with_bloom_membership(df, bloom, "url")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_empty_history_bootstrap(spark):
+    """A filter over ZERO history must answer definitely-new for everything
+    (incremental-ingest bootstrap), not crash on missing metadata."""
+    empty = spark.createDataFrame([], "url string")
+    bloom = build_bloom(empty, "url", n_items=100, fpp=0.01)
+    batch = spark.createDataFrame([("u1",), ("u2",)], ["url"])
+    new, maybe = split_new_vs_maybe_seen(batch, bloom, "url")
+    assert new.count() == 2 and maybe.count() == 0
+
+
+def test_merge_mismatched_params_raises(spark):
+    a = spark.createDataFrame([("x",)], ["url"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="different"):
+        merge_blooms(
+            build_bloom(a, "url", n_items=100, fpp=0.01),
+            build_bloom(a, "url", n_items=100000, fpp=0.01),
+        )
+
+
+def test_partial_sizing_rejected(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([("x",)], ["url"])
+    with _pytest.raises(ValueError, match="BOTH"):
+        build_bloom(df, "url", n_items=10, k_hashes=3)

@@ -71,10 +71,20 @@ def test_numpy_fast_path_differential_fuzz():
         data, _plain = _gen_pdftok(rng, lang, size_mult=1 + (i % 4) * 3)
         assert extract_pdf_tokens(data) == extract_pdf_tokens_ref(data), i
 
-    # malformed payloads: truncation mid-line, junk coords, empty body
+    # malformed payloads: truncation mid-line, junk coords, empty body,
+    # and non-finite coordinates (float() parses 'nan'/'inf'; both paths
+    # must reject those tokens identically — NaN geometry is ill-defined)
     base, _ = _gen_pdftok(random.Random(7), "en", 2)
     for payload in (base[: len(base) // 2],
                     b"%PDFTOK 1\nword 1 2 3 zzz\nok 0 0 5 5\n",
                     b"%PDFTOK 1\n",
-                    b"%PDFTOK 1\n  \n\n"):
+                    b"%PDFTOK 1\n  \n\n",
+                    b"%PDFTOK 1\nalpha 0 0 10 10\nweird nan 0 nan 10\n"
+                    b"beta 100 0 110 10\ngamma 0 40 10 50\ndelta 100 40 110 50\n",
+                    b"%PDFTOK 1\na inf 0 5 5\nb 0 0 5 5\nc -inf 9 9 nan\n"):
         assert extract_pdf_tokens(payload) == extract_pdf_tokens_ref(payload)
+
+    # NaN tokens are dropped, not routed into one side of a cut
+    t, _, _ = extract_pdf_tokens(
+        b"%PDFTOK 1\nalpha 0 0 10 10\nweird nan 0 nan 10\nbeta 100 0 110 10\n")
+    assert "weird" not in t and "alpha" in t and "beta" in t

@@ -73,3 +73,19 @@ def test_no_oracle_emits_non_spark_integer_types():
         if hits:
             bad[name] = hits
     assert not bad, f"oracle columns with Spark-inexpressible types: {bad}"
+
+
+def test_duck_struct_family_expands_fields():
+    got = _duck_type_family("STRUCT(a BIGINT, b VARCHAR)")
+    assert got == "struct<a:int64,b:string>"
+    nested = _duck_type_family('STRUCT(x STRUCT(y DOUBLE), z BIGINT[])')
+    assert nested == "struct<x:struct<y:float64>,z:list<int64>>"
+
+
+def test_struct_families_symmetric_across_engines():
+    from pyspark.sql import types as T
+
+    spark_side = _spark_type_family(T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]))
+    duck_side = _duck_type_family("STRUCT(a BIGINT, b VARCHAR)")
+    assert spark_side == duck_side
