@@ -46,9 +46,23 @@ def main() -> None:
     def bench_extract(spark, _sf_dir):
         # generation partitions provide the parallelism; extraction fuses into
         # the same python stage (no pre-shuffle), dedup shuffles only the
-        # extracted output
+        # extracted output.  NOTE: this series TIMES THE SYNTHETIC GENERATOR
+        # TOO (pure-Python page synthesis in the same stage) — kept for
+        # r1/r2 comparability; extract_pages_scan below is the
+        # metric-faithful form (corpus pre-written, timed part = scan +
+        # extract, same shape as BENCH/scaling.py).
         pages = gen_pages(spark, n_pages, seed=42, partitions=cpus * 4)
         return extract_pages(pages, dedup=True)
+
+    import pathlib
+
+    corpus_dir = pathlib.Path(f"/tmp/final_ocr_spark_bench/bench_{n_pages}_42.parquet")
+    if not corpus_dir.exists():
+        gen_pages(spark, n_pages, seed=42, partitions=cpus * 4) \
+            .write.mode("overwrite").parquet(str(corpus_dir))
+
+    def bench_extract_scan(spark, _sf_dir):
+        return extract_pages(spark.read.parquet(str(corpus_dir)), dedup=True)
 
     def bench_minhash(spark, sf_dir):
         # the FULL-corpus near-dup pipeline only (r1/r2-comparable): the
@@ -61,6 +75,7 @@ def main() -> None:
     qs = entrymod.queries()
     headline = {
         "extract_pages": bench_extract,
+        "extract_pages_scan": bench_extract_scan,
         "q1_rollup": qs["q1_rollup"],
         "q2_parent_child": qs["q2_parent_child"],
         "q3_dedup_latest": qs["q3_dedup_latest"],
@@ -96,7 +111,10 @@ def main() -> None:
         warm[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_pages / timings["extract_pages"], 1)
+    # headline docs/s from the scan-based form — the BASELINE.json metric is
+    # extraction over a stored table, not over an inline python generator
+    docs_per_sec = round(n_pages / timings["extract_pages_scan"], 1)
+    docs_per_sec_inline_gen = round(n_pages / timings["extract_pages"], 1)
     print(
         json.dumps(
             {
@@ -108,6 +126,7 @@ def main() -> None:
                 "sf": sf,
                 "extract_docs": n_pages,
                 "extract_docs_per_sec": docs_per_sec,
+                "extract_docs_per_sec_inline_gen": docs_per_sec_inline_gen,
                 "cpus": cpus,
                 "rows": rows,
             }
