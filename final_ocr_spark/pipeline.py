@@ -71,6 +71,7 @@ def corpus_pipeline(
     benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
     cluster_algorithm: str = "jump",
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -94,6 +95,15 @@ def corpus_pipeline(
     # 3. PII redaction (scan-local)
     if redact:
         docs = docs.withColumn("text", redact_pii(F.col("text")))
+
+    # 3b. optional Unicode normalization (NFC/NFKC/...): byte-unifies
+    # visually-identical forms BEFORE any hashing stage so exact dedup,
+    # decontamination grams, and vocab stats don't fragment. Off by
+    # default to preserve pinned byte-identity goldens.
+    if normalize_form is not None:
+        from final_ocr_spark.operators.normalize import normalize_text
+
+        docs = docs.withColumn("text", normalize_text("text", form=normalize_form))
 
     # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
     # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)

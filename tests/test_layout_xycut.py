@@ -88,3 +88,32 @@ def test_numpy_fast_path_differential_fuzz():
     t, _, _ = extract_pdf_tokens(
         b"%PDFTOK 1\nalpha 0 0 10 10\nweird nan 0 nan 10\nbeta 100 0 110 10\n")
     assert "weird" not in t and "alpha" in t and "beta" in t
+
+
+def test_largest_gap_np_equals_spec_hypothesis():
+    """Property: the vectorized gap finder equals the pure-Python spec on
+    arbitrary finite interval lists (duplicates, overlaps, negatives,
+    zero-width, equal starts with different ends)."""
+    from hypothesis import given, settings, strategies as st
+
+    from final_ocr_spark.extract.layout_xycut import (
+        _largest_gap, _largest_gap_np)
+    import numpy as np
+
+    finite = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(finite, finite), max_size=40),
+           st.sampled_from([0.5, 14.0, 40.0]))
+    def prop(pairs, min_gap):
+        ivs = [(min(a, b), max(a, b)) for a, b in pairs]
+        ref = _largest_gap(ivs, min_gap)
+        s = np.array([a for a, _ in ivs], dtype=np.float64)
+        e = np.array([b for _, b in ivs], dtype=np.float64)
+        got = _largest_gap_np(s, e, min_gap)
+        if ref is None:
+            assert got is None
+        else:
+            assert got is not None and float(got) == ref  # bit-identical
+
+    prop()
