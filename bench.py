@@ -110,6 +110,26 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         warm[name] = round(time.monotonic() - t0, 3)
 
+    # attach the committed two-cluster-size scaling evidence (produced by
+    # BENCH/scaling.py + extend_sessions.py; full protocol + raw timings in
+    # BENCH/BASELINE.md) so the per-round bench record carries the north
+    # rule's N->4N numbers alongside the suite timings
+    scaling = None
+    summary_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            s = json.load(fh)
+        scaling = {
+            "docs_per_sec_8c": s["local8"]["docs_per_sec"],
+            "docs_per_sec_32c": s["local32"]["docs_per_sec"],
+            "efficiency_best_run": s["scaling_efficiency"],
+            "efficiency_median_of_session_bests": s["scaling_efficiency_median_est"],
+            "pass": s["pass"] and s.get("pass_median_est", True),
+            "n_sessions_per_level": s.get("n_sessions_per_level"),
+            "corpus_docs": s["n_docs"],
+        }
+
     total = round(sum(timings.values()), 3)
     # headline docs/s from the scan-based form — the BASELINE.json metric is
     # extraction over a stored table, not over an inline python generator
@@ -129,6 +149,7 @@ def main() -> None:
                 "extract_docs_per_sec_inline_gen": docs_per_sec_inline_gen,
                 "cpus": cpus,
                 "rows": rows,
+                "scaling": scaling,
             }
         )
     )
