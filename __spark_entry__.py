@@ -766,13 +766,16 @@ def _q38_dedup_clusters(spark, sf):
     LSH+exact-verify pair graph) + representative selection — the full
     production dedup: pairs → components → keep min-key per component.
     Oracle: DuckDB recursive-CTE transitive closure over the brute-force
-    exact-jaccard pair graph (same edges as q19's oracle)."""
+    exact-jaccard pair graph (same edges as q19's oracle). Runs the
+    large-star/small-star algorithm — the huge/path-graph scale mode — so
+    the scale path gets the hard driver signal; the pointer-jumping
+    default is equivalence-pinned against it in tests/test_dedup.py."""
     from final_ocr_spark.operators.dedup import dedup_clusters
 
     pairs = _verified_near_dup_pairs(_mutated_corpus(spark, sf)).select(
         "key_a", "key_b"
     )
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs, algorithm="star")
     return clusters.select(
         F.col("key").alias("doc_id"), "cluster_id",
         (F.col("key") == F.col("cluster_id")).alias("is_representative"),
