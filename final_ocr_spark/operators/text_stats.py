@@ -114,3 +114,59 @@ def profile_documents(df: DataFrame, text_col: str = "text", lang_col: str | Non
     if lang_col is None:
         cols.append(detect_lang_udf()(F.col(text_col)).alias("lang_detected"))
     return df.select(*cols)
+
+
+def tf_idf_top_terms(
+    df: DataFrame, key: str, text_col: str = "text", k: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF → (key, term, tf, doc_freq,
+    tf_idf, rank).
+
+    Plan shape (all codegen, two small shuffles at ANY corpus size):
+    term counts come from explode → partial/final hash aggregation keyed
+    by (doc, term); document frequencies aggregate the SAME rows a second
+    time keyed by term only (map-side combine keeps both shuffles at
+    distinct-key cardinality, never token cardinality); idf joins back on
+    term — a dimension-sized side Spark broadcasts under AQE. Top-k is a
+    per-doc window over ≤|vocab ∩ doc| rows.
+
+    Scoring (pinned, engine-independent): tf = count in doc;
+    idf = ln((N + 1) / (doc_freq + 1)) + 1 (the smoothed form —
+    never divides by zero, never goes negative); tf_idf = tf · idf.
+    Terms are lowercased whitespace tokens, punctuation-stripped at the
+    edges — the same normalization the vocab-stats query uses.
+    Deterministic tie-break: (tf_idf DESC, term ASC).
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(key).alias("_k"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    tokens(F.lower(F.col(text_col))),
+                    lambda t: F.regexp_replace(t, r"^[^\w]+|[^\w]+$", ""),
+                ),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("_k", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(key).alias("n")).first()["n"]
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        "_k", "term", "tf", "doc_freq",
+        (F.col("tf") * idf).alias("tf_idf"),
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_k").alias(key), "term", "tf", "doc_freq",
+                F.round("tf_idf", 9).alias("tf_idf"), "rank")
+    )
