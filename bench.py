@@ -57,7 +57,9 @@ def main() -> None:
     import pathlib
 
     corpus_dir = pathlib.Path(f"/tmp/final_ocr_spark_bench/bench_{n_pages}_42.parquet")
-    if not corpus_dir.exists():
+    # _SUCCESS check: a crashed previous write leaves a partial directory;
+    # benchmarking a truncated corpus would silently inflate docs/s
+    if not (corpus_dir / "_SUCCESS").exists():
         gen_pages(spark, n_pages, seed=42, partitions=cpus * 4) \
             .write.mode("overwrite").parquet(str(corpus_dir))
 

@@ -123,43 +123,46 @@ def tf_idf_top_terms(
     """Per-document top-k terms by TF-IDF → (key, term, tf, doc_freq,
     tf_idf, rank).
 
-    Plan shape (all codegen, two small shuffles at ANY corpus size):
-    term counts come from explode → partial/final hash aggregation keyed
-    by (doc, term); document frequencies aggregate the SAME rows a second
-    time keyed by term only (map-side combine keeps both shuffles at
-    distinct-key cardinality, never token cardinality); idf joins back on
+    Plan shape (codegen splits + explode, two small shuffles plus one
+    1-row count at ANY corpus size, fully lazy): term counts come from
+    explode → partial/final hash aggregation keyed by (doc, term);
+    document frequencies aggregate the SAME rows a second time keyed by
+    term only (map-side combine keeps both shuffles at distinct-key
+    cardinality, never token cardinality); the corpus document count
+    enters as a 1-row aggregate cross-joined in (broadcast, no driver
+    action — the input plan is never executed twice); idf joins back on
     term — a dimension-sized side Spark broadcasts under AQE. Top-k is a
     per-doc window over ≤|vocab ∩ doc| rows.
 
     Scoring (pinned, engine-independent): tf = count in doc;
     idf = ln((N + 1) / (doc_freq + 1)) + 1 (the smoothed form —
     never divides by zero, never goes negative); tf_idf = tf · idf.
-    Terms are lowercased whitespace tokens, punctuation-stripped at the
-    edges — the same normalization the vocab-stats query uses.
+    Tokenization is ``dedup.sketch_words`` — THE single canonical
+    definition shared with gram hashes, decontamination, and the vocab
+    query, so tf-idf terms join those tables without desync (lowercase,
+    punctuation runs → space; Unicode letters survive).
     Deterministic tie-break: (tf_idf DESC, term ASC).
     """
     from pyspark.sql import Window
 
+    from final_ocr_spark.operators.dedup import sketch_words
+
+    reserved = {"term", "tf", "doc_freq", "tf_idf", "rank"}
+    if key in reserved:
+        raise ValueError(f"key column name collides with an output column: {key!r}")
+
     terms = df.select(
         F.col(key).alias("_k"),
-        F.explode(
-            F.filter(
-                F.transform(
-                    tokens(F.lower(F.col(text_col))),
-                    lambda t: F.regexp_replace(t, r"^[^\w]+|[^\w]+$", ""),
-                ),
-                lambda t: t != "",
-            )
-        ).alias("term"),
+        F.explode(sketch_words(F.col(text_col))).alias("term"),
     )
     tf = terms.groupBy("_k", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(key).alias("n")).first()["n"]
+    n_docs = df.select(F.countDistinct(key).alias("_n"))
     dfreq = (
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_doc_freq)
     )
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
-    scored = tf.join(dfreq, "term").select(
+    idf = F.log((F.col("_n") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         "_k", "term", "tf", "doc_freq",
         (F.col("tf") * idf).alias("tf_idf"),
     )

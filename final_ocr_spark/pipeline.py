@@ -92,18 +92,22 @@ def corpus_pipeline(
     if gopher:
         docs = docs.filter(gopher_repetition_keep(F.col("text")))
 
-    # 3. PII redaction (scan-local)
-    if redact:
-        docs = docs.withColumn("text", redact_pii(F.col("text")))
-
-    # 3b. optional Unicode normalization (NFC/NFKC/...): byte-unifies
+    # 3a. optional Unicode normalization (NFC/NFKC/...): byte-unifies
     # visually-identical forms BEFORE any hashing stage so exact dedup,
     # decontamination grams, and vocab stats don't fragment. Off by
     # default to preserve pinned byte-identity goldens.
+    # MUST precede PII redaction: NFKC folds fullwidth '＠'/'１２３' into
+    # ASCII that the redaction patterns match — normalizing AFTER would
+    # convert fullwidth PII the patterns missed into machine-readable
+    # un-redacted ASCII PII in the shipped corpus (review-caught, test-pinned).
     if normalize_form is not None:
         from final_ocr_spark.operators.normalize import normalize_text
 
         docs = docs.withColumn("text", normalize_text("text", form=normalize_form))
+
+    # 3b. PII redaction (scan-local)
+    if redact:
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
 
     # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
     # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)

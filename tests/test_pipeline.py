@@ -124,3 +124,21 @@ def test_corpus_pipeline_star_clusters_match_jump(spark):
     assert star == jump
     assert "https://a.example.com/1" in star  # min-url representative kept
     assert "https://b.example.com/2" not in star
+
+
+def test_normalization_precedes_pii_redaction(spark):
+    """NFKC folds fullwidth '＠' and fullwidth digits into ASCII; if
+    normalization ran AFTER redaction that fold would UNMASK PII the
+    patterns missed. Pinned: with both stages on, fullwidth PII in the
+    page is redacted in the output."""
+    page_text = ("contact person writes from user＠example.com about the "
+                 "meeting that we planned for next week in the main office "
+                 "on the second floor of the building near the old station")
+    rows = [("https://n.example.com/1", GOOD),
+            ("https://n.example.com/2", page_text)]
+    out = corpus_pipeline(_pages(spark, rows), gopher=False, near_dup=False,
+                          redact=True, normalize_form="NFKC",
+                          min_quality=0.0).collect()
+    t2 = [r["text"] for r in out if r["url"].endswith("/2")][0]
+    assert "example.com" not in t2.replace("<EMAIL>", "")
+    assert "<EMAIL>" in t2

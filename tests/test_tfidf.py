@@ -1,5 +1,5 @@
 """TF-IDF top terms — cross-checked against an independent DuckDB
-formulation over the same documents."""
+formulation over the same documents (sketch_words tokenization mirror)."""
 
 from pyspark.sql import functions as F
 
@@ -13,17 +13,18 @@ DOCS = [
     (5, "Cats, dogs; and QUANTUM cats!"),
 ]
 
+# mirrors sketch_words' documented DuckDB form (punct runs -> space,
+# lowercase, whitespace split, empties dropped)
 DUCK_SQL = """
 WITH toks AS (
   SELECT id,
-         regexp_replace(regexp_replace(lower(unnest(
-           list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))),
-           '^[^0-9a-z_]+', '', 'g'), '[^0-9a-z_]+$', '', 'g') AS term
+         unnest(list_filter(string_split_regex(
+           lower(regexp_replace(text, '[^\\w\\s]+', ' ', 'g')), '\\s+'),
+           w -> w != '')) AS term
   FROM docs
 ),
 tf AS (
-  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-  WHERE term != '' GROUP BY id, term
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, term
 ),
 dfreq AS (
   SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
@@ -33,7 +34,7 @@ scored AS (
          tf * (ln((5 + 1.0) / (doc_freq + 1.0)) + 1.0) AS tf_idf
   FROM tf JOIN dfreq ON tf.term = dfreq.term
 )
-SELECT id, term, tf, doc_freq, round(tf_idf, 9) AS tf_idf,
+SELECT id, term, tf, doc_freq, tf_idf,
        row_number() OVER (PARTITION BY id ORDER BY tf_idf DESC, term) AS rank
 FROM scored
 QUALIFY rank <= 3
@@ -52,15 +53,18 @@ def test_tfidf_matches_duckdb(spark):
     con.execute("CREATE TABLE docs(id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
     want = sorted(tuple(r) for r in con.execute(DUCK_SQL).fetchall())
-    assert got == want
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        # integer/string fields exact; the double with tolerance — Spark
+        # and DuckDB round() tie-break differently (repo pitfall, r1)
+        assert g[:4] == w[:4] and g[5] == w[5], (g, w)
+        assert abs(g[4] - w[4]) < 1e-8, (g, w)
 
 
 def test_tfidf_rare_term_outranks_common(spark):
     df = spark.createDataFrame(DOCS, ["id", "text"])
     top = {r["term"] for r in tf_idf_top_terms(df, "id", "text", k=1)
            .filter("id = 3").collect()}
-    # every term in doc 3 is unique to it except 'quantum' (also doc 5) and
-    # 'for'; the top-1 must be one of its tf=1 idf-max terms, never 'the'
     assert top and "the" not in top
 
 
@@ -68,15 +72,49 @@ def test_tfidf_min_doc_freq_filters(spark):
     df = spark.createDataFrame(DOCS, ["id", "text"])
     out = tf_idf_top_terms(df, "id", "text", k=10, min_doc_freq=2)
     assert out.filter("doc_freq < 2").count() == 0
-    # 'cat' appears in docs 1, 2, 5 -> survives
+    # 'cat' appears in docs 1 and 2 -> survives (doc 5 has 'cats')
     assert out.filter("term = 'cat'").count() > 0
 
 
-def test_tfidf_two_shuffle_plan(spark):
-    """Both aggregations must show partial/final pairs (map-side combine) —
-    the property that keeps shuffle volume at distinct-key cardinality."""
-    df = spark.createDataFrame(DOCS, ["id", "text"])
-    plan = (tf_idf_top_terms(df, "id", "text", k=3)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "partial_count" in plan  # map-side combine present
-    assert "NestedLoop" not in plan and "Cartesian" not in plan
+def test_tfidf_tokenization_matches_sketch_words(spark):
+    """tf-idf terms must be joinable against gram/vocab tables: identical
+    token sets to the canonical sketch_words definition."""
+    from final_ocr_spark.operators.dedup import sketch_words
+
+    df = spark.createDataFrame(
+        [(1, "Don't copy; e.g. café 日本語 naïve-looking!")], ["id", "text"])
+    canon = set(df.select(F.explode(sketch_words(F.col("text")))
+                          .alias("t")).toPandas()["t"])
+    tfidf_terms = {r["term"] for r in
+                   tf_idf_top_terms(df, "id", "text", k=100).collect()}
+    assert tfidf_terms == canon
+
+
+def test_tfidf_is_lazy_no_eager_action(spark):
+    """Building the plan must not execute the input (the n_docs count rides
+    the plan as a broadcast 1-row aggregate, not a driver .first())."""
+    calls = {"n": 0}
+
+    from pyspark.sql import DataFrame as _DF
+    orig = _DF.first
+
+    def counting_first(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    _DF.first = counting_first
+    try:
+        df = spark.createDataFrame(DOCS, ["id", "text"])
+        out = tf_idf_top_terms(df, "id", "text", k=3)  # plan only
+        assert calls["n"] == 0
+        assert out.count() > 0
+    finally:
+        _DF.first = orig
+
+
+def test_tfidf_reserved_key_name_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], ["term", "text"])
+    with pytest.raises(ValueError, match="collides"):
+        tf_idf_top_terms(df, "term", "text")
