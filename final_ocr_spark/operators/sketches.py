@@ -78,3 +78,72 @@ def cms_lookup(
         joined.groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_count"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame, token_col: str, k: int = 20, counters: int = 2000,
+) -> DataFrame:
+    """Exact top-k heavy hitters WITHOUT shuffling the full vocabulary:
+    Misra-Gries candidate generation + exact recount of candidates only.
+
+    Pass 1 (candidates): each partition streams its tokens through a
+    Misra-Gries summary of ``counters`` slots inside ``mapInPandas`` —
+    bounded memory, no shuffle — emitting at most ``counters`` candidate
+    rows per partition. The union of per-partition MG summaries is a
+    valid MG summary of the whole stream, so ANY token with true count
+    > n_tokens/counters is guaranteed present among candidates (standard
+    MG guarantee); with counters ≫ k the true top-k are candidates for
+    every realistic (Zipfian) term distribution, and the guarantee gives
+    the exact threshold above which no hitter can be missed.
+
+    Pass 2 (exact): the distinct candidate set (≤ counters×partitions
+    rows, typically ≪ vocabulary) broadcast-semi-joins the token stream
+    and only candidate tokens are counted exactly — the shuffle carries
+    candidate tokens instead of the whole vocabulary. Output:
+    (term, cnt, rank) — counts are EXACT for every returned term.
+
+    This is the 100 TB shape for "top stopwords / hot phrases" where
+    ``groupBy(term)`` would shuffle billions of distinct terms; the
+    exact q46 vocab rollup remains the right tool at moderate
+    vocabularies. Deterministic: MG contents depend on partition layout,
+    but pass 2 recounts exactly and ties break on (cnt DESC, term ASC).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(token_col).alias("term")).filter(
+        F.col("term").isNotNull() & (F.col("term") != "")
+    )
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        slots: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in slots:
+                    slots[t] += 1
+                elif len(slots) < counters:
+                    slots[t] = 1
+                else:
+                    # decrement-all step (the dict-sweep is amortized O(1)
+                    # per token: each decrement cancels one prior increment)
+                    dead = []
+                    for kk in slots:
+                        slots[kk] -= 1
+                        if slots[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del slots[kk]
+        yield pd.DataFrame({"term": list(slots.keys())})
+
+    candidates = toks.mapInPandas(_mg, schema="term string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
