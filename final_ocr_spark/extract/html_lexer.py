@@ -44,6 +44,16 @@ from html.parser import (
 import re
 
 _CDATA_ELEMS = ("script", "style")
+# Attribute-free tag fast paths (~half of start tags, ~all end tags on web
+# corpora).  Name chars are restricted to [a-zA-Z0-9] — a strict subset of
+# what tagfind_tolerant / endtagfind / locatestarttagend_tolerant accept with
+# zero attributes and zero whitespace, so every fast-path hit provably takes
+# the same branch as the stdlib-regex path: start → terminated, no '/' after
+# the name → handle_starttag(tag, []); end → endtagfind match at the first
+# '>' → handle_endtag(tag).  Misses fall through unchanged.
+_SIMPLE_START = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
+_SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
+_NO_ATTRS: list = []  # handlers never mutate attrs; shared to skip per-tag allocs
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>")
 _MARKED_IF_CLOSE = re.compile(r"]\s*>")
 _CDATA_INTERESTING = {
@@ -84,7 +94,7 @@ def _parse_starttag(h, rawdata: str, i: int, n: int) -> tuple[int, str | None]:
         # common fast path: no '/' anywhere after the tag name → plain start
         # tag; the attr loop could neither change the terminator nor make it
         # self-closing
-        h.handle_starttag(tag, [])
+        h.handle_starttag(tag, _NO_ATTRS)
         if tag in _CDATA_ELEMS:
             return endpos, tag
         return endpos, None
@@ -100,9 +110,9 @@ def _parse_starttag(h, rawdata: str, i: int, n: int) -> tuple[int, str | None]:
         h.handle_data(rawdata[i:endpos])
         return endpos, None
     if end.endswith("/>"):
-        h.handle_startendtag(tag, [])
+        h.handle_startendtag(tag, _NO_ATTRS)
         return endpos, None
-    h.handle_starttag(tag, [])
+    h.handle_starttag(tag, _NO_ATTRS)
     if tag in _CDATA_ELEMS:
         return endpos, tag
     return endpos, None
@@ -194,9 +204,27 @@ def fast_feed(h, rawdata: str) -> None:
                 h.handle_data(rawdata[i:j])
         i = j
         # -- dispatch on the construct at '<' ------------------------------
+        sm = _SIMPLE_START.match(rawdata, i)
+        if sm is not None:
+            # cdata_elem is always None here: in cdata mode the dispatcher
+            # only ever lands on a ``</`` match, which this pattern rejects
+            tag = sm.group(1).lower()
+            h.handle_starttag(tag, _NO_ATTRS)
+            if tag in _CDATA_ELEMS:
+                cdata_elem = tag
+            i = sm.end()
+            continue
         if starttagopen.match(rawdata, i):
             k, cdata_elem = _parse_starttag(h, rawdata, i, n)
         elif rawdata.startswith("</", i):
+            em = _SIMPLE_END.match(rawdata, i)
+            if em is not None:
+                elem = em.group(1).lower()
+                if cdata_elem is None or elem == cdata_elem:
+                    h.handle_endtag(elem)
+                    cdata_elem = None
+                    i = em.end()
+                    continue
             k, cdata_elem = _parse_endtag(h, rawdata, i, n, cdata_elem)
         elif rawdata.startswith("<!--", i):
             m = commentclose.search(rawdata, i + 4)

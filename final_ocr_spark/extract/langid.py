@@ -25,32 +25,40 @@ _STOPWORDS: dict[str, frozenset[str]] = {
 }
 _LANG_ORDER = ("en", "de", "es", "fr", "it", "pt")
 
+# word → languages whose stopword list contains it (single-pass scoring)
+_WORD_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang in _LANG_ORDER:
+    for _w in _STOPWORDS[_lang]:
+        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
+
+# Script-range counters as compiled character classes: the codepoint ranges
+# are pairwise disjoint, so len(findall) equals the per-char elif-chain count
+# exactly; regex scan is C-speed vs ~0.6 ms/call for the Python loop.
+import re as _re
+
+_SCRIPT_RES: tuple[tuple[str, "_re.Pattern[str]"], ...] = (
+    ("zh", _re.compile("[一-鿿]")),
+    ("ja", _re.compile("[぀-ヿ]")),
+    ("ko", _re.compile("[가-힯]")),
+    ("ar", _re.compile("[؀-ۿ]")),
+    ("ru", _re.compile("[Ѐ-ӿ]")),
+    ("hi", _re.compile("[ऀ-ॿ]")),
+)
+
 
 def _script_lang(text: str) -> str | None:
     head = text[:2000]
     if head.isascii():  # C-speed fast path: ASCII ⇒ every script count is 0
         return None
-    counts = {"zh": 0, "ar": 0, "ru": 0, "hi": 0, "ja": 0, "ko": 0}
-    n_alpha = 0
-    for ch in head:
-        cp = ord(ch)
-        if 0x4E00 <= cp <= 0x9FFF:
-            counts["zh"] += 1
-        elif 0x3040 <= cp <= 0x30FF:
-            counts["ja"] += 1
-        elif 0xAC00 <= cp <= 0xD7AF:
-            counts["ko"] += 1
-        elif 0x0600 <= cp <= 0x06FF:
-            counts["ar"] += 1
-        elif 0x0400 <= cp <= 0x04FF:
-            counts["ru"] += 1
-        elif 0x0900 <= cp <= 0x097F:
-            counts["hi"] += 1
-        if ch.isalpha():
-            n_alpha += 1
+    counts = {lang: len(p.findall(head)) for lang, p in _SCRIPT_RES}
+    best = max(counts, key=lambda k: (counts[k], k))
+    if counts[best] < 10:
+        # threshold is max(10, 0.3*n_alpha) ≥ 10 — can't pass; and the
+        # n_alpha == 0 branch below also returns None, so skip the alpha scan
+        return None
+    n_alpha = sum(map(str.isalpha, head))
     if n_alpha == 0:
         return None
-    best = max(counts, key=lambda k: (counts[k], k))
     if counts[best] >= max(10, 0.3 * n_alpha):
         # ja subsumes zh kanji: prefer ja only if kana present
         if best == "zh" and counts["ja"] > 0:
@@ -69,10 +77,18 @@ def detect_lang(text: str) -> str:
     words = text[:4000].lower().split()
     if not words:
         return "und"
+    # single pass over words (vs one membership sweep per language) — the
+    # per-language scores are identical, argmax order unchanged
+    scores = dict.fromkeys(_LANG_ORDER, 0)
+    get = _WORD_LANGS.get
+    for w in words:
+        langs = get(w)
+        if langs is not None:
+            for lg in langs:
+                scores[lg] += 1
     best_lang, best_score = "und", 0
     for lang in _LANG_ORDER:
-        sw = _STOPWORDS[lang]
-        score = sum(1 for w in words if w in sw)
+        score = scores[lang]
         if score > best_score:
             best_lang, best_score = lang, score
     if best_score >= max(2, len(words) // 50):
