@@ -940,3 +940,72 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-level paragraph dedup: drop repeated paragraphs, keep the first.
+
+    Web corpora repeat boilerplate *inside* otherwise-unique documents
+    (cookie banners, license blurbs, nav text) — document-level dedup never
+    sees it. This removes every later copy of any paragraph (a ``\\n``-split
+    segment of ``text_col`` with ≥ ``min_chars`` chars) that occurs more than
+    once across the corpus, keeping exactly the occurrence with the smallest
+    ``(key, position)`` (deterministic; also dedups repeats within one doc).
+    Short segments (headings, blank lines) pass through untouched.
+
+    Scale shape — the corpus text is NEVER exploded-and-reassembled:
+
+    1. explode to slim ``(key, pos, xxhash64(para))`` rows — the paragraph
+       string is pruned before anything shuffles;
+    2. ``groupBy(hash)`` → ``(first_owner, count)`` with map-side partial
+       aggregation (shuffle of hash rows only);
+    3. the kill set (occurrences of count>1 hashes that are not the first
+       owner) aggregates to one ``(key, kill_positions)`` row per *affected*
+       document — proportional to duplicated paragraphs, not the corpus;
+    4. one join back on ``key`` (the extraction pipeline's existing hash(url)
+       partitioning; AQE broadcasts when the kill set is small) and a single
+       index-filter expression rebuilds the text of affected docs in place.
+       ``array_contains`` per element is O(kills-per-doc), bounded in
+       practice by boilerplate count per page.
+
+    Returns ``df`` with ``text_col`` rewritten and an ``n_paras_dropped``
+    count column. 64-bit hash collisions (≈n²/2^65) can merge two distinct
+    paragraphs — same accepted tradeoff as ``dedup_exact``.
+    """
+    arr = F.split(F.col(text_col), "\n")
+    occ = (
+        df.select(F.col(key), F.posexplode(arr).alias("pos", "para"))
+        .filter(F.length("para") >= min_chars)
+        .select(key, "pos", F.xxhash64("para").alias("_h"))
+    )
+    owners = occ.groupBy("_h").agg(
+        F.min(F.struct(key, "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    kill = (
+        occ.join(owners.filter(F.col("_n") > 1), "_h")
+        .filter(F.struct(key, "pos") != F.col("_first"))
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_kill"))
+    )
+    rebuilt = F.array_join(
+        F.filter(arr, lambda p, i: ~F.array_contains(F.col("_kill"), i)), "\n"
+    )
+    return (
+        df.join(kill, key, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_kill").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .withColumn(
+            "n_paras_dropped",
+            # size(NULL) is -1 under legacy sizeOfNull — branch, don't coalesce
+            F.when(F.col("_kill").isNull(), F.lit(0)).otherwise(F.size("_kill")),
+        )
+        .drop("_kill")
+    )

@@ -2,6 +2,9 @@
 to a training-ready corpus, composed from the engine's tested operators.
 
     pages(url, warc_ts, html, text, lang)
+      0. url gate         optional domain-blocklist broadcast anti-join +
+                          pattern filter — decided BEFORE any per-doc
+                          compute, rides the scan
       1. extract          mapInPandas main-content extraction, per-row
                           quarantine, latest-wins url dedup on the
                           EXTRACTED rows (~4× smaller than html)
@@ -10,6 +13,10 @@ to a training-ready corpus, composed from the engine's tested operators.
                           exprs, zero extra shuffle
       3. PII redaction    email/IP/phone masking — scan-local
       4. exact dedup      fingerprint group-by (one shuffle of 8-byte keys)
+      4b. paragraph dedup optional corpus-level repeated-paragraph removal
+                          (first-occurrence-wins; slim hash explode +
+                          kill-set rebuild — boilerplate inside otherwise
+                          unique docs, which doc-level dedup never sees)
       5. near-dup dedup   MinHash-OPH → LSH banding → exact-jaccard verify
                           → connected components → keep min-url per cluster
       6. host cap         at most N docs per host (skew-safe salted cap)
@@ -72,10 +79,22 @@ def corpus_pipeline(
     extract_partitions: int | None = None,
     cluster_algorithm: str = "jump",
     normalize_form: str | None = None,
+    blocked_domains: DataFrame | list[str] | None = None,
+    url_patterns: tuple[str, ...] = (),
+    paragraph_dedup_min_chars: int | None = None,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
     optional via its kwarg except extraction and exact dedup."""
+    # 0. url gate (optional): cheapest filter first — ahead of the Python
+    # extraction stage so blocked rows never reach the UDF
+    if blocked_domains is not None or url_patterns:
+        from final_ocr_spark.operators.urlfilter import filter_blocked_urls
+
+        pages = filter_blocked_urls(
+            pages, blocked_domains=blocked_domains, patterns=url_patterns
+        )
+
     # 1. extract + latest-wins url dedup; quarantined rows dropped
     ext = extract_pages(pages, dedup=True, partitions=extract_partitions)
     docs = (
@@ -112,6 +131,22 @@ def corpus_pipeline(
     # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
     # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)
     docs = dedup_exact(docs, text_col="text", keep_col="url")
+
+    # 4b. paragraph dedup (optional): corpus-level boilerplate paragraphs
+    # removed before near-dup sketching — shared paragraphs otherwise pull
+    # unrelated docs over the jaccard threshold. Docs emptied by the rebuild
+    # are dropped (all their content was corpus-duplicated).
+    if paragraph_dedup_min_chars is not None:
+        from final_ocr_spark.operators.dedup import paragraph_dedup
+
+        docs = (
+            paragraph_dedup(
+                docs, key="url", text_col="text",
+                min_chars=paragraph_dedup_min_chars,
+            )
+            .filter(F.length("text") > 0)
+            .drop("n_paras_dropped")
+        )
 
     # 5. near-dup dedup: candidates → exact verify → components → reps
     if near_dup:

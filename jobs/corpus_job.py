@@ -44,6 +44,17 @@ def main() -> None:
                          "small-star (path-shaped/huge graphs)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--blocked-domains", default=None,
+                    help="file with one registered domain per line, filtered "
+                         "before extraction (broadcast anti-join)")
+    ap.add_argument("--url-patterns", action="store_true",
+                    help="enable the pinned default URL hygiene patterns")
+    ap.add_argument("--paragraph-dedup", type=int, default=None,
+                    metavar="MIN_CHARS",
+                    help="corpus-level repeated-paragraph removal for "
+                         "paragraphs of at least MIN_CHARS chars")
+    ap.add_argument("--warc-input", default=None,
+                    help="directory of WARC(.gz) archives instead of --input")
     args = ap.parse_args()
 
     from final_ocr_spark.session import get_spark
@@ -55,17 +66,34 @@ def main() -> None:
         from final_ocr_spark.sources.synthetic_pages import gen_pages
 
         pages = gen_pages(spark, args.synthetic, seed=args.seed)
+    elif args.warc_input:
+        from final_ocr_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.warc_input).filter(
+            "error is null").drop("error")
     elif args.input:
         from final_ocr_spark.schema import PAGES_SCHEMA
 
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     else:
-        ap.error("one of --input / --synthetic is required")
+        ap.error("one of --input / --warc-input / --synthetic is required")
 
+    blocked = None
+    if args.blocked_domains:
+        blocked = [
+            ln.strip() for ln in
+            pathlib.Path(args.blocked_domains).read_text().splitlines()
+            if ln.strip()
+        ]
+
+    from final_ocr_spark.operators.urlfilter import DEFAULT_URL_PATTERNS
     from final_ocr_spark.pipeline import corpus_pipeline
 
     corpus = corpus_pipeline(
         pages,
+        blocked_domains=blocked,
+        url_patterns=DEFAULT_URL_PATTERNS if args.url_patterns else (),
+        paragraph_dedup_min_chars=args.paragraph_dedup,
         min_quality=args.min_quality,
         gopher=not args.no_gopher,
         redact=not args.no_redact,

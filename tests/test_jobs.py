@@ -13,3 +13,55 @@ def test_stats_job_smoke(tmp_path):
     assert out.returncode == 0, out.stderr[-1500:]
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("stats written")]
     assert len(lines) == 5 and all("rows=" in ln for ln in lines)
+
+
+def test_corpus_job_warc_and_new_stages_smoke(tmp_path):
+    import subprocess
+    import sys
+
+    from final_ocr_spark.sources.warc import write_warc_bytes
+
+    body_a = ("<html><body><p>this website uses cookies to improve your "
+              "experience and by continuing you agree to the policy</p>"
+              "<p>a unique first article body about the harbor lights and "
+              "the boats returning in the evening calm</p></body></html>")
+    body_b = ("<html><body><p>this website uses cookies to improve your "
+              "experience and by continuing you agree to the policy</p>"
+              "<p>a unique second article body about the mountain trail "
+              "and the snow line moving higher in spring</p></body></html>")
+    warcdir = tmp_path / "warc"
+    warcdir.mkdir()
+    (warcdir / "seg-0.warc.gz").write_bytes(write_warc_bytes([
+        {"url": "http://a.example/1", "date": "2024-05-01T12:00:00Z",
+         "body": body_a.encode()},
+        {"url": "http://b.example/2", "date": "2024-05-01T12:00:01Z",
+         "body": body_b.encode()},
+        {"url": "http://bad.example/3", "date": "2024-05-01T12:00:02Z",
+         "body": b"<html><body><p>blocked domain page body that is long "
+                 b"enough to pass every quality gate easily</p></body></html>"},
+    ]))
+    (tmp_path / "blocked.txt").write_text("bad.example\n")
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--warc-input", str(warcdir),
+         "--output", str(tmp_path / "corpus"),
+         "--blocked-domains", str(tmp_path / "blocked.txt"),
+         "--url-patterns", "--paragraph-dedup", "30",
+         "--min-quality", "0", "--no-gopher", "--no-near-dup"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT url, text FROM '{tmp_path}/corpus/*.parquet' ORDER BY url"
+    ).fetchall()
+    urls = [u for u, _ in rows]
+    assert urls == ["http://a.example/1", "http://b.example/2"]
+    texts = dict(rows)
+    # paragraph dedup: the shared cookie banner survives only in the min url
+    assert "cookies" in texts["http://a.example/1"]
+    assert "cookies" not in texts["http://b.example/2"]
+    assert "mountain trail" in texts["http://b.example/2"]

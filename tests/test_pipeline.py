@@ -142,3 +142,44 @@ def test_normalization_precedes_pii_redaction(spark):
     t2 = [r["text"] for r in out if r["url"].endswith("/2")][0]
     assert "example.com" not in t2.replace("<EMAIL>", "")
     assert "<EMAIL>" in t2
+
+
+def test_corpus_pipeline_url_gate_and_paragraph_dedup(spark):
+    boiler = ("this website uses cookies to improve your experience and by "
+              "continuing you agree to the cookie policy of this site")
+    own = ("a completely different second document body about the seaside "
+           "town where the fishing boats come home at dusk each day")
+
+    def page(u, paras):
+        body = "".join(f"<p>{p}</p>" for p in paras)
+        return (u, TS, f"<html><body>{body}</body></html>".encode(), None, "en")
+
+    # html pages: extraction joins kept <p> blocks with '\n', which is the
+    # paragraph boundary paragraph_dedup splits on
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example.com/1", [boiler, GOOD]),
+            page("https://b.example.com/2", [boiler, own]),
+            page("https://blocked.example.net/x", [GOOD + " blocked content"]),
+        ],
+        PAGES_SCHEMA,
+    )
+    out = corpus_pipeline(
+        pages,
+        min_quality=0.0,
+        gopher=False,
+        redact=False,
+        near_dup=False,
+        blocked_domains=["example.net"],
+        paragraph_dedup_min_chars=30,
+    ).collect()
+    texts = {r["url"]: r["text"] for r in out}
+
+    # stage 0: the blocked domain never reaches extraction
+    assert "https://blocked.example.net/x" not in texts
+    # stage 4b: first occurrence (min url) keeps the boilerplate paragraph,
+    # the later doc loses it but keeps its own body
+    assert boiler in texts["https://a.example.com/1"]
+    assert boiler not in texts["https://b.example.com/2"]
+    assert "seaside town" in texts["https://b.example.com/2"]
+    assert texts["https://b.example.com/2"] == own

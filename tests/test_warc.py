@@ -1,0 +1,98 @@
+"""WARC ingestion source: framing round-trip, HTTP handling, quarantine."""
+
+from __future__ import annotations
+
+import gzip
+
+from final_ocr_spark.sources.warc import (
+    _dechunk,
+    _http_body,
+    iter_warc_records,
+    read_warc,
+    write_warc_bytes,
+)
+
+_RECS = [
+    {"url": "warcinfo:one", "date": "2017-03-06T04:02:06Z",
+     "body": b"software: test", "warc_type": "warcinfo"},
+    {"url": "http://a.example/x", "date": "2017-03-06T04:02:06Z",
+     "body": b"<html><body><p>hello alpha this paragraph is long enough to keep</p></body></html>"},
+    {"url": "http://b.example/y", "date": "2017-03-06T04:02:07Z",
+     "body": b"<html><body><p>hello beta chunked and also long enough to keep</p></body></html>",
+     "chunked": True},
+    {"url": "http://c.example/z", "date": "not-a-date",
+     "body": b"<html>bad date still a page</html>", "http_status": 404},
+]
+
+
+def test_iter_warc_records_roundtrip_both_compressions():
+    for gz in (True, False):
+        blob = write_warc_bytes(_RECS, per_record_gzip=gz)
+        recs = list(iter_warc_records(blob))
+        assert [r["warc-type"] for r in recs] == [
+            "warcinfo", "response", "response", "response"
+        ]
+        assert recs[1]["warc-target-uri"] == "http://a.example/x"
+        # payload is raw HTTP; body recovered via _http_body
+        assert _http_body(recs[1]["payload"]) == _RECS[1]["body"]
+        assert _http_body(recs[2]["payload"]) == _RECS[2]["body"]  # de-chunked
+
+
+def test_dechunk_edge_cases():
+    assert _dechunk(b"5\r\nhello\r\n0\r\n\r\n") == b"hello"
+    # two chunks with extension on the first
+    assert _dechunk(b"3;ext=1\r\nabc\r\n2\r\nde\r\n0\r\n\r\n") == b"abcde"
+    # broken framing: returned as-is
+    junk = b"zz\r\nnothex"
+    assert _dechunk(junk) == junk
+
+
+def test_iter_warc_records_bad_framing_raises():
+    try:
+        list(iter_warc_records(b"NOT-A-WARC\r\n\r\npayload"))
+    except ValueError as e:
+        assert "WARC version" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    (tmp_path / "seg-00000.warc.gz").write_bytes(write_warc_bytes(_RECS))
+    (tmp_path / "seg-00001.warc").write_bytes(
+        write_warc_bytes(
+            [{"url": "http://d.example/w", "date": "2017-03-07T00:00:00Z",
+              "body": b"<html>plain file</html>"}],
+            per_record_gzip=False,
+        )
+    )
+    (tmp_path / "broken.warc").write_bytes(b"garbage that is not warc\r\n\r\nx")
+
+    out = read_warc(spark, str(tmp_path)).collect()
+    pages = {r["url"]: r for r in out if r["error"] is None}
+    errs = [r for r in out if r["error"] is not None]
+
+    # warcinfo skipped; 3 responses from .gz + 1 from plain = 4 pages
+    assert set(pages) == {
+        "http://a.example/x", "http://b.example/y",
+        "http://c.example/z", "http://d.example/w",
+    }
+    assert bytes(pages["http://a.example/x"]["html"]) == _RECS[1]["body"]
+    assert bytes(pages["http://b.example/y"]["html"]) == _RECS[2]["body"]
+    assert pages["http://a.example/x"]["warc_ts"] is not None
+    # malformed WARC-Date nulls the timestamp, keeps the page (ANSI-safe)
+    assert pages["http://c.example/z"]["warc_ts"] is None
+    assert pages["http://a.example/x"]["text"] is None
+    assert pages["http://a.example/x"]["lang"] is None
+    # whole-file quarantine row for the broken archive
+    assert len(errs) == 1 and "broken.warc" in errs[0]["url"]
+    assert "warc-parse" in errs[0]["error"]
+
+
+def test_read_warc_composes_with_extract(spark, tmp_path):
+    (tmp_path / "seg.warc.gz").write_bytes(write_warc_bytes(_RECS))
+    from final_ocr_spark.operators.extract_pages import extract_pages
+
+    pages = read_warc(spark, str(tmp_path)).filter("error is null").drop("error")
+    ext = extract_pages(pages, dedup=True, partitions=2)
+    rows = {r["url"]: r for r in ext.collect()}
+    assert "hello alpha" in rows["http://a.example/x"]["extracted_text"]
