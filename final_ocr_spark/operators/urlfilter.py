@@ -56,7 +56,13 @@ def filter_blocked_urls(
     out = df
     if patterns:
         combined = "|".join(f"(?:{p})" for p in patterns)
-        out = out.filter(~F.col(url_col).rlike(combined))
+        # explicit null policy (both gates): a null url carries no blocking
+        # evidence and is KEPT — without the isNull branch, rlike's
+        # three-valued logic would silently drop null-url rows here while
+        # the anti-join below kept them
+        out = out.filter(
+            F.col(url_col).isNull() | ~F.col(url_col).rlike(combined)
+        )
     if blocked_domains is not None:
         if isinstance(blocked_domains, list):
             spark = df.sparkSession
@@ -67,8 +73,8 @@ def filter_blocked_urls(
             blocked = blocked_domains.select(
                 F.col(blocked_domains.columns[0]).alias("domain")
             )
-        host = url_parts(F.col(url_col))["host"]
-        dom = registered_domain(F.lower(host))
+        host = url_parts(F.col(url_col))["host"]  # already lowercased
+        dom = registered_domain(host)
         out = (
             out.withColumn("_rd", dom)
             .join(

@@ -135,7 +135,10 @@ def corpus_pipeline(
     # 4b. paragraph dedup (optional): corpus-level boilerplate paragraphs
     # removed before near-dup sketching — shared paragraphs otherwise pull
     # unrelated docs over the jaccard threshold. Docs emptied by the rebuild
-    # are dropped (all their content was corpus-duplicated).
+    # are dropped (all their content was corpus-duplicated), and the quality
+    # gate RE-RUNS on the rebuilt text: a doc that passed stage 2 on the
+    # strength of its boilerplate must not ship a stale quality_score (or
+    # ship at all, if its surviving text no longer clears min_quality).
     if paragraph_dedup_min_chars is not None:
         from final_ocr_spark.operators.dedup import paragraph_dedup
 
@@ -145,6 +148,13 @@ def corpus_pipeline(
                 min_chars=paragraph_dedup_min_chars,
             )
             .filter(F.length("text") > 0)
+            .withColumn(
+                "quality_score",
+                F.when(
+                    F.col("n_paras_dropped") > 0, quality_score(F.col("text"))
+                ).otherwise(F.col("quality_score")),
+            )
+            .filter(F.col("quality_score") >= F.lit(min_quality))
             .drop("n_paras_dropped")
         )
 

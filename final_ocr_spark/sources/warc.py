@@ -13,26 +13,36 @@ Scale shape:
   mid-file, but a crawl ships tens of thousands of ~1 GB segment files — at
   1000 executors the file count, not split count, is the parallelism budget
   (the standard public recipe for CC-on-Spark).
-* parsing runs in ``mapInPandas`` — Arrow batches of file blobs in, record
-  rows out (1→N), zero per-row Python outside the batch loop.
-* malformed records quarantine into an ``error`` row per file rather than
+* decompression and record framing are STREAMING: gzip members decompress
+  incrementally (``zlib.decompressobj``, bounded input slices) and the
+  parser buffers only the current record — peak memory per task is the
+  compressed blob (which ``binaryFile`` already holds) + one record + one
+  output batch, never the ~4-5× decompressed archive.
+* record rows leave the parser in bounded batches (≤``_BATCH_RECORDS``) via
+  ``mapInPandas`` — Arrow batches of file blobs in, record rows out (1→N),
+  zero per-row Python outside the batch loop.
+* malformed archives quarantine into an ``error`` row per file rather than
   failing the task (the reference's per-document error swallowing,
-  ocr2.py:549-551, applied per archive).
+  ocr2.py:549-551, applied per archive); records missing WARC-Target-URI
+  are skipped (a null url would silently collapse under latest-wins dedup).
 
 Format notes (public spec / CPython stdlib only):
 
 * record framing: header block terminated by CRLF CRLF; ``Content-Length``
   gives the payload size; two CRLFs separate records.
-* ``gzip.decompress`` handles multi-member streams, so per-record-gzipped CC
-  files and whole-file gzip both work; plain ``.warc`` is passed through.
+* per-record-gzipped CC files, whole-file gzip, and plain ``.warc`` all
+  parse; concatenated members are handled by resetting the decompressor at
+  member boundaries.
 * HTTP ``response`` payloads carry raw HTTP: status line + headers, CRLF
-  CRLF, body; ``Transfer-Encoding: chunked`` bodies are de-chunked (CC
-  stores the wire bytes).
+  CRLF, body; ``Transfer-Encoding: chunked`` bodies are de-chunked and
+  ``Content-Encoding: gzip/deflate`` bodies are decoded (CC stores the wire
+  bytes); ``br`` bodies pass through raw (no brotli in the stdlib).
 """
 
 from __future__ import annotations
 
 import gzip
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -40,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_SLICE = 1 << 22  # 4 MB compressed feed per decompress call
+_BATCH_RECORDS = 256  # rows per yielded Arrow batch
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -60,7 +72,9 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def _http_body(payload: bytes) -> bytes:
-    """Raw HTTP response bytes → body (headers stripped, de-chunked)."""
+    """Raw HTTP response bytes → body (headers stripped, de-chunked,
+    content-decoded). Wire order per RFC: chunked framing is removed first,
+    then Content-Encoding. Undecodable bodies return as-is (br, corrupt)."""
     sep = payload.find(_CRLF2)
     if sep < 0 or not payload[:5] in (b"HTTP/", b"http/"):
         return payload  # not HTTP framing: treat the payload as the body
@@ -68,32 +82,135 @@ def _http_body(payload: bytes) -> bytes:
     body = payload[sep + 4:]
     if b"transfer-encoding:" in headers and b"chunked" in headers:
         body = _dechunk(body)
+    if b"content-encoding:" in headers:
+        try:
+            if b"gzip" in headers or b"x-gzip" in headers:
+                body = gzip.decompress(body)
+            elif b"deflate" in headers:
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:  # raw-deflate servers (no zlib wrapper)
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)
+        except (OSError, EOFError, zlib.error):
+            pass  # undecodable: keep wire bytes (quarantined downstream)
     return body
+
+
+def _decompressed_chunks(blob: bytes) -> Iterator[bytes]:
+    """Stream-decompress a (possibly multi-member) gzip blob in bounded
+    slices; plain blobs yield as-is. Raises ValueError on corrupt gzip so
+    the caller's quarantine path fires."""
+    if blob[:2] != b"\x1f\x8b":
+        yield blob
+        return
+    view = memoryview(blob)
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+    i, n = 0, len(blob)
+    pending = b""
+    fresh = True  # current decompressor has consumed no input yet
+    try:
+        while pending or i < n:
+            if pending:
+                buf, pending = pending, b""
+            else:
+                buf = view[i:i + _GZ_SLICE]
+                i += _GZ_SLICE
+            out = d.decompress(buf)
+            fresh = False
+            if out:
+                yield out
+            while d.eof:  # member boundary: reset for the next member
+                rest = d.unused_data
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                fresh = True
+                if not rest:
+                    break
+                out = d.decompress(rest)
+                fresh = False
+                if out:
+                    yield out
+        if not fresh and not d.eof:
+            # input exhausted mid-member: a truncated download, not a tail
+            # the format allows — quarantine, don't silently ship less data
+            raise ValueError("gzip: truncated member")
+        tail = d.flush()
+        if tail:
+            yield tail
+    except zlib.error as e:  # corrupt member mid-stream
+        raise ValueError(f"gzip: {e}")
+
+
+class _StreamBuf:
+    """Minimal growable window over an iterator of byte chunks: the parser
+    holds only [pos:] of the current record, never the whole archive."""
+
+    def __init__(self, chunks: Iterator[bytes]) -> None:
+        self._chunks = chunks
+        self.buf = b""
+        self.pos = 0
+
+    def _compact(self) -> None:
+        if self.pos > (1 << 20) and self.pos > len(self.buf) // 2:
+            self.buf = self.buf[self.pos:]
+            self.pos = 0
+
+    def fill_to(self, need: int) -> bool:
+        """Ensure ≥need bytes available after pos; False on EOF short."""
+        while len(self.buf) - self.pos < need:
+            nxt = next(self._chunks, None)
+            if nxt is None:
+                return False
+            self._compact()
+            self.buf += nxt
+        return True
+
+    def find(self, token: bytes) -> int:
+        """Offset of token after pos (pulling chunks as needed), or -1."""
+        while True:
+            j = self.buf.find(token, self.pos)
+            if j >= 0:
+                return j - self.pos
+            nxt = next(self._chunks, None)
+            if nxt is None:
+                return -1
+            self._compact()
+            self.buf += nxt
+
+    def take(self, k: int) -> bytes:
+        out = self.buf[self.pos:self.pos + k]
+        self.pos += k
+        return out
+
+    def peek(self, k: int) -> bytes:
+        return self.buf[self.pos:self.pos + k]
 
 
 def iter_warc_records(blob: bytes) -> Iterator[dict]:
     """Parse one WARC file's bytes → dicts of WARC headers + ``payload``.
 
-    Pure function over bytes (testable without Spark). Stops cleanly at a
-    truncated tail; raises ValueError on unparseable framing so the caller
-    can quarantine the file.
+    Pure function over bytes (testable without Spark); decompresses and
+    frames INCREMENTALLY — memory is one record, not the archive. Stops
+    cleanly at a truncated tail; raises ValueError on unparseable framing
+    (bad version line, bad length, corrupt gzip) so the caller can
+    quarantine the file.
     """
-    if blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)  # multi-member per CC convention
-    i, n = 0, len(blob)
-    while i < n:
+    if blob[:2] == b"\x1f\x8b" and len(blob) < 10:
+        raise ValueError("gzip: truncated header")
+    s = _StreamBuf(_decompressed_chunks(blob))
+    while True:
         # skip inter-record CRLFs
-        while i < n and blob[i:i + 2] == b"\r\n":
-            i += 2
-        if i >= n:
+        while s.fill_to(2) and s.peek(2) == b"\r\n":
+            s.take(2)
+        if not s.fill_to(1):
             return
-        head_end = blob.find(_CRLF2, i)
-        if head_end < 0:
-            return  # truncated tail: yield what we have
-        head = blob[i:head_end].decode("utf-8", "replace")
+        rel = s.find(_CRLF2)
+        if rel < 0:
+            return  # truncated tail inside a header block
+        head = s.take(rel).decode("utf-8", "replace")
+        s.take(4)
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
-            raise ValueError(f"bad WARC version line at byte {i}: {lines[0][:40]!r}")
+            raise ValueError(f"bad WARC version line: {lines[0][:40]!r}")
         fields = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
@@ -101,32 +218,39 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
         try:
             length = int(fields["content-length"])
         except (KeyError, ValueError):
-            raise ValueError(f"missing/bad Content-Length at byte {i}")
-        payload = blob[head_end + 4:head_end + 4 + length]
-        fields["payload"] = payload
+            raise ValueError("missing/bad Content-Length")
+        if not s.fill_to(length):
+            return  # payload truncated at EOF: drop the partial record
+        fields["payload"] = s.take(length)
         yield fields
-        i = head_end + 4 + length
 
 
-def _rows_for_file(path: str, blob: bytes, warc_types: tuple[str, ...]) -> list[dict]:
-    rows = []
+def _record_rows(
+    path: str, blob: bytes, warc_types: tuple[str, ...]
+) -> Iterator[dict]:
+    """Rows for one archive; any parse/decompress failure becomes ONE
+    quarantine row (never a task failure — gzip raises OSError/EOFError,
+    framing raises ValueError; all funneled here)."""
     try:
         for rec in iter_warc_records(blob):
             if rec.get("warc-type") not in warc_types:
                 continue
             url = rec.get("warc-target-uri")
-            ts = rec.get("warc-date")  # ISO-8601; cast engine-side
-            body = _http_body(rec["payload"])
-            rows.append(
-                {"url": url, "warc_ts": ts, "html": body,
-                 "text": None, "lang": None, "error": None}
-            )
-    except ValueError as e:
-        rows.append(
-            {"url": path, "warc_ts": None, "html": None,
-             "text": None, "lang": None, "error": f"warc-parse: {e}"}
-        )
-    return rows
+            if not url:
+                # a null url would collapse under latest-wins dedup and is
+                # invisible to every url-keyed stage: skip, don't emit
+                continue
+            yield {
+                "url": url,
+                "warc_ts": rec.get("warc-date"),  # ISO-8601; cast engine-side
+                "html": _http_body(rec["payload"]),
+                "text": None, "lang": None, "error": None,
+            }
+    except (ValueError, OSError, EOFError, zlib.error) as e:
+        yield {
+            "url": path, "warc_ts": None, "html": None,
+            "text": None, "lang": None, "error": f"warc-parse: {e}",
+        }
 
 
 def read_warc(
@@ -140,6 +264,7 @@ def read_warc(
     Output matches the mandated input schema with an ``error`` column:
     ``error is null`` rows are pages; a non-null row means the whole archive
     failed framing (path in ``url``). ``drop('error')`` for the pure shape.
+    ``warc_ts`` is null when WARC-Date is malformed (page still emitted).
     """
     raw = (
         spark.read.format("binaryFile")
@@ -153,16 +278,19 @@ def read_warc(
         "url string, warc_ts string, html binary, text string, lang string, "
         "error string"
     )
+    cols = ["url", "warc_ts", "html", "text", "lang", "error"]
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            out: list[dict] = []
             for path_, blob in zip(pdf["path"], pdf["content"]):
-                out.extend(_rows_for_file(path_, bytes(blob), warc_types))
-            yield pd.DataFrame(
-                out,
-                columns=["url", "warc_ts", "html", "text", "lang", "error"],
-            )
+                for row in _record_rows(path_, bytes(blob), warc_types):
+                    out.append(row)
+                    if len(out) >= _BATCH_RECORDS:  # bound peak row memory
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
 
     parsed = raw.mapInPandas(_parse, schema=raw_schema)
     # WARC-Date is ISO-8601 ('2017-03-06T04:02:06Z') — cast JVM-side.
@@ -177,25 +305,33 @@ def write_warc_bytes(records: list[dict], per_record_gzip: bool = True) -> bytes
     """Serialize records to WARC/1.0 bytes (test fixture / round-trip aid).
 
     Each record dict: ``{url, date, body, warc_type='response',
-    http_status=200, chunked=False}``. Emits spec framing; with
-    ``per_record_gzip`` each record is its own gzip member (CC convention).
+    http_status=200, chunked=False, content_encoding=None}``. Emits spec
+    framing; with ``per_record_gzip`` each record is its own gzip member
+    (CC convention).
     """
     out = []
     for r in records:
         body = r["body"]
+        enc = r.get("content_encoding")
+        if enc == "gzip":
+            body = gzip.compress(body)
+        elif enc == "deflate":
+            body = zlib.compress(body)
         if r.get("chunked"):
             body = b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
         status = r.get("http_status", 200)
         payload = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
             + ("Transfer-Encoding: chunked\r\n" if r.get("chunked") else "")
+            + (f"Content-Encoding: {enc}\r\n" if enc else "")
             + "\r\n"
         ).encode() + body
+        uri = r.get("url")
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
-            f"WARC-Target-URI: {r['url']}\r\n"
-            f"WARC-Date: {r['date']}\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri is not None else "")
+            + f"WARC-Date: {r['date']}\r\n"
             f"Content-Length: {len(payload)}\r\n"
             "Content-Type: application/http; msgtype=response\r\n"
         ).encode()

@@ -68,3 +68,12 @@ def test_default_patterns_are_re2_safe():
     # engines (and Spark's Java regex) — and each is pre-wrapped
     for p in DEFAULT_URL_PATTERNS:
         assert p.startswith("(?:") and "(?=" not in p and "(?<" not in p and "\\1" not in p
+
+
+def test_null_url_kept_by_both_gates(spark):
+    df = spark.createDataFrame(
+        [(None, "null-url"), ("http://good.example/a", "keep")],
+        "url string, tag string",
+    )
+    out = filter_blocked_urls(df, blocked_domains=["spam.example"])
+    assert sorted(r["tag"] for r in out.collect()) == ["keep", "null-url"]

@@ -96,3 +96,70 @@ def test_read_warc_composes_with_extract(spark, tmp_path):
     ext = extract_pages(pages, dedup=True, partitions=2)
     rows = {r["url"]: r for r in ext.collect()}
     assert "hello alpha" in rows["http://a.example/x"]["extracted_text"]
+
+
+def test_corrupt_gzip_quarantines_not_raises(spark, tmp_path):
+    # truncated member + corrupt bytes with a gzip magic: both must become
+    # quarantine rows, never task failures (gzip raises EOFError/OSError/
+    # zlib.error, not ValueError — regression pin for the except clause)
+    good = write_warc_bytes(_RECS[:2])
+    (tmp_path / "trunc.warc.gz").write_bytes(good[: len(good) // 2])
+    (tmp_path / "corrupt.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 40)
+    out = read_warc(spark, str(tmp_path)).collect()
+    errs = {r["url"]: r["error"] for r in out if r["error"] is not None}
+    assert len(errs) == 2
+    assert all(e.startswith("warc-parse:") for e in errs.values())
+
+
+def test_missing_target_uri_skipped():
+    recs = list(iter_warc_records(write_warc_bytes([
+        {"url": None, "date": "2024-01-01T00:00:00Z", "body": b"<html>x</html>"},
+        _RECS[1],
+    ])))
+    assert len(recs) == 2 and "warc-target-uri" not in recs[0]
+    from final_ocr_spark.sources.warc import _record_rows
+
+    rows = list(_record_rows("p", write_warc_bytes([
+        {"url": None, "date": "2024-01-01T00:00:00Z", "body": b"<html>x</html>"},
+        _RECS[1],
+    ]), ("response",)))
+    assert [r["url"] for r in rows] == ["http://a.example/x"]
+
+
+def test_content_encoding_bodies_decoded():
+    import gzip as _gz
+    body = b"<html><body><p>compressed body that must decode</p></body></html>"
+    blob = write_warc_bytes([
+        {"url": "http://g.example/", "date": "2024-01-01T00:00:00Z",
+         "body": body, "content_encoding": "gzip"},
+        {"url": "http://d.example/", "date": "2024-01-01T00:00:00Z",
+         "body": body, "content_encoding": "deflate"},
+    ])
+    recs = list(iter_warc_records(blob))
+    assert _http_body(recs[0]["payload"]) == body
+    assert _http_body(recs[1]["payload"]) == body
+    # undecodable claimed-gzip body: wire bytes pass through
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip-at-all"
+    assert _http_body(raw) == b"not-gzip-at-all"
+
+
+def test_streaming_parse_records_span_decompress_slices(monkeypatch):
+    # whole-file gzip (one member) with records far larger than the feed
+    # slice: the incremental parser must reassemble records across chunk
+    # boundaries byte-identically
+    import gzip as _gz
+
+    from final_ocr_spark.sources import warc as warc_mod
+
+    big = [
+        {"url": f"http://s.example/{i}", "date": "2024-01-01T00:00:00Z",
+         "body": (f"<p>{'x' * 7919}{i}</p>").encode()}
+        for i in range(30)
+    ]
+    blob = _gz.compress(write_warc_bytes(big, per_record_gzip=False))
+    monkeypatch.setattr(warc_mod, "_GZ_SLICE", 1024)
+    recs = list(warc_mod.iter_warc_records(blob))
+    assert [r["warc-target-uri"] for r in recs] == [r["url"] for r in big]
+    assert all(
+        _http_body(rec["payload"]) == r["body"] for rec, r in zip(recs, big)
+    )
