@@ -103,3 +103,88 @@ def stratified_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group: str,
+    weights: dict[str, float],
+    key: str,
+    *,
+    budget: int | None = None,
+    size_col: str | None = None,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Down-sample groups to a target mixture (the Pile/FineWeb-style
+    domain/language reweighting step): after sampling, group ``g``'s share
+    of the output approaches ``weights[g] / sum(weights)``.
+
+    * ``budget`` — target output size (rows, or ``size_col`` units such as
+      token counts). ``None`` picks the LARGEST budget achievable by pure
+      down-sampling: ``B = min_g actual_g / share_g`` — the binding group
+      keeps everything, every other group down-samples to match. An
+      explicit larger budget caps over-full groups at keep-everything
+      (mixture then holds only approximately; this is down-sampling, not
+      up-sampling — documented deviation).
+    * groups absent from ``weights`` are dropped (weight 0).
+    * keep decisions are :func:`deterministic_sample`'s md5 rule per group —
+      stable under reruns/repartitioning/resume and oracle-checkable
+      bit-for-bit in any engine with md5.
+
+    Scale shape: ONE pass over the corpus for per-group sizes (map-side
+    partial agg of slim rows), a two-row-stage driver-free budget reduction
+    (1-row aggregate, broadcast cross-join — the tf_idf lazy-count pattern),
+    a broadcastable (group, rate) dimension joined back, and a scan-local
+    md5 filter. The corpus text never shuffles.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, w / total_w) for g, w in weights.items()], f"{group} string, _share double"
+    )
+
+    size = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+    stats = (
+        df.groupBy(group)
+        .agg(size.cast("double").alias("_actual"))
+        .join(F.broadcast(wdf), group)  # inner: weight-0 groups drop here
+        .filter(F.col("_share") > 0)
+    )
+    if budget is None:
+        # largest pure-down-sampling budget: min over groups of actual/share
+        # — computed as a 1-row aggregate cross-joined back (no driver
+        # action; the stats plan executes once inside this query)
+        b = stats.agg(F.min(F.col("_actual") / F.col("_share")).alias("_budget"))
+        rates = stats.crossJoin(F.broadcast(b))
+    else:
+        rates = stats.withColumn("_budget", F.lit(float(budget)))
+    rates = rates.select(
+        group,
+        F.least(
+            F.lit(1.0), (F.col("_share") * F.col("_budget")) / F.col("_actual")
+        ).alias("_rate"),
+    )
+
+    thr = F.round(F.col("_rate") * _RESOLUTION).cast("int")
+    out = (
+        df.join(F.broadcast(rates), group)
+        .withColumn("_thr", thr)
+        .filter(
+            # thr == RESOLUTION means keep-all; the hex compare below is
+            # only valid for thr < RESOLUTION (4-char domain)
+            (F.col("_thr") >= _RESOLUTION)
+            | (
+                sample_bucket(F.col(key), salt)
+                < F.format_string("%04x", F.col("_thr"))
+            )
+        )
+        .drop("_rate", "_thr")
+    )
+    return out

@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from final_ocr_spark.operators.sampling import deterministic_sample, stratified_cap
 
 
@@ -47,3 +49,93 @@ def test_stratified_cap_exact_and_salted_agree(spark):
 
     assert as_set(naive) == want
     assert as_set(salted) == want
+
+
+def _mix_corpus(spark, sizes={"en": 4000, "de": 1000, "fr": 500}):
+    rows = [
+        (f"{lang}-{i}", lang, 10 + (i % 7))
+        for lang, n in sizes.items()
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, lang string, tokens int")
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from final_ocr_spark.operators.sampling import mixture_sample
+
+    # auto budget: fr is binding at equal thirds (500/(1/3)=1500) — en/de
+    # down-sample to ~500 each, fr keeps everything
+    out = mixture_sample(
+        _mix_corpus(spark), "lang", {"en": 1, "de": 1, "fr": 1}, key="doc_id"
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["fr"] == 500  # binding group keeps all
+    for lang in ("en", "de"):  # binomial tolerance around 500
+        assert abs(counts[lang] - 500) < 90, counts
+
+
+def test_mixture_sample_explicit_budget_token_weighted_and_zero_weight(spark):
+    from final_ocr_spark.operators.sampling import mixture_sample
+
+    df = _mix_corpus(spark)
+    out = mixture_sample(
+        df, "lang", {"en": 3, "de": 1}, key="doc_id",
+        budget=20000, size_col="tokens",
+    )
+    agg = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(F.sum("tokens").alias("t")).collect()
+    }
+    assert "fr" not in agg  # zero-weight group dropped
+    # en target 15000 tokens, de target 5000 (of ~13000 available each)
+    assert abs(agg["en"] - 15000) < 1600, agg
+    assert abs(agg["de"] - 5000) < 900, agg
+
+
+def test_mixture_sample_deterministic_and_oracle(spark):
+    import duckdb
+    from final_ocr_spark.operators.sampling import mixture_sample
+
+    df = _mix_corpus(spark, {"en": 600, "de": 300})
+    out = mixture_sample(df, "lang", {"en": 1, "de": 1}, key="doc_id",
+                         salt="s1")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # stable under repartitioning
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(13), "lang", {"en": 1, "de": 1},
+            key="doc_id", salt="s1",
+        ).collect()
+    )
+    assert ids == ids2
+    # byte-identical oracle: same md5 rule in DuckDB. Budget = min over
+    # groups of actual/share = 600 (de binding: 300/(1/2)); en rate 0.5.
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            WITH stats AS (
+              SELECT lang, count(*)::DOUBLE AS actual, 0.5 AS share
+              FROM docs GROUP BY lang
+            ),
+            b AS (SELECT min(actual / share) AS budget FROM stats),
+            rates AS (
+              SELECT lang,
+                     CAST(round(least(1.0, share * budget / actual) * 65536)
+                          AS INT) AS thr
+              FROM stats, b
+            )
+            SELECT doc_id FROM docs JOIN rates USING (lang)
+            WHERE thr >= 65536
+               OR substring(md5('s1' || doc_id), 1, 4) < printf('%04x', thr)
+            """
+        ).fetchall()
+    )
+    assert ids == oracle
