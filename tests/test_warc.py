@@ -163,3 +163,22 @@ def test_streaming_parse_records_span_decompress_slices(monkeypatch):
     assert all(
         _http_body(rec["payload"]) == r["body"] for rec, r in zip(recs, big)
     )
+
+
+def test_streaming_parse_multi_member_small_slices(monkeypatch):
+    # per-record gzip members (CC convention) with a tiny feed slice: member
+    # boundaries land mid-slice and must reset the decompressor correctly
+    from final_ocr_spark.sources import warc as warc_mod
+
+    big = [
+        {"url": f"http://m.example/{i}", "date": "2024-01-01T00:00:00Z",
+         "body": (f"<p>{'y' * 4093}{i}</p>").encode()}
+        for i in range(20)
+    ]
+    blob = write_warc_bytes(big, per_record_gzip=True)
+    monkeypatch.setattr(warc_mod, "_GZ_SLICE", 512)
+    recs = list(warc_mod.iter_warc_records(blob))
+    assert [r["warc-target-uri"] for r in recs] == [r["url"] for r in big]
+    assert all(
+        _http_body(rec["payload"]) == r["body"] for rec, r in zip(recs, big)
+    )
