@@ -65,3 +65,46 @@ def test_corpus_job_warc_and_new_stages_smoke(tmp_path):
     assert "cookies" in texts["http://a.example/1"]
     assert "cookies" not in texts["http://b.example/2"]
     assert "mountain trail" in texts["http://b.example/2"]
+
+
+def test_spark_submit_py_files_packaging(tmp_path):
+    """The north-rule packaging gate, exercised for real: build
+    dist/final_ocr_spark.zip with jobs/package.py, then run extract_job via
+    the actual ``spark-submit --py-files`` binary FROM A DIRECTORY OUTSIDE
+    THE REPO with a repo-free PYTHONPATH — the package can only resolve from
+    the shipped zip, exactly as on a cluster."""
+    import os
+    import shutil
+    import subprocess
+
+    from jobs.package import build
+
+    zip_path = build(tmp_path / "final_ocr_spark.zip")
+    job = shutil.copy("/root/repo/jobs/extract_job.py", tmp_path / "extract_job.py")
+
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit binary not found"
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path),
+         str(job), "--synthetic", "60", "--output", str(tmp_path / "out"),
+         "--no-resume", "--num-parts", "4", "--num-groups", "2"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
+    assert "extracted rows:" in out.stdout
+
+    import duckdb
+
+    n, = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/out/*.parquet'"
+    ).fetchone()
+    assert n > 0
+    cols = {r[0] for r in duckdb.sql(
+        f"DESCRIBE SELECT * FROM '{tmp_path}/out/*.parquet'"
+    ).fetchall()}
+    assert {"url", "extracted_text"} <= cols
