@@ -126,7 +126,11 @@ def mixture_sample(
       explicit larger budget caps over-full groups at keep-everything
       (mixture then holds only approximately; this is down-sampling, not
       up-sampling — documented deviation).
-    * groups absent from ``weights`` are dropped (weight 0).
+    * groups absent from ``weights`` are dropped (weight 0). In
+      ``size_col`` mode a group whose sizes sum to 0 (or all-null) is also
+      dropped: it cannot contribute budget, and leaving it in would both
+      collapse the auto-budget ``min`` to 0 and divide by zero under ANSI
+      mode (guarded by the ``_actual > 0`` filter below).
     * keep decisions are :func:`deterministic_sample`'s md5 rule per group —
       stable under reruns/repartitioning/resume and oracle-checkable
       bit-for-bit in any engine with md5.
@@ -155,7 +159,7 @@ def mixture_sample(
         df.groupBy(group)
         .agg(size.cast("double").alias("_actual"))
         .join(F.broadcast(wdf), group)  # inner: weight-0 groups drop here
-        .filter(F.col("_share") > 0)
+        .filter((F.col("_share") > 0) & (F.col("_actual") > 0))
     )
     if budget is None:
         # largest pure-down-sampling budget: min over groups of actual/share
@@ -172,7 +176,9 @@ def mixture_sample(
         ).alias("_rate"),
     )
 
-    thr = F.round(F.col("_rate") * _RESOLUTION).cast("int")
+    # bround (HALF_EVEN) matches deterministic_sample's Python round() at
+    # exact .5 ties; F.round is HALF_UP and would disagree on bucket 0x8000
+    thr = F.bround(F.col("_rate") * _RESOLUTION).cast("int")
     out = (
         df.join(F.broadcast(rates), group)
         .withColumn("_thr", thr)

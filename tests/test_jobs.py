@@ -80,7 +80,9 @@ def test_spark_submit_py_files_packaging(tmp_path):
     from jobs.package import build
 
     zip_path = build(tmp_path / "final_ocr_spark.zip")
-    job = shutil.copy("/root/repo/jobs/extract_job.py", tmp_path / "extract_job.py")
+    from jobs.package import REPO
+
+    job = shutil.copy(REPO / "jobs" / "extract_job.py", tmp_path / "extract_job.py")
 
     spark_submit = shutil.which("spark-submit")
     assert spark_submit, "spark-submit binary not found"

@@ -139,3 +139,34 @@ def test_mixture_sample_deterministic_and_oracle(spark):
         ).fetchall()
     )
     assert ids == oracle
+
+
+def test_mixture_sample_zero_size_group_dropped_and_ansi_safe(spark):
+    """A group whose size_col sums to 0 must not poison the auto budget
+    (min over actual/share would hit 0 → everything else dropped), must not
+    ride along for free under an explicit budget, and must not divide by
+    zero under ANSI mode (review finding, round 3)."""
+    from final_ocr_spark.operators.sampling import mixture_sample
+
+    rows = [(f"en{i}", "en", 10) for i in range(100)]
+    rows += [(f"zz{i}", "zz", 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, tokens int")
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        auto = mixture_sample(
+            df, "lang", {"en": 1, "zz": 1}, key="doc_id", size_col="tokens"
+        )
+        langs = {r["lang"] for r in auto.select("lang").distinct().collect()}
+        assert langs == {"en"}  # zz dropped, en NOT collapsed to nothing
+        assert auto.count() == 100  # en is binding → keeps everything
+
+        capped = mixture_sample(
+            df, "lang", {"en": 1, "zz": 1}, key="doc_id",
+            size_col="tokens", budget=500,
+        )
+        assert capped.filter(F.col("lang") == "zz").count() == 0
+        assert 0 < capped.filter(F.col("lang") == "en").count() <= 100
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
