@@ -463,6 +463,7 @@ def incremental_near_dups(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus — the
     corpus-maintenance shape: the historical side arrives as its
@@ -474,11 +475,17 @@ def incremental_near_dups(
     Returns (new_key, hist_key, est_jaccard). Within-batch duplicates are
     the caller's separate minhash_near_dups pass; historical signatures
     must have been built with the SAME num_hashes/shingle_k (positions are
-    only comparable within one family)."""
+    only comparable within one family). ``new_sigs`` lets a caller that
+    already sketched the batch (e.g. the streaming ingest loop, which also
+    persists the signatures) pass the ``(k, sig)`` table in and skip the
+    re-sketch; it must come from :func:`minhash_sigs` with the same
+    num_hashes/shingle_k."""
     rows_per_band = num_hashes // bands
-    new_sigs = minhash_sigs(
-        new_df, key=key, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
-    ).localCheckpoint(eager=False)
+    if new_sigs is None:
+        new_sigs = minhash_sigs(
+            new_df, key=key, text_col=text_col, num_hashes=num_hashes,
+            shingle_k=shingle_k,
+        ).localCheckpoint(eager=False)
     nb = band_buckets(new_sigs, bands, rows_per_band)
     hb = band_buckets(hist_sigs, bands, rows_per_band)
     pairs = (

@@ -1,0 +1,134 @@
+"""Streaming incremental corpus ingest: continuous near-dup dedup against
+the accumulated signature store (streaming/incremental_corpus.py)."""
+
+import pandas as pd
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "extracted_text"])
+    )
+
+
+def _write_docs(spark, rows, path):
+    # one plain parquet FILE (not a Spark output directory): the streaming
+    # file source lists files, not nested part-file directories
+    pd.DataFrame(rows, columns=["url", "extracted_text"]).to_parquet(path)
+
+
+_BASE = (
+    "the harbor lights flickered over the water while fishing boats "
+    "returned slowly through the evening calm and gulls wheeled above "
+    "the breakwater calling to the crews unloading the day's catch "
+    "while along the quay the lamps came on one after another and the "
+    "last ferry sounded its horn beyond the point as nets were spread "
+    "to dry beside the sheds and the tide turned quietly under the "
+    "pilings carrying kelp and driftwood out past the harbor mouth"
+)
+_OTHER = (
+    "a completely different report about mountain weather stations "
+    "recording snowfall accumulation across the northern ridge during "
+    "an unusually long winter season with heavy drifting on the passes"
+)
+_THIRD = (
+    "city council minutes covering the budget session where members "
+    "debated the library extension the tram corridor and the riverside "
+    "park maintenance plan before voting on the amended proposal"
+)
+
+
+def test_stream_ingest_dedups_within_and_across_runs(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("extracted_text", T.StringType()),
+        ]
+    )
+
+    from final_ocr_spark.streaming.incremental_corpus import stream_dedup_ingest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def run():
+        q = stream_dedup_ingest(
+            spark,
+            input_dir=str(indir),
+            corpus_dir=str(tmp_path / "corpus"),
+            sigs_dir=str(tmp_path / "sigs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            input_schema=schema,
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination(120)
+
+    # run 1: a, its in-batch near-dup a2 (15-char truncation), and b
+    _write_docs(
+        spark,
+        [
+            ("http://x/a", _BASE),
+            ("http://x/a2", _BASE[:-15]),
+            ("http://x/b", _OTHER),
+        ],
+        str(indir / "f1.parquet"),
+    )
+    run()
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # a < a2 lexicographically -> a kept, a2 dropped in-batch
+    assert kept == {"http://x/a", "http://x/b"}
+
+    # run 2: new file only (checkpoint skips f1): a cross-run near-dup of a,
+    # plus a genuinely new doc c
+    _write_docs(
+        spark,
+        [
+            ("http://y/a-again", _BASE[:-12]),
+            ("http://y/c", _THIRD),
+        ],
+        str(indir / "f2.parquet"),
+    )
+    run()
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    kept = {r["url"] for r in out.collect()}
+    assert kept == {"http://x/a", "http://x/b", "http://y/c"}
+
+    # the signature store mirrors the kept corpus exactly
+    sig_keys = {
+        r["k"] for r in spark.read.parquet(str(tmp_path / "sigs")).collect()
+    }
+    assert sig_keys == kept
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Structured Streaming replays the last uncommitted batch after a
+    crash; the batch_id-keyed overwrite must make that a no-op."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    b0 = _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)])
+    r1 = ingest_batch(b0, 0, corpus, sigs, jaccard_threshold=0.7)
+    assert (r1["rows_in"], r1["rows_kept"]) == (2, 2)
+    # replay of the SAME batch id: same directory overwritten, no dupes —
+    # and the self-match against the history written by the first attempt
+    # must not drop the replayed rows
+    ingest_batch(b0, 0, corpus, sigs, jaccard_threshold=0.7)
+    out = spark.read.parquet(corpus)
+    assert out.count() == 2
+    assert {r["url"] for r in out.collect()} == {"http://x/a", "http://x/b"}
+
+
+def test_ingest_batch_zero_shingle_docs_pass_through(spark, tmp_path):
+    """Docs shorter than shingle_k words have no signature (null-signature
+    contract) — they must survive ingest rather than crash or vanish."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    b = _docs_df(spark, [("http://x/short", "too few words"), ("http://x/a", _BASE)])
+    r = ingest_batch(b, 0, corpus, sigs)
+    assert r["rows_kept"] == 2
+    assert spark.read.parquet(corpus).count() == 2
