@@ -184,7 +184,7 @@ def stream_dedup_ingest(
     *,
     key: str = "url",
     text_col: str = "extracted_text",
-    input_schema: StructType | None = None,
+    input_schema: StructType | str | None = None,  # DDL string also accepted
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,

@@ -1,0 +1,84 @@
+"""Continuous-ingest entry point: streaming incremental corpus maintenance
+(streaming/incremental_corpus.py) as one spark-submit job.
+
+Each invocation drains every NEW file under --input (Trigger.AvailableNow
+over the streaming checkpoint — files already processed by a previous run
+are never re-read), dedups each micro-batch within itself and against the
+accumulated signature store, and idempotently appends survivors to the
+corpus. Run it from cron/Airflow per crawl drop; a crashed run resumes
+safely (batch replay overwrites its own batch_id directory).
+
+Example (cluster):
+    python jobs/package.py   # builds dist/final_ocr_spark.zip
+    spark-submit \\
+        --py-files dist/final_ocr_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        jobs/ingest_job.py \\
+        --input /data/extracted_drops --corpus /data/corpus \\
+        --sigs /data/corpus_sigs --checkpoint /data/ingest_ckpt
+
+Local smoke:
+    python jobs/ingest_job.py --input /tmp/drops --corpus /tmp/c \\
+        --sigs /tmp/s --checkpoint /tmp/ck --schema "url string, text string" \\
+        --key url --text-col text
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="directory new extracted-doc parquet files land in")
+    ap.add_argument("--corpus", required=True, help="deduped corpus sink")
+    ap.add_argument("--sigs", required=True, help="signature store")
+    ap.add_argument("--checkpoint", required=True,
+                    help="streaming source-progress checkpoint")
+    ap.add_argument("--key", default="url")
+    ap.add_argument("--text-col", default="extracted_text")
+    ap.add_argument("--schema", default=None,
+                    help="input DDL schema; default = the engine's "
+                         "EXTRACTED_SCHEMA")
+    ap.add_argument("--num-hashes", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--jaccard", type=float, default=0.85)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="bound micro-batch size for huge drops")
+    args = ap.parse_args()
+
+    from final_ocr_spark.session import get_spark
+    from final_ocr_spark.streaming.incremental_corpus import stream_dedup_ingest
+
+    spark = get_spark(app_name="final-ocr-spark-ingest")
+    spark.sparkContext.setLogLevel("WARN")
+
+    q = stream_dedup_ingest(
+        spark,
+        input_dir=args.input,
+        corpus_dir=args.corpus,
+        sigs_dir=args.sigs,
+        checkpoint_dir=args.checkpoint,
+        key=args.key,
+        text_col=args.text_col,
+        input_schema=args.schema,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        shingle_k=args.shingle_k,
+        jaccard_threshold=args.jaccard,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.corpus).count()
+    print(f"corpus rows after ingest: {n} -> {args.corpus}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -110,3 +110,45 @@ def test_spark_submit_py_files_packaging(tmp_path):
         f"DESCRIBE SELECT * FROM '{tmp_path}/out/*.parquet'"
     ).fetchall()}
     assert {"url", "extracted_text"} <= cols
+
+
+def test_ingest_job_smoke(tmp_path):
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    base = ("the harbor lights flickered over the water while fishing boats "
+            "returned slowly through the evening calm and gulls wheeled "
+            "above the breakwater calling to the crews unloading the catch "
+            "as the last ferry sounded its horn beyond the point and nets "
+            "were spread to dry beside the sheds along the quiet quay")
+    pd.DataFrame(
+        [("http://x/a", base),
+         ("http://x/a2", base[:-12]),
+         ("http://x/b", "a fully unrelated council budget report on the "
+                        "library extension the tram corridor and riverside "
+                        "park maintenance before the amended vote")],
+        columns=["url", "text"],
+    ).to_parquet(drops / "d1.parquet")
+
+    out = subprocess.run(
+        [sys.executable, "jobs/ingest_job.py",
+         "--input", str(drops), "--corpus", str(tmp_path / "corpus"),
+         "--sigs", str(tmp_path / "sigs"),
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--schema", "url string, text string",
+         "--key", "url", "--text-col", "text", "--jaccard", "0.7"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "corpus rows after ingest: 2" in out.stdout
+
+    import duckdb
+
+    urls = {u for (u,) in duckdb.sql(
+        f"SELECT url FROM '{tmp_path}/corpus/*/*.parquet'"
+    ).fetchall()}
+    assert urls == {"http://x/a", "http://x/b"}
