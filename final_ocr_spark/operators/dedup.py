@@ -388,6 +388,7 @@ def minhash_near_dups(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -395,8 +396,19 @@ def minhash_near_dups(
     (ONE shuffle) → pairs within bucket (collect_list per bucket — buckets are
     tiny by construction) → distinct pairs → exact signature-similarity filter.
     Returns (key_a, key_b, est_jaccard) with key_a < key_b.
+
+    ``sigs`` lets a caller that already sketched the corpus (and reuses the
+    signatures elsewhere, e.g. the streaming ingest loop) pass the ``(k,
+    sig)`` table in — the pairing keeps this function's bucket skew cap and
+    estimator instead of being re-implemented at the call site. Must come
+    from :func:`minhash_sigs` with the same ``num_hashes``/``shingle_k``,
+    already materialized (localCheckpoint/persist/table read).
     """
     rows_per_band = num_hashes // bands
+    if sigs is not None:
+        return _sig_near_dup_pairs(
+            sigs, bands, rows_per_band, num_hashes, jaccard_threshold
+        )
     # classic (unbiased) signatures via codegen aggregation — OPH is faster
     # on long docs but its densification inflates est_jaccard for short
     # docs (see minhash_sigs_oph's bias warning)
@@ -419,6 +431,20 @@ def minhash_near_dups(
     # production LSH layout; the in-session form here optimizes the
     # single-tenant batch case.
     sigs = sigs.localCheckpoint(eager=False)
+    return _sig_near_dup_pairs(sigs, bands, rows_per_band, num_hashes, jaccard_threshold)
+
+
+def _sig_near_dup_pairs(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    num_hashes: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """The pairing stage of :func:`minhash_near_dups` over a materialized
+    ``(k, sig)`` table — ONE implementation of the band self-join, the
+    degenerate-bucket skew cap, and the signature-agreement estimator,
+    shared by the whole-corpus and precomputed-sigs entry points."""
     buckets = band_buckets(sigs, bands, rows_per_band)
 
     # candidate pairs: self-join within (band, bucket). Skew guard: a

@@ -12,17 +12,19 @@ glue: ``readStream → foreachBatch(dedup + idempotent append)``.
 Per micro-batch (``foreachBatch`` gives us the full batch DataFrame plus a
 monotonically increasing ``batch_id``):
 
-1. exact-dedup within the batch on ``key`` (first occurrence wins,
-   deterministic);
+1. exact-dedup within the batch on ``key`` — smallest (xxhash64(text),
+   text) per key wins, deterministic under any partitioning;
 2. sketch the batch ONCE with :func:`minhash_sigs` — O(|batch|), the
    historical corpus is never re-read;
-3. within-batch LSH pairs via ``band_buckets`` self-join: any key that
-   appears as the GREATER member of a near-dup pair is dropped. This keeps
-   at least one representative per duplicate cluster (the cluster minimum
-   never appears as a greater member); a chain a~b~c with a≁c drops c as
-   collateral — the standard conservative streaming kill rule, cheaper
-   than per-batch connected components and acceptable because batches are
-   small relative to the corpus;
+3. within-batch LSH pairs via :func:`minhash_near_dups` over the
+   precomputed signatures (its pairing stage, including the
+   degenerate-bucket skew cap): any key that appears as the GREATER member
+   of a near-dup pair is dropped. This keeps at least one representative
+   per duplicate cluster (the cluster minimum never appears as a greater
+   member); a chain a~b~c with a≁c drops c as collateral — the standard
+   conservative streaming kill rule, cheaper than per-batch connected
+   components and acceptable because batches are small relative to the
+   corpus;
 4. cross-corpus pairs via :func:`incremental_near_dups` against the stored
    ``(k, sig)`` signature table (reusing the batch signatures from step 2):
    any new key matching history is dropped;
@@ -45,13 +47,13 @@ trading storage for the transform — noted, not needed at sandbox scale.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from final_ocr_spark.operators.dedup import (
-    band_buckets,
     incremental_near_dups,
+    minhash_near_dups,
     minhash_sigs,
 )
 
@@ -61,42 +63,6 @@ SIG_SCHEMA = StructType(
         StructField("sig", ArrayType(LongType()), True),
     ]
 )
-
-
-def _batch_self_pairs(
-    sigs: DataFrame, bands: int, rows_per_band: int, num_hashes: int,
-    jaccard_threshold: float,
-) -> DataFrame:
-    """(key_a, key_b) within-batch LSH pairs, key_a < key_b, est_jaccard
-    filtered — minhash_near_dups' pairing stage over PRECOMPUTED sigs (the
-    batch was already sketched; re-sketching per stage is the r1
-    scale-killer this module exists to avoid)."""
-    buckets = band_buckets(sigs, bands, rows_per_band)
-    a = buckets.select("band", "bucket", F.col("k").alias("key_a"))
-    b = buckets.select("band", "bucket", F.col("k").alias("key_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .distinct()
-    )
-    sa = sigs.select(F.col("k").alias("key_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("k").alias("key_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(float(num_hashes))
-    )
-    return (
-        pairs.join(sa, "key_a").join(sb, "key_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("key_a", "key_b")
-    )
 
 
 def ingest_batch(
@@ -115,11 +81,31 @@ def ingest_batch(
     """Dedup one micro-batch against itself and the stored corpus, then
     idempotently append survivors (rows + signatures) under
     ``batch_id=<id>``. Returns counts for observability. Usable directly
-    for batch-mode backfill too — it is a plain DataFrame function."""
-    spark = batch_df.sparkSession
-    rows_per_band = num_hashes // bands
+    for batch-mode backfill too — it is a plain DataFrame function.
 
-    batch = batch_df.dropDuplicates([key])
+    The corpus is FIRST-WINS PER KEY across batches: a key already in the
+    signature store is dropped even when its text changed beyond the
+    near-dup threshold (re-crawl policy; a latest-wins corpus would
+    instead delete-and-replace, which an append-only store cannot express).
+    Zero-shingle survivors (< ``shingle_k`` words) are stored with a NULL
+    signature so that this exact-key rule still sees them."""
+    spark = batch_df.sparkSession
+    n_raw = batch_df.count()
+
+    # deterministic within-batch exact dedup — dropDuplicates keeps an
+    # ARBITRARY row per key (varies across runs/replays); the corpus must
+    # not. Smallest (xxhash64(text), text) per key wins: a pure function
+    # of the row set, stable under any partitioning.
+    w = Window.partitionBy(key).orderBy(
+        F.xxhash64(F.col(text_col)).asc_nulls_last(),
+        F.col(text_col).asc_nulls_last(),
+    )
+    batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
     # one sketch per batch, shared by the self-join, the cross join, and
     # the signature append
     sigs = minhash_sigs(
@@ -127,36 +113,106 @@ def ingest_batch(
         shingle_k=shingle_k,
     ).localCheckpoint(eager=False)
 
-    self_pairs = _batch_self_pairs(
-        sigs, bands, rows_per_band, num_hashes, jaccard_threshold
+    # within-batch near-dups via minhash_near_dups' own pairing stage
+    # (keeps its degenerate-bucket skew cap); drop the greater member of
+    # each pair — keeps at least one representative per duplicate cluster
+    # (the cluster minimum never appears as a greater member); a chain
+    # a~b~c with a≁c drops c as collateral, the standard conservative
+    # streaming kill rule.
+    self_pairs = minhash_near_dups(
+        batch, key=key, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold, sigs=sigs,
     )
     self_drop = self_pairs.select(F.col("key_b").alias("k")).distinct()
 
-    # existence probe via read-and-catch, NOT a local-filesystem listing:
-    # sigs_dir is an HDFS/S3 URI on a real cluster, where a pathlib glob
-    # would silently report "no history" and skip cross-corpus dedup.
-    # The CURRENT batch_id partition is excluded from history: a replayed
-    # batch (crash between sink write and checkpoint commit) would
-    # otherwise match against its own first-attempt signatures and drop
-    # every row — replay must be a no-op, not data loss.
+    # History probe via read-and-catch, NOT a local-filesystem listing
+    # (sigs_dir is an HDFS/S3 URI on a real cluster). ONLY path-not-found
+    # means "no history yet" — any other analysis failure (corrupt store,
+    # permissions) must fail the batch loudly, not silently skip
+    # cross-corpus dedup.
+    hist = None
     try:
-        hist_sigs = (
-            spark.read.schema(SIG_SCHEMA)
-            .parquet(sigs_dir)
-            .filter(F.col("batch_id") != F.lit(int(batch_id)))
-            .select("k", "sig")
-        )
-        has_history = hist_sigs.limit(1).count() > 0
-    except AnalysisException:
-        has_history = False
+        hist = spark.read.schema(SIG_SCHEMA).parquet(sigs_dir)
+    except AnalysisException as e:
+        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    has_history, hist_keys, hist_nonnull = False, None, None
+    if hist is not None:
+        if "batch_id" in hist.columns:
+            # our own partitioned store: one slim agg gives the replay/
+            # reset guard, the history row count, and the family check
+            cur = int(batch_id)
+            st = hist.agg(
+                F.max("batch_id").alias("hw"),
+                F.sum((F.col("batch_id") != cur).cast("long")).alias("n_hist"),
+                F.max(
+                    F.when(
+                        (F.col("batch_id") != cur) & F.col("sig").isNotNull(),
+                        F.size("sig"),
+                    )
+                ).alias("siglen"),
+            ).first()
+            # checkpoint-reset guard: a fresh checkpoint restarts batch ids
+            # at 0, and the batch_id-keyed overwrite below would then
+            # DESTROY previously ingested partitions. Only the current id
+            # (crash replay) may already exist at the high-water mark.
+            if st["hw"] is not None and int(st["hw"]) > cur:
+                raise RuntimeError(
+                    f"signature store {sigs_dir} already holds batch_id="
+                    f"{st['hw']} > current {cur}: the streaming checkpoint "
+                    "was reset or points at the wrong sink. Refusing to "
+                    "overwrite earlier ingest output — use a fresh "
+                    "corpus/sigs pair or restore the original checkpoint."
+                )
+            has_history = (st["n_hist"] or 0) > 0
+            siglen = st["siglen"]
+            # exclude the CURRENT batch_id partition: a replayed batch
+            # (crash between sink write and checkpoint commit) would
+            # otherwise match its own first-attempt signatures and drop
+            # every row — replay must be a no-op, not data loss.
+            hist = hist.filter(F.col("batch_id") != cur).select("k", "sig")
+        else:
+            # flat bootstrap store (minhash_sigs output persisted directly)
+            st = hist.agg(
+                F.count(F.lit(1)).alias("n_hist"),
+                F.max(
+                    F.when(F.col("sig").isNotNull(), F.size("sig"))
+                ).alias("siglen"),
+            ).first()
+            has_history = st["n_hist"] > 0
+            siglen = st["siglen"]
+            hist = hist.select("k", "sig")
+        if has_history and siglen is not None and int(siglen) != num_hashes:
+            raise ValueError(
+                f"signature store {sigs_dir} holds {siglen}-hash signatures "
+                f"but this run uses num_hashes={num_hashes}; positions are "
+                "only comparable within one family — rebuild the store or "
+                "match the parameters."
+            )
+        hist_keys = hist.select("k")
+        # null-sig rows (zero-shingle docs) must not enter the band join:
+        # xxhash64(null) is a constant, so they would all collide into one
+        # degenerate bucket per band
+        hist_nonnull = hist.filter(F.col("sig").isNotNull())
+
     if has_history:
         cross = incremental_near_dups(
-            None, hist_sigs, key=key, text_col=text_col,
+            None, hist_nonnull, key=key, text_col=text_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold, new_sigs=sigs,
         )
         cross_drop = cross.select(F.col("new_key").alias("k")).distinct()
-        dropped = self_drop.unionByName(cross_drop).distinct()
+        # first-wins per key across batches: an already-ingested key is
+        # dropped even when its text changed beyond the near-dup threshold
+        exact_drop = (
+            batch.select(F.col(key).alias("k"))
+            .join(hist_keys, "k", "left_semi")
+        )
+        dropped = (
+            self_drop.unionByName(cross_drop).unionByName(exact_drop).distinct()
+        )
     else:
         dropped = self_drop
 
@@ -164,15 +220,24 @@ def ingest_batch(
         dropped, batch[key] == dropped["k"], "left_anti"
     ).localCheckpoint(eager=False)
 
-    n_in = batch.count()
+    n_unique = batch.count()
     n_out = survivors.count()
     # idempotent append: a replayed batch rewrites ITS OWN directory
     survivors.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
-    surv_sigs = sigs.join(
-        survivors.select(F.col(key).alias("k")), "k", "left_semi"
+    # left join (not semi): zero-shingle survivors get a NULL-sig row so
+    # the exact-key rule covers them in later batches
+    surv_sigs = (
+        survivors.select(F.col(key).alias("k"))
+        .join(sigs, "k", "left")
+        .select("k", "sig")
     )
     surv_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
-    return {"batch_id": batch_id, "rows_in": n_in, "rows_kept": n_out}
+    return {
+        "batch_id": batch_id,
+        "rows_in": n_raw,
+        "rows_unique": n_unique,
+        "rows_kept": n_out,
+    }
 
 
 def stream_dedup_ingest(

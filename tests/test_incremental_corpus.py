@@ -132,3 +132,63 @@ def test_ingest_batch_zero_shingle_docs_pass_through(spark, tmp_path):
     r = ingest_batch(b, 0, corpus, sigs)
     assert r["rows_kept"] == 2
     assert spark.read.parquet(corpus).count() == 2
+
+
+def test_ingest_batch_guards_and_first_wins(spark, tmp_path):
+    """Round-3 review findings, pinned: (a) checkpoint-reset guard refuses
+    to overwrite earlier partitions, (b) a num_hashes family mismatch with
+    the store fails loudly, (c) a key re-arriving with REWRITTEN text is
+    still dropped (first-wins per key), including zero-shingle keys stored
+    with a null signature."""
+    import pytest
+
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    b0 = _docs_df(
+        spark, [("http://x/a", _BASE), ("http://x/s", "tiny doc")]
+    )
+    ingest_batch(b0, 0, corpus, sigs)
+
+    # (c) same keys, completely different text (not a near-dup) -> dropped
+    b1 = _docs_df(
+        spark,
+        [("http://x/a", _THIRD), ("http://x/s", _OTHER), ("http://x/n", _OTHER)],
+    )
+    r = ingest_batch(b1, 1, corpus, sigs)
+    assert r["rows_kept"] == 1
+    kept = {u for (u,) in spark.read.parquet(corpus).select("url").collect()}
+    assert kept == {"http://x/a", "http://x/s", "http://x/n"}
+
+    # (a) a fresh checkpoint would restart at batch 0 against this store
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        ingest_batch(b1, 0, corpus, sigs)
+
+    # (b) different signature family
+    with pytest.raises(ValueError, match="num_hashes"):
+        ingest_batch(b1, 2, corpus, sigs, num_hashes=64, bands=8)
+
+
+def test_ingest_batch_within_batch_pick_is_deterministic(spark):
+    """Same key twice in one batch: the kept text is the one with the
+    smaller (xxhash64(text), text) — a pure function of the rows, not of
+    partitioning."""
+    from pyspark.sql import functions as F
+
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+    import tempfile
+
+    rows = [("http://x/a", _BASE), ("http://x/a", _THIRD)]
+    h = {
+        r["t"]: r["h"]
+        for r in _docs_df(spark, rows)
+        .select(F.col("extracted_text").alias("t"), F.xxhash64("extracted_text").alias("h"))
+        .collect()
+    }
+    want = min(h, key=lambda t: (h[t], t))
+    for parts in (1, 7):
+        with tempfile.TemporaryDirectory() as td:
+            b = _docs_df(spark, rows).repartition(parts)
+            ingest_batch(b, 0, f"{td}/c", f"{td}/s")
+            got = spark.read.parquet(f"{td}/c").select("extracted_text").collect()
+            assert [r["extracted_text"] for r in got] == [want], f"parts={parts}"
