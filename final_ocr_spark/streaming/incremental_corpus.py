@@ -135,7 +135,8 @@ def ingest_batch(
     try:
         hist = spark.read.schema(SIG_SCHEMA).parquet(sigs_dir)
     except AnalysisException as e:
-        cls = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = getcls() if getcls else None
         if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
             raise
     has_history, hist_keys, hist_nonnull = False, None, None
