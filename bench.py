@@ -63,8 +63,16 @@ def main() -> None:
         gen_pages(spark, n_pages, seed=42, partitions=cpus * 4) \
             .write.mode("overwrite").parquet(str(corpus_dir))
 
+    from final_ocr_spark.plans.latency import latency_histogram, percentiles
+
+    lat_acc = latency_histogram(spark.sparkContext)
+
     def bench_extract_scan(spark, _sf_dir):
-        return extract_pages(spark.read.parquet(str(corpus_dir)), dedup=True)
+        # latency histogram rides the metric-faithful series (BASELINE.md
+        # protocol #4); accumulates across the cold+warm passes
+        return extract_pages(
+            spark.read.parquet(str(corpus_dir)), dedup=True, latency_acc=lat_acc
+        )
 
     def bench_minhash(spark, sf_dir):
         # the FULL-corpus near-dup pipeline only (r1/r2-comparable): the
@@ -151,6 +159,7 @@ def main() -> None:
                 "extract_docs_per_sec_inline_gen": docs_per_sec_inline_gen,
                 "cpus": cpus,
                 "rows": rows,
+                "udf_batch_latency_ms": percentiles(lat_acc.value),
                 "scaling": scaling,
             }
         )

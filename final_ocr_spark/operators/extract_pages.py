@@ -37,12 +37,20 @@ from pyspark.sql import functions as F
 from final_ocr_spark.schema import EXTRACTED_COLUMNS, EXTRACTED_SCHEMA
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], _latency_acc=None
+) -> Iterator[pd.DataFrame]:
     # import inside the worker so the pure-Python core (and its compiled
     # regexes) loads once per Python worker process, not per batch
     from final_ocr_spark.extract.dispatch import extract_document
 
+    if _latency_acc is not None:
+        from time import perf_counter
+
+        from final_ocr_spark.plans.latency import record_ms
+
     for pdf in batches:
+        _t0 = perf_counter() if _latency_acc is not None else 0.0
         urls = pdf["url"].tolist()
         n = len(urls)
         tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * n
@@ -64,6 +72,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rec["warc_ts"] = tss[i]
             for name in EXTRACTED_COLUMNS:
                 cols[name][i] = rec[name]
+        if _latency_acc is not None:
+            record_ms(_latency_acc, (perf_counter() - _t0) * 1000.0)
         yield pd.DataFrame(cols, columns=EXTRACTED_COLUMNS)
 
 
@@ -74,6 +84,7 @@ def extract_pages(
     partitions: int | None = None,
     salt_buckets: int = 8,
     drop_empty: bool = False,
+    latency_acc=None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extracted table.
 
@@ -87,6 +98,10 @@ def extract_pages(
     ``doc_kind='empty'`` output rows — every input url is accounted for in
     the output table. Set True to filter them before the UDF (the pushdown
     guard, reference analog ocr.py:54-62) when row accounting is not needed.
+
+    ``latency_acc`` (from plans/latency.py:latency_histogram) records a
+    per-Arrow-batch UDF-latency histogram for p50/p99 reporting
+    (BASELINE.md protocol #4); None (default) keeps the hot loop untouched.
     """
     # column pruning: the UDF needs exactly these five
     df = pages.select("url", "warc_ts", "html", "text", "lang")
@@ -103,7 +118,12 @@ def extract_pages(
         salt = F.pmod(F.xxhash64(F.col("url"), F.lit("s")), F.lit(salt_buckets))
         df = df.repartition(partitions, F.xxhash64("url"), salt)
 
-    ext = df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    if latency_acc is not None:
+        def _fn(it, _acc=latency_acc):
+            return _extract_batches(it, _acc)
+    else:
+        _fn = _extract_batches
+    ext = df.mapInPandas(_fn, schema=EXTRACTED_SCHEMA)
 
     if dedup:
         from final_ocr_spark.operators.dedup import dedup_latest

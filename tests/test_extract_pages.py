@@ -1,0 +1,28 @@
+"""extract_pages operator-level extras (latency accumulator)."""
+
+
+def test_latency_histogram_accumulator(spark):
+    """BASELINE.md protocol #4: per-batch UDF latency via a BOUNDED
+    histogram accumulator (48 buckets at any corpus size)."""
+    from final_ocr_spark.operators.extract_pages import extract_pages
+    from final_ocr_spark.plans.latency import (
+        bucket_of, latency_histogram, percentiles,
+    )
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+
+    acc = latency_histogram(spark.sparkContext)
+    extract_pages(gen_pages(spark, 300, seed=3), dedup=False,
+                  latency_acc=acc).count()
+    stats = percentiles(acc.value)
+    assert stats["batches"] > 0
+    assert stats["p50"] is not None and stats["p99"] >= stats["p50"] > 0
+
+    # bucket math: monotone, bounded, conservative upper-edge estimate
+    assert bucket_of(0.5) == 0 and bucket_of(1.0) == 0
+    assert bucket_of(1e9) == 47
+    last = -1
+    for ms in (1.1, 2, 5, 10, 100, 1000, 2500):
+        b = bucket_of(ms)
+        assert b >= last
+        last = b
+    assert percentiles([0] * 48) == {"batches": 0, "p50": None, "p99": None}
