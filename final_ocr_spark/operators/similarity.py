@@ -217,7 +217,74 @@ def build_ann_index(
         .partitionBy("bucket")
         .parquet(out_dir)
     )
+    # sketch-family sidecar under an underscore path (parquet readers skip
+    # `_*` dirs): append_ann_index validates against it — vectors bucketed
+    # with different bits/seed/dim would silently land in garbage buckets
+    emb.sparkSession.createDataFrame(
+        [(int(dim), int(bits), int(seed))], "dim int, bits int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_meta")
     return out_dir
+
+
+def append_ann_index(
+    emb: DataFrame, index_dir: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bits: int | None = None, seed: int | None = None,
+    skip_existing: bool = True,
+) -> dict:
+    """Append new vectors to an existing :func:`build_ann_index` table
+    WITHOUT rebuilding it — the embeddings-side analog of the streaming
+    corpus ingest: index maintenance cost is O(|new batch|), never O(index).
+
+    * bits/seed default from the index's ``_meta`` sidecar and are
+      VALIDATED against it when given — a mismatched sketch family would
+      bucket new vectors incorrectly and silently break every future probe.
+    * ``skip_existing=True`` anti-joins new ids against the index's id
+      column (a column-pruned scan — the vectors never load), making the
+      append idempotent: re-running the same batch after a crash adds
+      nothing. At 10^12 rows, put a Bloom filter of ids
+      (operators/bloom.py:split_new_vs_maybe_seen) in front so the
+      anti-join touches only probable-overlap ids.
+    * new rows land in their bucket's partition directory via
+      ``mode('append')``; probes (:func:`ann_index_topk`) see them with no
+      further work — the bucket partition filter prunes the same way.
+
+    Returns {'rows_in', 'rows_appended'}."""
+    spark = emb.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/_meta").first()
+    if bits is None:
+        bits = int(meta["bits"])
+    elif int(meta["bits"]) != bits:
+        raise ValueError(
+            f"index {index_dir} was built with bits={meta['bits']}, "
+            f"append called with bits={bits}: sketch families don't mix"
+        )
+    if seed is None:
+        seed = int(meta["seed"])
+    elif int(meta["seed"]) != seed:
+        raise ValueError(
+            f"index {index_dir} was built with seed={meta['seed']}, "
+            f"append called with seed={seed}: sketch families don't mix"
+        )
+    dim = int(meta["dim"])
+
+    sk = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    new = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col),
+        sk.alias("bucket"),
+    )
+    n_in = new.count()
+    if skip_existing:
+        existing = spark.read.parquet(index_dir).select(id_col)
+        new = new.join(existing, id_col, "left_anti").localCheckpoint(eager=False)
+        n_new = new.count()
+    else:
+        n_new = n_in
+    if n_new:
+        new.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(index_dir)
+    return {"rows_in": n_in, "rows_appended": n_new}
 
 
 def ann_index_topk(

@@ -132,3 +132,43 @@ def test_lsh_prunes_candidates(spark, emb):
         hyperplane_sketch(F.col("embedding"), 16, bits=8).alias("b")
     ).groupBy("b").count().collect()
     assert len(buckets) > 10  # vectors actually spread across buckets
+
+
+def test_append_ann_index_incremental(spark, emb, tmp_path):
+    """Index maintenance without rebuild: appended vectors are probe-visible,
+    replays are no-ops (idempotent append), and a mismatched sketch family
+    is rejected via the _meta sidecar."""
+    import pytest
+
+    from final_ocr_spark.operators.similarity import (
+        ann_index_topk, append_ann_index, build_ann_index,
+    )
+
+    idx = build_ann_index(emb, str(tmp_path / "idx"), dim=16, bits=8, seed=11)
+    base_ids = {r["vec_id"] for r in spark.read.parquet(idx).select("vec_id").collect()}
+
+    # a new vector: exact copy of an existing one, new id — its top-1 by
+    # cosine must be itself or the twin (score 1.0), proving the appended
+    # row landed in the probed bucket
+    twin_src = emb.limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [(999001, twin_src["embedding"])], "vec_id long, embedding array<double>"
+    )
+    r = append_ann_index(new, idx)
+    assert (r["rows_in"], r["rows_appended"]) == (1, 1)
+    top = ann_index_topk(
+        spark, idx, list(twin_src["embedding"]), k=2, bits=8, seed=11
+    ).collect()
+    assert {t["vec_id"] for t in top} == {twin_src["vec_id"], 999001}
+
+    # replay: same batch again -> nothing appended
+    r2 = append_ann_index(new, idx)
+    assert (r2["rows_in"], r2["rows_appended"]) == (1, 0)
+    ids = [r["vec_id"] for r in spark.read.parquet(idx).select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == len(base_ids) + 1
+
+    # family mismatch fails loudly
+    with pytest.raises(ValueError, match="bits"):
+        append_ann_index(new, idx, bits=10)
+    with pytest.raises(ValueError, match="seed"):
+        append_ann_index(new, idx, seed=7)
