@@ -226,6 +226,41 @@ def build_ann_index(
     return out_dir
 
 
+def _index_meta(spark, index_dir: str):
+    """The (dim, bits, seed) sidecar row, or None for a pre-sidecar index."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{index_dir}/_meta").first()
+    except AnalysisException as e:
+        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = getcls() if getcls else None
+        if cls == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def _resolve_family(meta, bits, seed, index_dir: str, *, what: str):
+    """bits/seed for an index operation: default from the _meta sidecar,
+    VALIDATE against it when given explicitly, and for pre-sidecar indexes
+    fall back to the caller's values (or the historical defaults 12/11,
+    matching every index built before the sidecar existed)."""
+    if meta is None:
+        return (12 if bits is None else bits), (11 if seed is None else seed)
+    mbits, mseed = int(meta["bits"]), int(meta["seed"])
+    if bits is not None and bits != mbits:
+        raise ValueError(
+            f"index {index_dir} was built with bits={mbits}, {what} called "
+            f"with bits={bits}: sketch families don't mix"
+        )
+    if seed is not None and seed != mseed:
+        raise ValueError(
+            f"index {index_dir} was built with seed={mseed}, {what} called "
+            f"with seed={seed}: sketch families don't mix"
+        )
+    return mbits, mseed
+
+
 def append_ann_index(
     emb: DataFrame, index_dir: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -237,64 +272,93 @@ def append_ann_index(
     corpus ingest: index maintenance cost is O(|new batch|), never O(index).
 
     * bits/seed default from the index's ``_meta`` sidecar and are
-      VALIDATED against it when given — a mismatched sketch family would
-      bucket new vectors incorrectly and silently break every future probe.
-    * ``skip_existing=True`` anti-joins new ids against the index's id
-      column (a column-pruned scan — the vectors never load), making the
-      append idempotent: re-running the same batch after a crash adds
-      nothing. At 10^12 rows, put a Bloom filter of ids
+      VALIDATED against it when given; the batch's vector DIMENSION is
+      validated too — a mismatched sketch family or dim would bucket new
+      vectors into garbage partitions and silently break every probe.
+      Pre-sidecar indexes require explicit bits/seed (dim inferred from
+      the batch) — see :func:`_resolve_family`.
+    * duplicate ids WITHIN the batch keep the smallest (xxhash64(vector))
+      row (deterministic), and ``skip_existing=True`` anti-joins the rest
+      against the index's id column (a column-pruned scan — the vectors
+      never load), making the append idempotent: re-running the same batch
+      after a crash adds nothing. At 10^12 rows, put a Bloom filter of ids
       (operators/bloom.py:split_new_vs_maybe_seen) in front so the
       anti-join touches only probable-overlap ids.
     * new rows land in their bucket's partition directory via
       ``mode('append')``; probes (:func:`ann_index_topk`) see them with no
       further work — the bucket partition filter prunes the same way.
 
-    Returns {'rows_in', 'rows_appended'}."""
+    Returns {'rows_in', 'rows_unique', 'rows_appended'}."""
+    from pyspark.sql import Window
+
     spark = emb.sparkSession
-    meta = spark.read.parquet(f"{index_dir}/_meta").first()
-    if bits is None:
-        bits = int(meta["bits"])
-    elif int(meta["bits"]) != bits:
-        raise ValueError(
-            f"index {index_dir} was built with bits={meta['bits']}, "
-            f"append called with bits={bits}: sketch families don't mix"
-        )
-    if seed is None:
-        seed = int(meta["seed"])
-    elif int(meta["seed"]) != seed:
-        raise ValueError(
-            f"index {index_dir} was built with seed={meta['seed']}, "
-            f"append called with seed={seed}: sketch families don't mix"
-        )
-    dim = int(meta["dim"])
+    meta = _index_meta(spark, index_dir)
+    bits, seed = _resolve_family(meta, bits, seed, index_dir, what="append")
+    if meta is not None:
+        dim = int(meta["dim"])
+    else:
+        first = emb.select(vec_col).first()
+        dim = len(first[0])
 
     sk = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
-    new = emb.select(
+    # checkpoint the sketched batch BEFORE any counting/joining: emb may be
+    # an expensive upstream chain, and it must evaluate exactly once
+    sketched = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col),
         sk.alias("bucket"),
+    ).localCheckpoint(eager=False)
+    st = sketched.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.size(vec_col) != dim).cast("long")).alias("bad_dim"),
+    ).first()
+    n_in = int(st["n"])
+    if st["bad_dim"]:
+        raise ValueError(
+            f"{st['bad_dim']} of {n_in} batch vectors do not have the "
+            f"index dimension {dim} ({index_dir}): a mismatched dim zips "
+            "against the hyperplanes as null and every bit falls to 0 — "
+            "silent index corruption. Refusing to append."
+        )
+
+    # deterministic within-batch id dedup (same rule as the corpus ingest:
+    # smallest content hash wins, stable under any partitioning)
+    w = Window.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)).asc_nulls_last())
+    new = (
+        sketched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    n_in = new.count()
+    n_unique = new.count()  # cheap: reads the checkpointed sketch, not emb
     if skip_existing:
         existing = spark.read.parquet(index_dir).select(id_col)
         new = new.join(existing, id_col, "left_anti").localCheckpoint(eager=False)
         n_new = new.count()
     else:
-        n_new = n_in
+        n_new = n_unique
     if n_new:
         new.repartition("bucket").write.mode("append").partitionBy(
             "bucket"
         ).parquet(index_dir)
-    return {"rows_in": n_in, "rows_appended": n_new}
+    return {"rows_in": n_in, "rows_unique": n_unique, "rows_appended": n_new}
 
 
 def ann_index_topk(
     spark, index_dir: str, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    bits: int = 12, seed: int = 11, multiprobe: int = 1,
+    bits: int | None = None, seed: int | None = None, multiprobe: int = 1,
 ) -> DataFrame:
     """ANN query against a :func:`build_ann_index` table: probe the query's
     bucket (± 1-bit / 2-bit flips per ``multiprobe``) via PARTITION PRUNING,
-    exact cosine re-rank inside the candidate set only."""
+    exact cosine re-rank inside the candidate set only.
+
+    bits/seed default from the index's ``_meta`` sidecar and are validated
+    against it when given — probing with the wrong family computes bucket
+    ids no partition holds and silently returns few/zero candidates. For a
+    pre-sidecar index the caller's values (or the historical 12/11
+    defaults) apply unchecked."""
+    bits, seed = _resolve_family(
+        _index_meta(spark, index_dir), bits, seed, index_dir, what="probe"
+    )
     qb = _query_bucket(query_vec, bits, seed)
     probes = _probe_set(qb, bits, multiprobe)
     # bucket is a partition column → this filter prunes directories at plan

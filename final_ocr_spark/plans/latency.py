@@ -64,9 +64,13 @@ def percentiles(counts: list[int], qs=(0.5, 0.99)) -> dict:
 
     Each percentile reports its bucket's UPPER edge — a conservative
     (never-underestimating) figure with one-bucket (×2^0.25) resolution.
+    A percentile landing in the open-ended overflow bucket has no upper
+    edge and reports None; ``overflow`` carries that bucket's count so a
+    None is attributable (reporting the overflow bucket's lower edge
+    would silently UNDERestimate arbitrarily slow batches).
     """
     total = sum(counts)
-    out = {"batches": total}
+    out = {"batches": total, "overflow": counts[N_BUCKETS - 1] if counts else 0}
     for q in qs:
         label = f"p{int(q * 100)}"
         if total == 0:
@@ -77,6 +81,8 @@ def percentiles(counts: list[int], qs=(0.5, 0.99)) -> dict:
         for i, c in enumerate(counts):
             cum += c
             if cum >= target:
-                out[label] = round(_bucket_upper_ms(i), 3)
+                out[label] = (
+                    None if i == N_BUCKETS - 1 else round(_bucket_upper_ms(i), 3)
+                )
                 break
     return out

@@ -25,4 +25,11 @@ def test_latency_histogram_accumulator(spark):
         b = bucket_of(ms)
         assert b >= last
         last = b
-    assert percentiles([0] * 48) == {"batches": 0, "p50": None, "p99": None}
+    assert percentiles([0] * 48) == {
+        "batches": 0, "overflow": 0, "p50": None, "p99": None,
+    }
+    # overflow bucket has no upper edge: report None, not an underestimate
+    over = [0] * 48
+    over[47] = 10
+    st = percentiles(over)
+    assert st["p50"] is None and st["p99"] is None and st["overflow"] == 10

@@ -139,6 +139,7 @@ def test_append_ann_index_incremental(spark, emb, tmp_path):
     replays are no-ops (idempotent append), and a mismatched sketch family
     is rejected via the _meta sidecar."""
     import pytest
+    from pyspark.sql import functions as F
 
     from final_ocr_spark.operators.similarity import (
         ann_index_topk, append_ann_index, build_ann_index,
@@ -172,3 +173,29 @@ def test_append_ann_index_incremental(spark, emb, tmp_path):
         append_ann_index(new, idx, bits=10)
     with pytest.raises(ValueError, match="seed"):
         append_ann_index(new, idx, seed=7)
+
+    # wrong-dimension batch refused (would zip against hyperplanes as null
+    # and bucket everything into 0 — silent index corruption)
+    short = spark.createDataFrame(
+        [(999002, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        append_ann_index(short, idx)
+
+    # duplicate ids WITHIN a batch collapse deterministically (smallest
+    # content-hash row wins) before the anti-join
+    v_a = [float(i) for i in range(16)]
+    v_b = [float(16 - i) for i in range(16)]
+    dup = spark.createDataFrame(
+        [(999003, v_a), (999003, v_b)], "vec_id long, embedding array<double>"
+    )
+    r3 = append_ann_index(dup, idx)
+    assert (r3["rows_in"], r3["rows_unique"], r3["rows_appended"]) == (2, 1, 1)
+    kept = spark.read.parquet(idx).filter(F.col("vec_id") == 999003).collect()
+    assert len(kept) == 1
+
+    # probe resolves bits/seed from the _meta sidecar when not given
+    top2 = ann_index_topk(spark, idx, list(twin_src["embedding"]), k=2).collect()
+    assert {t["vec_id"] for t in top2} == {twin_src["vec_id"], 999001}
+    with pytest.raises(ValueError, match="bits"):
+        ann_index_topk(spark, idx, list(twin_src["embedding"]), k=2, bits=10)
