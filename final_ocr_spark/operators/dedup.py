@@ -13,6 +13,10 @@ pages dominate. Five strategies, all shuffle-conscious:
   16-bit block index (pigeonhole: hamming ≤3 ⇒ some block equal).
 * ``ngram_jaccard`` — exact Jaccard on n-gram sets for a candidate pair set
   (the verifier stage after LSH).
+* ``winnow_fingerprints`` / ``winnow_overlap`` — MOSS-style winnowing
+  (window-min k-gram selection): *containment* detection — a quoted span or
+  mirrored article inside a longer page — which whole-document Jaccard
+  sketches dilute toward zero.
 
 Everything is built-in-function Spark (JVM/codegen) — no Python in the hot
 path — except the simhash popcount, where a vectorized Arrow batch beats
@@ -216,6 +220,7 @@ def shingle_hash_rows(
     key: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
+    with_pos: bool = False,
 ) -> DataFrame:
     """(k, h) — one row per word k-shingle, h the same position-rotated XOR
     hash ``shingle_hashes_from`` produces (identical multiset, pinned by
@@ -228,7 +233,11 @@ def shingle_hash_rows(
     partitionBy key) satisfies every downstream clustered distribution on
     (key, …), so OPH minhash / collect-based consumers add NO further
     shuffles. Documents with < k words produce no rows (lag is null within
-    the first k-1 positions)."""
+    the first k-1 positions).
+
+    ``with_pos=True`` returns (k, pos, h) where pos is the word index of the
+    shingle's LAST word — consecutive shingles have consecutive pos, which
+    :func:`winnow_fingerprints` relies on for its selection windows."""
     ex = df.select(
         F.col(key).alias("k"), F.posexplode(sketch_words(text_col)).alias("pos", "w")
     )
@@ -241,7 +250,8 @@ def shingle_hash_rows(
         # exactly _rotated(j) in shingle_hashes_from
         term = _rotl64(F.lag("h0", shingle_k - 1 - j).over(w), _SHINGLE_ROT[j])
         sh = term if sh is None else sh.bitwiseXOR(term)
-    return ex.select("k", sh.alias("h")).filter(F.col("h").isNotNull())
+    cols = ["k", "pos"] if with_pos else ["k"]
+    return ex.select(*cols, sh.alias("h")).filter(F.col("h").isNotNull())
 
 
 def minhash_sigs(
@@ -1042,3 +1052,125 @@ def paragraph_dedup(
         )
         .drop("_kill")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(k, fp) — winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): slide a window of ``window``
+    consecutive k-gram hashes over each document and keep the minimum of
+    every full window; the DISTINCT selected hashes are the fingerprint set.
+
+    Guarantee (the reason to use this over MinHash): any substring of at
+    least ``window + shingle_k - 1`` shared words between two documents
+    yields at least one SHARED fingerprint — winnowing detects *containment*
+    (a quoted paragraph, a mirrored article inside a longer page), which a
+    whole-document Jaccard sketch dilutes toward zero as the containing
+    document grows. Density: ~2/(window+1) of all k-grams are selected, so
+    the fingerprint table is a small constant fraction of the shingle count.
+
+    Plan shape: reuses :func:`shingle_hash_rows`'s one exchange (window
+    partitionBy key); selection is a frame-bounded running ``min`` over the
+    SAME window spec (no second sort), then a distinct that the planner
+    performs as partial+final aggregation. No Python anywhere.
+
+    Documents with fewer than ``window + shingle_k - 1`` words have no full
+    selection window and produce NO fingerprints (the paper's contract:
+    matches shorter than the guarantee threshold are noise, not signal).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    rows = shingle_hash_rows(
+        df, key=key, text_col=text_col, shingle_k=shingle_k, with_pos=True
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    # count over the same frame gates out the first window-1 partial windows
+    # (consecutive pos ⇒ frame rows == frame positions)
+    sel = rows.select(
+        "k",
+        F.min("h").over(w).alias("fp"),
+        F.count("h").over(w).alias("_n"),
+    ).filter(F.col("_n") == window)
+    return sel.select("k", "fp").distinct()
+
+
+def winnow_overlap(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    containment_threshold: float = 0.5,
+    bucket_cap: int = 200,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Partial-overlap / containment candidate pairs via shared winnowing
+    fingerprints: (key_a, key_b, n_shared, containment_a, containment_b)
+    with key_a < key_b, where containment_x = shared fingerprints / |x's
+    fingerprints| — containment_b ≈ 1 means b's content is (nearly) wholly
+    inside a. Pairs survive when ``n_shared >= min_shared`` AND the GREATER
+    containment reaches ``containment_threshold``.
+
+    Scale shape (same discipline as the LSH band join): the self-join runs
+    on slim (fp, key) rows only; a fingerprint shared by more than
+    ``bucket_cap`` documents (site-wide boilerplate — the classic hot key)
+    is capped via row_number before pairing, exactly like
+    ``_sig_near_dup_pairs``'s degenerate-bucket guard, so no task ever
+    materializes a quadratic bucket. Per-doc fingerprint counts ride the
+    pair row (two broadcastable joins against the tiny (k, n_fp) table);
+    document text never shuffles.
+
+    ``fingerprints`` accepts a precomputed :func:`winnow_fingerprints`
+    table (stored alongside the corpus) so incremental callers skip the
+    sketch, mirroring ``minhash_near_dups(sigs=...)``.
+    """
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            df, key=key, text_col=text_col, shingle_k=shingle_k, window=window
+        )
+    )
+    # three consumers (pair join both sides + per-doc counts) — same
+    # materialization-barrier rationale as minhash_near_dups
+    fps = fps.localCheckpoint(eager=False)
+    counts = fps.groupBy("k").agg(F.count(F.lit(1)).alias("n_fp"))
+
+    cap_w = Window.partitionBy("fp").orderBy("k")
+    capped = (
+        fps.withColumn("_rn", F.row_number().over(cap_w))
+        .filter(F.col("_rn") <= bucket_cap)
+        .drop("_rn")
+    )
+    a = capped.select("fp", F.col("k").alias("key_a"))
+    b = capped.select("fp", F.col("k").alias("key_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na = counts.select(F.col("k").alias("key_a"), F.col("n_fp").alias("_na"))
+    nb = counts.select(F.col("k").alias("key_b"), F.col("n_fp").alias("_nb"))
+    out = (
+        shared.join(na, "key_a")
+        .join(nb, "key_b")
+        .withColumn("containment_a", F.col("n_shared") / F.col("_na"))
+        .withColumn("containment_b", F.col("n_shared") / F.col("_nb"))
+        .filter(
+            F.greatest("containment_a", "containment_b")
+            >= F.lit(float(containment_threshold))
+        )
+    )
+    return out.select("key_a", "key_b", "n_shared", "containment_a", "containment_b")
