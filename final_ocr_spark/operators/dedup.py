@@ -1174,3 +1174,55 @@ def winnow_overlap(
         )
     )
     return out.select("key_a", "key_b", "n_shared", "containment_a", "containment_b")
+
+
+def containment_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    window: int = 4,
+    containment_threshold: float = 0.8,
+    min_shared: int = 2,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Drop documents whose content is (nearly) wholly CONTAINED in another
+    document — the quoted-article / mirror-with-extra-chrome case that
+    survives both exact and near-dup Jaccard dedup (a 10× longer container
+    dilutes whole-doc Jaccard below any sane threshold).
+
+    For each :func:`winnow_overlap` pair at ``containment_threshold``, the
+    side with the GREATER containment (i.e. the smaller fingerprint set —
+    the contained document) is dropped; exact ties drop the larger key, so
+    the choice is deterministic under any partitioning. Chains (a ⊂ b ⊂ c)
+    resolve safely: each contained doc is dropped on its own pair, and the
+    winnowing guarantee makes a's fingerprints (from spans ≥ window+k-1
+    words) appear in every container up the chain.
+
+    One anti-join of ``df`` against the distinct drop-key set (tiny:
+    bounded by the pair count); all heavy lifting happens on slim
+    fingerprint rows inside ``winnow_overlap``.
+    """
+    pairs = winnow_overlap(
+        df,
+        key=key,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        window=window,
+        min_shared=min_shared,
+        containment_threshold=containment_threshold,
+        bucket_cap=bucket_cap,
+    )
+    drops = pairs.select(
+        F.when(
+            (F.col("containment_a") > F.col("containment_b"))
+            | (
+                (F.col("containment_a") == F.col("containment_b"))
+                & (F.col("key_a") > F.col("key_b"))
+            ),
+            F.col("key_a"),
+        )
+        .otherwise(F.col("key_b"))
+        .alias(key)
+    ).distinct()
+    return df.join(drops, key, "left_anti")

@@ -17,8 +17,12 @@ to a training-ready corpus, composed from the engine's tested operators.
                           (first-occurrence-wins; slim hash explode +
                           kill-set rebuild — boilerplate inside otherwise
                           unique docs, which doc-level dedup never sees)
+      2b. model gate      optional trained hashed-n-gram linear classifier
+                          (slim (doc,bucket) shuffle + broadcast weights)
       5. near-dup dedup   MinHash-OPH → LSH banding → exact-jaccard verify
                           → connected components → keep min-url per cluster
+      5b'. containment    optional winnowing containment dedup — drops docs
+                          wholly quoted/mirrored inside another kept doc
       6. host cap         at most N docs per host (skew-safe salted cap)
       7. sample           optional deterministic md5 sample (stable across
                           reruns and cluster sizes)
@@ -82,6 +86,10 @@ def corpus_pipeline(
     blocked_domains: DataFrame | list[str] | None = None,
     url_patterns: tuple[str, ...] = (),
     paragraph_dedup_min_chars: int | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_n_features: int = 1 << 18,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -110,6 +118,23 @@ def corpus_pipeline(
     docs = docs.filter(F.col("quality_score") >= F.lit(min_quality))
     if gopher:
         docs = docs.filter(gopher_repetition_keep(F.col("text")))
+
+    # 2b. model quality gate (optional): score with a trained hashed-n-gram
+    # linear model (operators/classify.py) and keep score >= threshold.
+    # Unlike stages 2/3 this is NOT scan-local — it adds one slim
+    # (doc, bucket) shuffle on url plus a broadcast weight join — so it
+    # runs after the cheap heuristic gates have already shed rows.
+    if classifier_weights is not None:
+        from final_ocr_spark.operators.classify import score_ngram_linear
+
+        docs = score_ngram_linear(
+            docs,
+            classifier_weights,
+            key="url",
+            text_col="text",
+            n_features=classifier_n_features,
+            score_col="model_score",
+        ).filter(F.col("model_score") >= F.lit(float(classifier_threshold)))
 
     # 3a. optional Unicode normalization (NFC/NFKC/...): byte-unifies
     # visually-identical forms BEFORE any hashing stage so exact dedup,
@@ -178,6 +203,21 @@ def corpus_pipeline(
         # path-shaped/huge graphs — see dedup_clusters
         clusters = dedup_clusters(verified, algorithm=cluster_algorithm)
         docs = keep_cluster_representatives(docs, clusters, key="url")
+
+    # 5b'. containment dedup (optional): drop docs (nearly) wholly contained
+    # in another surviving doc — quoted articles / mirrors-with-chrome that
+    # near-dup Jaccard cannot see (the container dilutes the estimate).
+    # Runs AFTER cluster dedup so the winnowing self-join sees the already
+    # thinned corpus.
+    if containment_threshold is not None:
+        from final_ocr_spark.operators.dedup import containment_dedup
+
+        docs = containment_dedup(
+            docs,
+            key="url",
+            text_col="text",
+            containment_threshold=containment_threshold,
+        )
 
     # 5b. benchmark decontamination (optional): drop docs sharing an n-gram
     # with the eval set — broadcast semi-join on gram hashes, corpus-side

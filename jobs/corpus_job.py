@@ -55,6 +55,18 @@ def main() -> None:
                          "paragraphs of at least MIN_CHARS chars")
     ap.add_argument("--warc-input", default=None,
                     help="directory of WARC(.gz) archives instead of --input")
+    ap.add_argument("--containment", type=float, default=None,
+                    metavar="THRESHOLD",
+                    help="winnowing containment dedup: drop docs whose "
+                         "fingerprints are >= THRESHOLD contained in "
+                         "another kept doc")
+    ap.add_argument("--classifier-weights", default=None,
+                    help="parquet (b, weight) table from "
+                         "classify.train_ngram_nb; enables the model "
+                         "quality gate")
+    ap.add_argument("--classifier-threshold", type=float, default=0.5)
+    ap.add_argument("--classifier-features", type=int, default=1 << 18,
+                    help="hashed feature space size; MUST match training")
     args = ap.parse_args()
 
     from final_ocr_spark.session import get_spark
@@ -104,6 +116,14 @@ def main() -> None:
         sample_salt=args.sample_salt,
         extract_partitions=args.partitions,
         cluster_algorithm=args.cluster_algorithm,
+        containment_threshold=args.containment,
+        classifier_weights=(
+            spark.read.parquet(args.classifier_weights)
+            if args.classifier_weights
+            else None
+        ),
+        classifier_threshold=args.classifier_threshold,
+        classifier_n_features=args.classifier_features,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -183,3 +183,65 @@ def test_corpus_pipeline_url_gate_and_paragraph_dedup(spark):
     assert boiler not in texts["https://b.example.com/2"]
     assert "seaside town" in texts["https://b.example.com/2"]
     assert texts["https://b.example.com/2"] == own
+
+
+def test_corpus_pipeline_containment_and_classifier_gates(spark):
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"word{i}" for i in range(400)]
+
+    def prose(n):
+        out = []
+        for i in range(n):
+            out.append("the" if i % 6 == 5 else rng.choice(vocab))
+        return " ".join(out)
+
+    container = prose(150)
+    contained = " ".join(container.split()[50:95])  # 45-word quoted span
+    rows = [
+        ("https://big.example.com/article", container),
+        ("https://quote.example.com/excerpt", contained),
+        ("https://other.example.com/page", prose(120)),
+    ]
+    out = corpus_pipeline(
+        _pages(spark, rows),
+        near_dup=True,
+        containment_threshold=0.6,
+        extract_partitions=4,
+    )
+    urls = sorted(r["url"] for r in out.collect())
+    # the quoted excerpt is contained -> dropped; both full docs survive
+    # (their mutual jaccard is far below the near-dup threshold)
+    assert "https://quote.example.com/excerpt" not in urls
+    assert "https://big.example.com/article" in urls
+    assert "https://other.example.com/page" in urls
+
+    # classifier gate: train spam-vs-prose weights, spammy doc filtered
+    from final_ocr_spark.operators.classify import train_ngram_nb
+
+    spam = " ".join(
+        ("buy" if i % 3 == 0 else rng.choice(["cheap", "pills", "casino", "the"]))
+        for i in range(60)
+    )
+    labeled = spark.createDataFrame(
+        [("t0", spam, 0), ("t1", prose(60), 1), ("t2", spam + " now", 0),
+         ("t3", prose(80), 1)],
+        "doc_id string, text string, label int",
+    )
+    weights = train_ngram_nb(labeled, n_features=1 << 12).localCheckpoint()
+    rows2 = [
+        ("https://ham.example.com/a", prose(100)),
+        ("https://spamish.example.com/b", spam),
+    ]
+    out2 = corpus_pipeline(
+        _pages(spark, rows2),
+        near_dup=False,
+        gopher=False,
+        classifier_weights=weights,
+        classifier_n_features=1 << 12,
+        extract_partitions=4,
+    )
+    urls2 = [r["url"] for r in out2.collect()]
+    assert urls2 == ["https://ham.example.com/a"]
+    assert "model_score" in out2.columns

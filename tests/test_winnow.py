@@ -133,3 +133,27 @@ def test_window_validation(spark):
     df = _docs_df(spark, {"a": "x"})
     with pytest.raises(ValueError):
         winnow_fingerprints(df, window=0)
+
+
+def test_containment_dedup_drops_contained_side(spark):
+    from final_ocr_spark.operators.dedup import containment_dedup
+
+    rng = random.Random(13)
+    container = _words(150, rng)
+    contained = " ".join(container.split()[40:90])
+    docs = {
+        "big": container,
+        "quote": contained,
+        "other": _words(120, rng),
+    }
+    out = containment_dedup(
+        _docs_df(spark, docs), containment_threshold=0.6
+    ).collect()
+    keys = sorted(r.doc_id for r in out)
+    assert keys == ["big", "other"]
+
+    # identical docs: mutual 1.0 containment -> exactly one (deterministic:
+    # the larger key) is dropped
+    twins = _docs_df(spark, {"t1": container, "t2": container})
+    out2 = sorted(r.doc_id for r in containment_dedup(twins).collect())
+    assert out2 == ["t1"]
