@@ -19,6 +19,8 @@ to a training-ready corpus, composed from the engine's tested operators.
                           unique docs, which doc-level dedup never sees)
       2b. model gate      optional trained hashed-n-gram linear classifier
                           (slim (doc,bucket) shuffle + broadcast weights)
+      2c. LM ppl gate     optional CCNet-style Stupid-Backoff bigram-LM
+                          perplexity band (broadcast count-table joins)
       5. near-dup dedup   MinHash-OPH → LSH banding → exact-jaccard verify
                           → connected components → keep min-url per cluster
       5b'. containment    optional winnowing containment dedup — drops docs
@@ -90,6 +92,8 @@ def corpus_pipeline(
     classifier_threshold: float = 0.5,
     classifier_n_features: int = 1 << 18,
     containment_threshold: float | None = None,
+    lm_table: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -135,6 +139,17 @@ def corpus_pipeline(
             n_features=classifier_n_features,
             score_col="model_score",
         ).filter(F.col("model_score") >= F.lit(float(classifier_threshold)))
+
+    # 2c. LM perplexity gate (optional, CCNet-style): score against a
+    # trained reference-corpus bigram LM and keep lm_ppl <= lm_max_ppl.
+    # Transition rows shuffle on url (slim hashes); the LM table joins
+    # broadcast. Docs with < 2 tokens score null ppl and are DROPPED here
+    # (an explicit gate asked for LM evidence; nulls have none).
+    if lm_table is not None and lm_max_ppl is not None:
+        from final_ocr_spark.operators.lm import score_bigram_lm
+
+        docs = score_bigram_lm(docs, lm_table, key="url", text_col="text")
+        docs = docs.filter(F.col("lm_ppl") <= F.lit(float(lm_max_ppl)))
 
     # 3a. optional Unicode normalization (NFC/NFKC/...): byte-unifies
     # visually-identical forms BEFORE any hashing stage so exact dedup,

@@ -67,7 +67,14 @@ def main() -> None:
     ap.add_argument("--classifier-threshold", type=float, default=0.5)
     ap.add_argument("--classifier-features", type=int, default=1 << 18,
                     help="hashed feature space size; MUST match training")
+    ap.add_argument("--lm-table", default=None,
+                    help="parquet (h, n, is_bigram) table from "
+                         "lm.train_bigram_lm; enables the perplexity gate")
+    ap.add_argument("--lm-max-ppl", type=float, default=None,
+                    help="keep docs with lm_ppl <= this (requires --lm-table)")
     args = ap.parse_args()
+    if (args.lm_table is None) != (args.lm_max_ppl is None):
+        ap.error("--lm-table and --lm-max-ppl must be given together")
 
     from final_ocr_spark.session import get_spark
 
@@ -124,6 +131,10 @@ def main() -> None:
         ),
         classifier_threshold=args.classifier_threshold,
         classifier_n_features=args.classifier_features,
+        lm_table=(
+            spark.read.parquet(args.lm_table) if args.lm_table else None
+        ),
+        lm_max_ppl=args.lm_max_ppl,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

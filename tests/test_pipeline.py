@@ -245,3 +245,54 @@ def test_corpus_pipeline_containment_and_classifier_gates(spark):
     urls2 = [r["url"] for r in out2.collect()]
     assert urls2 == ["https://ham.example.com/a"]
     assert "model_score" in out2.columns
+
+
+def test_corpus_pipeline_lm_perplexity_gate(spark):
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"word{i}" for i in range(50)]
+
+    def prose(n, rg):
+        return " ".join(
+            "the" if i % 5 == 4 else rg.choice(vocab) for i in range(n)
+        )
+
+    ref = spark.createDataFrame(
+        [(f"r{i}", prose(80, rng)) for i in range(5)],
+        "doc_id string, text string",
+    )
+    from final_ocr_spark.operators.lm import train_bigram_lm
+
+    lm = train_bigram_lm(ref).localCheckpoint()
+
+    gib_rng = random.Random(77)
+    gibberish = " ".join(
+        "the" if i % 5 == 4 else f"zzq{gib_rng.randrange(10**6)}"
+        for i in range(60)
+    )
+    rows = [
+        ("https://good.example.com/a", prose(60, random.Random(1))),
+        ("https://gib.example.com/b", gibberish),
+    ]
+    # pick the threshold between the two scores so the gate, not the corpus,
+    # decides — scored through the same operator the pipeline uses
+    from final_ocr_spark.operators.lm import score_bigram_lm
+
+    probe = spark.createDataFrame(rows, "url string, text string")
+    ppl = {r.url: r.lm_ppl for r in score_bigram_lm(probe, lm, key="url").collect()}
+    assert ppl["https://good.example.com/a"] < ppl["https://gib.example.com/b"]
+    thr = (ppl["https://good.example.com/a"] + ppl["https://gib.example.com/b"]) / 2
+
+    out = corpus_pipeline(
+        _pages(spark, rows),
+        near_dup=False,
+        gopher=False,
+        min_quality=0.0,
+        lm_table=lm,
+        lm_max_ppl=thr,
+        extract_partitions=4,
+    )
+    urls = [r["url"] for r in out.collect()]
+    assert urls == ["https://good.example.com/a"]
+    assert "lm_ppl" in out.columns
