@@ -160,3 +160,34 @@ def score_bigram_lm(
         .drop("k")
         .withColumn(ppl_col, F.exp(-F.col(logprob_col)))
     )
+
+
+def merge_bigram_lm(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two :func:`train_bigram_lm` count tables into one — the
+    incremental-training shape: count tables are additive (the whole point
+    of Stupid Backoff's count-only smoothing), so growing the reference LM
+    with a new corpus slice is a union + sum, never a re-train over the
+    combined corpus.
+
+    Gram rows and the token-total row (h = −1) sum directly; the vocabulary
+    row (h = −2) must NOT (the slices share words) — it is recomputed as
+    the merged distinct-unigram count, which the merged table already
+    materializes as its unigram row count. Identical plan shape to the
+    build: one group-by with map-side combine."""
+    merged = (
+        a.unionByName(b)
+        .groupBy("h", "is_bigram")
+        .agg(F.sum("n").alias("n"))
+        .select("h", "n", "is_bigram")
+    )
+    grams = merged.filter(F.col("h") != _VOCAB_ROW)
+    v = (
+        merged.filter((~F.col("is_bigram")) & (F.col("h") != _TOTAL_ROW) & (F.col("h") != _VOCAB_ROW))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(_VOCAB_ROW).cast("bigint").alias("h"),
+            "n",
+            F.lit(False).alias("is_bigram"),
+        )
+    )
+    return grams.unionByName(v)

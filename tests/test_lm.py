@@ -104,3 +104,28 @@ def test_rejects_lm_without_totals(lm, spark):
     probes = spark.createDataFrame(PROBES[:1], "doc_id string, text string")
     with pytest.raises(ValueError, match="totals"):
         score_bigram_lm(probes, broken)
+
+
+def test_merge_equals_joint_training(lm, spark):
+    from final_ocr_spark.operators.lm import merge_bigram_lm
+
+    extra = [
+        ("x0", "the cat sat on a new shiny mat"),
+        ("x1", "every dog barked at the new cat"),
+    ]
+    lm_b = train_bigram_lm(
+        spark.createDataFrame(extra, "doc_id string, text string")
+    )
+    joint = train_bigram_lm(
+        spark.createDataFrame(REF + extra, "doc_id string, text string")
+    )
+    merged = merge_bigram_lm(lm, lm_b)
+    j = {(r.h, r.is_bigram): r.n for r in joint.collect()}
+    m = {(r.h, r.is_bigram): r.n for r in merged.collect()}
+    assert j == m
+
+    # and scoring through the merged table equals scoring through joint
+    probes = spark.createDataFrame(PROBES, "doc_id string, text string")
+    sj = {r.doc_id: r.lm_logprob for r in score_bigram_lm(probes, joint.localCheckpoint()).collect()}
+    sm = {r.doc_id: r.lm_logprob for r in score_bigram_lm(probes, merged.localCheckpoint()).collect()}
+    assert sj == sm
