@@ -139,11 +139,116 @@ class SnapshotCatalog:
             "row_count_added": row_count,
             "files": base_files + new_files,
         }
-        snap_path = md / f"snap-{sid:08d}.json"
-        # fsync the snapshot file (and its directory entry) BEFORE the HEAD
-        # flip — an fsynced HEAD pointing at a torn/empty snap file after a
-        # power loss would make the table unreadable instead of serving the
-        # previous snapshot (round-2 review finding)
+        # 2b+3. durable snapshot write, then atomic HEAD flip (fsync the snap
+        # file and its directory entry BEFORE the flip — an fsynced HEAD
+        # pointing at a torn snap file after a power loss would make the
+        # table unreadable instead of serving the previous snapshot)
+        self._commit_snapshot(name, snap)
+        return snap
+
+    # -- maintenance --------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int | None = None,
+        min_input_files: int = 2,
+    ) -> dict:
+        """Iceberg ``rewrite_data_files`` (bin-pack) analog: rewrite the
+        table's SMALL data files into ~``target_file_bytes`` files and
+        publish the result as a new snapshot. The streaming/incremental
+        ingest paths append a few files per micro-batch; at 10^12-document
+        scale that debris is the classic scan killer (every file is a task +
+        a footer read + an open), and compaction is the standard maintenance
+        job that keeps scans planning O(data) instead of O(commits).
+
+        Mechanics mirror a real Iceberg rewrite: data files are immutable, so
+        compaction READS the small files, writes new consolidated files, and
+        commits a snapshot whose file list = untouched large files + new
+        files. Readers pinned to older snapshots are undisturbed (time travel
+        keeps working); the superseded small files are reclaimed later by
+        :meth:`expire`, exactly like Iceberg's expire_snapshots.
+
+        Files ≥ ``small_file_bytes`` (default ``target_file_bytes // 2``) are
+        left alone — rewriting an already-right-sized file is pure write
+        amplification. Fewer than ``min_input_files`` small files → no-op
+        (no new snapshot). Row-count equality between the small files and
+        their rewrite is checked BEFORE the HEAD flip; a mismatch raises and
+        leaves the table on the old snapshot.
+
+        Returns ``{"compacted": bool, "files_before", "files_after",
+        "rewritten_files", "rewritten_bytes", "snapshot_id"}``.
+        """
+        snap = self.current_snapshot(name)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {name!r}")
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes // 2
+        tdir = self.table_dir(name)
+        small = [f for f in snap["files"] if f["bytes"] < small_file_bytes]
+        big = [f for f in snap["files"] if f["bytes"] >= small_file_bytes]
+        stats = {
+            "compacted": False,
+            "files_before": len(snap["files"]),
+            "files_after": len(snap["files"]),
+            "rewritten_files": len(small),
+            "rewritten_bytes": sum(f["bytes"] for f in small),
+            "snapshot_id": snap["snapshot_id"],
+        }
+        if len(small) < min_input_files:
+            return stats
+
+        # bin-pack approximation: one consolidated write sized so each output
+        # file lands near target_file_bytes (parquet re-encoding changes the
+        # exact size; the bound that matters is file COUNT ≈ bytes/target)
+        n_out = max(1, -(-stats["rewritten_bytes"] // target_file_bytes))
+        src = spark.read.parquet(*[str(tdir / f["path"]) for f in small])
+        data_rel = f"data/{uuid.uuid4().hex}"
+        data_dir = tdir / data_rel
+        src.repartition(n_out).write.mode("overwrite").parquet(str(data_dir))
+
+        written = spark.read.parquet(str(data_dir))
+        new_files = [
+            {"path": f"{data_rel}/{pathlib.Path(p).name}",
+             "bytes": (data_dir / pathlib.Path(p).name).stat().st_size}
+            for p in sorted(written.inputFiles())
+        ]
+        # safety gate before publishing: the rewrite must carry every row
+        # (parquet-footer counts — no data scan)
+        n_src, n_out_rows = src.count(), written.count()
+        if n_src != n_out_rows:
+            raise RuntimeError(
+                f"compaction row-count mismatch for {name!r}: "
+                f"{n_src} in small files, {n_out_rows} rewritten — "
+                "table left on snapshot "
+                f"{snap['snapshot_id']}"
+            )
+
+        sid = snap["snapshot_id"] + 1
+        new_snap = {
+            "snapshot_id": sid,
+            "parent_id": snap["snapshot_id"],
+            "operation": "compact",
+            "committed_at_epoch": time.time(),
+            "app_id": spark.sparkContext.applicationId,
+            "schema": snap["schema"],
+            "row_count_added": 0,
+            "files": big + new_files,
+        }
+        self._commit_snapshot(name, new_snap)
+        stats.update(
+            compacted=True, files_after=len(big) + len(new_files), snapshot_id=sid
+        )
+        return stats
+
+    def _commit_snapshot(self, name: str, snap: dict) -> None:
+        """Durably write a snapshot JSON, then atomically flip HEAD to it
+        (fsync file + dir entry BEFORE the flip — a crash at any point leaves
+        HEAD on the previous consistent snapshot)."""
+        md = self._manifest_dir(name)
+        snap_path = md / f"snap-{snap['snapshot_id']:08d}.json"
         with open(snap_path, "w", encoding="utf-8") as f:
             f.write(json.dumps(snap, sort_keys=True))
             f.flush()
@@ -153,17 +258,13 @@ class SnapshotCatalog:
             os.fsync(dfd)
         finally:
             os.close(dfd)
-
-        # 3. atomic publish: temp + rename of the HEAD pointer
         tmp = md / f".{HEAD_FILE}.{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(sid))
+            f.write(str(snap["snapshot_id"]))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, md / HEAD_FILE)
-        return snap
 
-    # -- maintenance --------------------------------------------------------
     def expire(self, name: str, keep_last: int = 1) -> int:
         """Iceberg-style snapshot expiry: drop all but the last ``keep_last``
         snapshots and delete data files no surviving snapshot references.

@@ -82,3 +82,81 @@ def test_extract_job_reads_and_publishes_through_catalog(spark, cat, tmp_path):
         (cat.table_dir("extracted") / "_manifest" / "snap-00000001.json").read_text()
     )
     assert meta["app_id"] and meta["schema"]
+
+def test_compact_binpacks_small_files(spark, cat):
+    # 6 appends × 2 partitions each → 12 tiny data files
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"v{i}-{j}") for j in range(10)], ["id", "v"]
+        ).repartition(2)
+        cat.write(df, "t", mode="append")
+    before = cat.current_snapshot("t")
+    assert len(before["files"]) == 12
+    rows_before = sorted((r.id, r.v) for r in cat.read(spark, "t").collect())
+
+    stats = cat.compact(spark, "t")  # all files tiny → one output bin
+    assert stats["compacted"] is True
+    assert stats["files_before"] == 12 and stats["files_after"] == 1
+    assert stats["rewritten_files"] == 12
+
+    after = cat.current_snapshot("t")
+    assert after["snapshot_id"] == before["snapshot_id"] + 1
+    assert after["operation"] == "compact"
+    assert after["parent_id"] == before["snapshot_id"]
+    # byte-identical data, fewer files
+    rows_after = sorted((r.id, r.v) for r in cat.read(spark, "t").collect())
+    assert rows_after == rows_before
+    # time travel to the pre-compaction snapshot still works (files immutable)
+    assert (
+        cat.read(spark, "t", snapshot_id=before["snapshot_id"]).count()
+        == len(rows_before)
+    )
+
+
+def test_compact_leaves_big_files_alone(spark, cat):
+    big = spark.createDataFrame([(i, "x" * 50) for i in range(2000)], ["id", "v"])
+    cat.write(big.coalesce(1), "t", mode="append")
+    big_bytes = cat.current_snapshot("t")["files"][0]["bytes"]
+    for i in range(3):
+        cat.write(
+            spark.createDataFrame([(10000 + i, "y")], ["id", "v"]).coalesce(1),
+            "t",
+            mode="append",
+        )
+    # threshold chosen so ONLY the 3 singleton appends count as small
+    stats = cat.compact(spark, "t", small_file_bytes=big_bytes, target_file_bytes=2 * big_bytes)
+    assert stats["compacted"] is True
+    assert stats["rewritten_files"] == 3
+    assert stats["files_after"] == 2  # untouched big + 1 consolidated
+    # the big file's path survives unchanged in the new snapshot
+    paths = {f["path"] for f in cat.current_snapshot("t")["files"]}
+    assert cat.snapshots("t")[0]["files"][0]["path"] in paths
+    assert cat.read(spark, "t").count() == 2003
+
+
+def test_compact_noop_below_min_files(spark, cat):
+    cat.write(
+        spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1), "t"
+    )
+    head = cat.current_snapshot("t")["snapshot_id"]
+    stats = cat.compact(spark, "t")  # one small file < min_input_files=2
+    assert stats["compacted"] is False
+    assert cat.current_snapshot("t")["snapshot_id"] == head  # no new snapshot
+
+
+def test_compact_then_expire_reclaims_small_files(spark, cat):
+    for i in range(4):
+        cat.write(
+            spark.createDataFrame([(i, "a")], ["id", "v"]).coalesce(1),
+            "t",
+            mode="append",
+        )
+    cat.compact(spark, "t")
+    deleted = cat.expire("t", keep_last=1)
+    assert deleted == 4  # the four pre-compaction tiny files reclaimed
+    assert cat.read(spark, "t").count() == 4  # data intact through it all
+
+
+def test_compact_missing_table_raises(spark, cat):
+    with pytest.raises(FileNotFoundError):
+        cat.compact(spark, "nope")
