@@ -5,6 +5,9 @@ to a training-ready corpus, composed from the engine's tested operators.
       0. url gate         optional domain-blocklist broadcast anti-join +
                           pattern filter — decided BEFORE any per-doc
                           compute, rides the scan
+      0b. metadata gate   optional robots-noindex / canonical-duplicate drop
+                          via the cheap head-metadata prescan (slim left-semi
+                          join, ahead of full extraction)
       1. extract          mapInPandas main-content extraction, per-row
                           quarantine, latest-wins url dedup on the
                           EXTRACTED rows (~4× smaller than html)
@@ -87,6 +90,8 @@ def corpus_pipeline(
     normalize_form: str | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
     url_patterns: tuple[str, ...] = (),
+    drop_noindex: bool = False,
+    respect_canonical: bool = False,
     paragraph_dedup_min_chars: int | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_threshold: float = 0.5,
@@ -105,6 +110,20 @@ def corpus_pipeline(
 
         pages = filter_blocked_urls(
             pages, blocked_domains=blocked_domains, patterns=url_patterns
+        )
+
+    # 0b. metadata gate (optional): robots noindex / canonical-duplicate
+    # rows decided by the cheap head-metadata prescan (operators/metadata.py)
+    # BEFORE the ~10×-costlier full extraction; the gate join is a left-semi
+    # on url against the slim metadata table
+    if drop_noindex or respect_canonical:
+        from final_ocr_spark.operators.metadata import (
+            indexable_pages,
+            page_metadata,
+        )
+
+        pages = indexable_pages(
+            pages, page_metadata(pages), respect_canonical=respect_canonical
         )
 
     # 1. extract + latest-wins url dedup; quarantined rows dropped

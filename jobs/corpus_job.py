@@ -72,6 +72,12 @@ def main() -> None:
                          "lm.train_bigram_lm; enables the perplexity gate")
     ap.add_argument("--lm-max-ppl", type=float, default=None,
                     help="keep docs with lm_ppl <= this (requires --lm-table)")
+    ap.add_argument("--drop-noindex", action="store_true",
+                    help="drop pages whose head metadata says robots noindex "
+                         "(cheap prescan before full extraction)")
+    ap.add_argument("--respect-canonical", action="store_true",
+                    help="also drop pages declaring a canonical url "
+                         "different from their own")
     args = ap.parse_args()
     if (args.lm_table is None) != (args.lm_max_ppl is None):
         ap.error("--lm-table and --lm-max-ppl must be given together")
@@ -135,6 +141,8 @@ def main() -> None:
             spark.read.parquet(args.lm_table) if args.lm_table else None
         ),
         lm_max_ppl=args.lm_max_ppl,
+        drop_noindex=args.drop_noindex,
+        respect_canonical=args.respect_canonical,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

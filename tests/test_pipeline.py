@@ -296,3 +296,41 @@ def test_corpus_pipeline_lm_perplexity_gate(spark):
     urls = [r["url"] for r in out.collect()]
     assert urls == ["https://good.example.com/a"]
     assert "lm_ppl" in out.columns
+
+
+def test_corpus_pipeline_metadata_gate(spark):
+    def page(body_extra="", head=""):
+        return (
+            f"<html><head>{head}</head><body><p>{GOOD}{body_extra}</p>"
+            "</body></html>"
+        ).encode()
+
+    rows = [
+        ("https://ok.example.com/a", TS, page(" about alpha topics"), None, "en"),
+        ("https://noidx.example.com/b", TS,
+         page(" about beta topics",
+              '<meta name="robots" content="noindex">'), None, "en"),
+        ("https://dup.example.com/c", TS,
+         page(" about gamma topics",
+              '<link rel="canonical" href="https://ok.example.com/a">'),
+         None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    base = dict(min_quality=0.0, gopher=False, near_dup=False, redact=False)
+    # without the gate all three pass the pipeline
+    urls = {r.url for r in corpus_pipeline(pages, **base).collect()}
+    assert len(urls) == 3
+
+    # noindex gate drops only the robots-flagged page
+    urls = {r.url for r in corpus_pipeline(pages, drop_noindex=True, **base).collect()}
+    assert urls == {"https://ok.example.com/a", "https://dup.example.com/c"}
+
+    # canonical gate additionally drops the declared duplicate
+    urls = {
+        r.url
+        for r in corpus_pipeline(
+            pages, drop_noindex=True, respect_canonical=True, **base
+        ).collect()
+    }
+    assert urls == {"https://ok.example.com/a"}
