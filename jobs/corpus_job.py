@@ -17,10 +17,16 @@ Local smoke:
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+_REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+# the driver's sys.path does NOT reach executor Python workers; PYTHONPATH
+# does (inherited by the worker processes Spark forks). Without it the job
+# only works when launched from the repo root or with --py-files.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:

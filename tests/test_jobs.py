@@ -152,3 +152,33 @@ def test_ingest_job_smoke(tmp_path):
         f"SELECT url FROM '{tmp_path}/corpus/*/*.parquet'"
     ).fetchall()}
     assert urls == {"http://x/a", "http://x/b"}
+
+
+def test_graph_job_smoke(tmp_path, spark):
+    import subprocess
+    import sys
+
+    # cross-host page slice written as parquet input (the synthetic corpus
+    # is single-host per page batch, which exercises only the empty-graph
+    # branch; this covers the ranked path)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", b'<a href="https://b.com/x">b</a>'
+                                b'<a href="https://c.com/y">c</a>'),
+            ("https://b.com/1", b'<a href="https://c.com/z">c</a>'),
+            ("https://c.com/1", b'<a href="https://a.com/w">a</a>'),
+        ],
+        "url string, html binary",
+    )
+    inp = str(tmp_path / "pages")
+    pages.write.parquet(inp)
+
+    out = subprocess.run(
+        [sys.executable, "jobs/graph_job.py", "--input", inp,
+         "--output", str(tmp_path / "graph"), "--iterations", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "webgraph written" in out.stdout
+    assert "outlinks=4" in out.stdout
+    assert "host_pairs=4" in out.stdout and "ranked_hosts=3" in out.stdout
