@@ -33,7 +33,7 @@ from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
@@ -185,6 +185,71 @@ def host_graph(
         pairs = pairs.filter(F.col("src_host") != F.col("dst_host"))
     return pairs.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("weight")
+    )
+
+
+def anchor_text_corpus(
+    outlinks: DataFrame,
+    *,
+    top_k: int = 5,
+    max_targets_per_anchor: int | None = None,
+    drop_nofollow: bool = True,
+) -> DataFrame:
+    """Inlink anchor aggregation: (target_url, anchors array<struct<anchor,
+    n_pages>>, n_inlinks) — what the web says a page is about, the classic
+    off-page relevance/summary signal for search and training corpora.
+
+    Scale shape: one aggregation to (target_url, anchor) counts — anchor
+    strings are ≤500 chars by extract_outlinks's bound, and n_pages is
+    counted DISTINCT by source url so a single hub page repeating an anchor
+    1000× contributes 1 — then a per-target top-k window over rows already
+    clustered by the first aggregation's partitioning (no second exchange).
+    Empty anchors are dropped (image links). ``max_targets_per_anchor``
+    caps how many distinct targets one anchor string may keep — spam rings
+    stamp one anchor across millions of targets; None disables."""
+    e = outlinks
+    if drop_nofollow:
+        e = e.filter(~F.col("nofollow"))
+    e = e.filter(F.col("anchor_text") != "")
+    counts = e.groupBy("target_url", "anchor_text").agg(
+        F.count_distinct("url").alias("n_pages")
+    )
+    if max_targets_per_anchor is not None:
+        w_spam = Window.partitionBy("anchor_text").orderBy(
+            F.desc("n_pages"), F.col("target_url")
+        )
+        counts = (
+            counts.withColumn("_ar", F.row_number().over(w_spam))
+            .filter(F.col("_ar") <= max_targets_per_anchor)
+            .drop("_ar")
+        )
+    w = Window.partitionBy("target_url").orderBy(
+        F.desc("n_pages"), F.col("anchor_text")
+    )
+    # n_inlinks counts ALL distinct (source page, anchor) contributions to
+    # the target — computed by an unbounded window over the same target
+    # partitioning BEFORE the top-k filter trims the anchor list (same
+    # exchange, no second shuffle)
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "n_inlinks", F.sum("n_pages").over(Window.partitionBy("target_url"))
+        )
+        .filter(F.col("_r") <= top_k)
+        .groupBy("target_url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_r", "anchor_text", "n_pages"))
+            ).alias("_a"),
+            F.first("n_inlinks").alias("n_inlinks"),
+        )
+        .select(
+            "target_url",
+            F.transform(
+                F.col("_a"), lambda s: F.struct(s["anchor_text"].alias("anchor"), s["n_pages"].alias("n_pages"))
+            ).alias("anchors"),
+            "n_inlinks",
+        )
     )
 
 

@@ -198,3 +198,51 @@ class TestPagerank:
         )
         with pytest.raises(ValueError, match="iterations"):
             pagerank(df, iterations=0)
+
+
+class TestAnchorTextCorpus:
+    def _edges(self, spark):
+        from final_ocr_spark.operators.links import extract_outlinks  # noqa
+
+        rows = []
+        # 3 pages call T "alpha site", 2 call it "beta", 1 calls it "gamma"
+        for i in range(3):
+            rows.append((f"https://s{i}.com/p", "https://t.com/", "alpha site", False))
+        for i in range(2):
+            rows.append((f"https://u{i}.com/p", "https://t.com/", "beta", False))
+        rows.append(("https://v.com/p", "https://t.com/", "gamma", False))
+        # one hub repeats an anchor 5x: must count once (distinct by url)
+        rows += [("https://hub.com/p", "https://t.com/", "alpha site", False)] * 5
+        # nofollow and empty anchors dropped
+        rows.append(("https://x.com/p", "https://t.com/", "paid", True))
+        rows.append(("https://y.com/p", "https://t.com/", "", False))
+        return spark.createDataFrame(
+            rows, "url string, target_url string, anchor_text string, nofollow boolean"
+        )
+
+    def test_topk_and_counts(self, spark):
+        from final_ocr_spark.operators.links import anchor_text_corpus
+
+        out = anchor_text_corpus(self._edges(spark), top_k=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.target_url == "https://t.com/"
+        got = [(a.anchor, a.n_pages) for a in r.anchors]
+        assert got == [("alpha site", 4), ("beta", 2)]  # rank order, hub=1
+        # n_inlinks covers ALL anchors incl. the trimmed "gamma"
+        assert r.n_inlinks == 7
+
+    def test_spam_anchor_target_cap(self, spark):
+        from final_ocr_spark.operators.links import anchor_text_corpus
+
+        rows = [
+            (f"https://s{i}.com/", f"https://t{t}.com/", "click here", False)
+            for t in range(5) for i in range(5 - t)  # t0 gets 5 pages … t4 gets 1
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, target_url string, anchor_text string, nofollow boolean"
+        )
+        out = anchor_text_corpus(df, max_targets_per_anchor=2)
+        assert {r.target_url for r in out.collect()} == {
+            "https://t0.com/", "https://t1.com/"
+        }
