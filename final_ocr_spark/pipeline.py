@@ -8,6 +8,8 @@ to a training-ready corpus, composed from the engine's tested operators.
       0b. metadata gate   optional robots-noindex / canonical-duplicate drop
                           via the cheap head-metadata prescan (slim left-semi
                           join, ahead of full extraction)
+      0c. robots gate     optional per-host robots.txt compliance (stdlib
+                          urllib.robotparser semantics; broadcast rule join)
       1. extract          mapInPandas main-content extraction, per-row
                           quarantine, latest-wins url dedup on the
                           EXTRACTED rows (~4× smaller than html)
@@ -92,6 +94,8 @@ def corpus_pipeline(
     url_patterns: tuple[str, ...] = (),
     drop_noindex: bool = False,
     respect_canonical: bool = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "*",
     paragraph_dedup_min_chars: int | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_threshold: float = 0.5,
@@ -111,6 +115,14 @@ def corpus_pipeline(
         pages = filter_blocked_urls(
             pages, blocked_domains=blocked_domains, patterns=url_patterns
         )
+
+    # 0c. robots gate (optional): per-host robots.txt verdicts (stdlib
+    # semantics) as a broadcast join + slim verdict stage — compliance
+    # decided before any extraction compute
+    if robots is not None:
+        from final_ocr_spark.operators.robots import apply_robots
+
+        pages = apply_robots(pages, robots, agent=robots_agent)
 
     # 0b. metadata gate (optional): robots noindex / canonical-duplicate
     # rows decided by the cheap head-metadata prescan (operators/metadata.py)

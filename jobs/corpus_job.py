@@ -84,6 +84,11 @@ def main() -> None:
     ap.add_argument("--respect-canonical", action="store_true",
                     help="also drop pages declaring a canonical url "
                          "different from their own")
+    ap.add_argument("--robots", default=None,
+                    help="parquet (host, robots_txt) table; enables the "
+                         "robots.txt compliance gate before extraction")
+    ap.add_argument("--robots-agent", default="*",
+                    help="user-agent evaluated against the robots rules")
     args = ap.parse_args()
     if (args.lm_table is None) != (args.lm_max_ppl is None):
         ap.error("--lm-table and --lm-max-ppl must be given together")
@@ -149,6 +154,8 @@ def main() -> None:
         lm_max_ppl=args.lm_max_ppl,
         drop_noindex=args.drop_noindex,
         respect_canonical=args.respect_canonical,
+        robots=(spark.read.parquet(args.robots) if args.robots else None),
+        robots_agent=args.robots_agent,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

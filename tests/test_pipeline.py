@@ -334,3 +334,22 @@ def test_corpus_pipeline_metadata_gate(spark):
         ).collect()
     }
     assert urls == {"https://ok.example.com/a"}
+
+
+def test_corpus_pipeline_robots_gate(spark):
+    def page(extra):
+        return (f"<html><body><p>{GOOD} {extra}</p></body></html>").encode()
+
+    rows = [
+        ("https://a.com/public/1", TS, page("about alpha"), None, "en"),
+        ("https://a.com/private/1", TS, page("about beta"), None, "en"),
+        ("https://open.com/anything", TS, page("about gamma"), None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    base = dict(min_quality=0.0, gopher=False, near_dup=False, redact=False)
+    urls = {r.url for r in corpus_pipeline(pages, robots=robots, **base).collect()}
+    assert urls == {"https://a.com/public/1", "https://open.com/anything"}
