@@ -109,6 +109,23 @@ def shingles(text_col: str, k: int = 5):
 _SHINGLE_ROT = [3, 10, 17, 24, 31, 38, 45, 52, 7, 14, 21, 28, 35, 42, 49, 56]
 
 
+def _gram_rot(k: int) -> list[int]:
+    """Pairwise-distinct rotation amounts for k-gram position mixing.
+
+    The first 16 positions are exactly ``_SHINGLE_ROT`` — every existing
+    k ≤ 16 gram hash stays bit-identical — and positions 16..62 extend the
+    table with the remaining values of 1..63 in ascending order (rotations
+    must be distinct so word order matters, and must stay in 1..63 for
+    ``_rotl64``). 63 positions is the hard ceiling of distinct 64-bit
+    rotations; longer grams (duplicate-span dedup uses 50) stay well under."""
+    if k <= len(_SHINGLE_ROT):
+        return _SHINGLE_ROT[:k]
+    if k > 63:
+        raise ValueError(f"gram length {k} exceeds 63 (distinct 64-bit rotations)")
+    extra = [s for s in range(1, 64) if s not in _SHINGLE_ROT]
+    return _SHINGLE_ROT + extra[: k - len(_SHINGLE_ROT)]
+
+
 def _rotl64(x, s: int):
     """Column expr: rotate a 64-bit long left by s (1..63) — bit ops only,
     never checked arithmetic."""
@@ -159,11 +176,11 @@ def shingle_hashes_from(wh_col, k: int = 5):
     Hash quality is sketch-grade (inputs are already xxhash64-avalanched),
     which is all minhash/simhash need.
     """
-    assert k <= len(_SHINGLE_ROT), "raise k support by extending _SHINGLE_ROT"
+    rot = _gram_rot(k)
     n = F.greatest(F.size(wh_col) - F.lit(k - 1), F.lit(0))
 
     def _rotated(j: int):
-        s = _SHINGLE_ROT[j]
+        s = rot[j]
         return F.transform(F.slice(wh_col, F.lit(j + 1), n), lambda x: _rotl64(x, s))
 
     acc = _rotated(0)
@@ -221,6 +238,7 @@ def shingle_hash_rows(
     text_col: str = "text",
     shingle_k: int = 5,
     with_pos: bool = False,
+    words=None,
 ) -> DataFrame:
     """(k, h) — one row per word k-shingle, h the same position-rotated XOR
     hash ``shingle_hashes_from`` produces (identical multiset, pinned by
@@ -237,10 +255,16 @@ def shingle_hash_rows(
 
     ``with_pos=True`` returns (k, pos, h) where pos is the word index of the
     shingle's LAST word — consecutive shingles have consecutive pos, which
-    :func:`winnow_fingerprints` relies on for its selection windows."""
-    ex = df.select(
-        F.col(key).alias("k"), F.posexplode(sketch_words(text_col)).alias("pos", "w")
-    )
+    :func:`winnow_fingerprints` relies on for its selection windows.
+
+    ``words`` overrides the token array expression (default
+    :func:`sketch_words` — the sketch family's canonical lowercase
+    tokenization); pass a case/whitespace-preserving tokenizer for EXACT
+    substring semantics (duplicate-span dedup)."""
+    if words is None:
+        words = sketch_words(text_col)
+    rot = _gram_rot(shingle_k)
+    ex = df.select(F.col(key).alias("k"), F.posexplode(words).alias("pos", "w"))
     ex = ex.select("k", "pos", F.xxhash64("w").alias("h0"))
     w = Window.partitionBy("k").orderBy("pos")
     sh = None
@@ -248,7 +272,7 @@ def shingle_hash_rows(
         # the row at the shingle's LAST word looks back: lag(k-1-j) is the
         # word at shingle offset j, rotated by that offset's rotation —
         # exactly _rotated(j) in shingle_hashes_from
-        term = _rotl64(F.lag("h0", shingle_k - 1 - j).over(w), _SHINGLE_ROT[j])
+        term = _rotl64(F.lag("h0", shingle_k - 1 - j).over(w), rot[j])
         sh = term if sh is None else sh.bitwiseXOR(term)
     cols = ["k", "pos"] if with_pos else ["k"]
     return ex.select(*cols, sh.alias("h")).filter(F.col("h").isNotNull())

@@ -22,6 +22,9 @@ to a training-ready corpus, composed from the engine's tested operators.
                           (first-occurrence-wins; slim hash explode +
                           kill-set rebuild — boilerplate inside otherwise
                           unique docs, which doc-level dedup never sees)
+      4c. span dedup      optional duplicated >=n-token span removal (Lee
+                          et al. 2022 exact-substring semantics, token-gram
+                          approximation; same kill-set rebuild shape)
       2b. model gate      optional trained hashed-n-gram linear classifier
                           (slim (doc,bucket) shuffle + broadcast weights)
       2c. LM ppl gate     optional CCNet-style Stupid-Backoff bigram-LM
@@ -97,6 +100,7 @@ def corpus_pipeline(
     robots: DataFrame | None = None,
     robots_agent: str = "*",
     paragraph_dedup_min_chars: int | None = None,
+    span_dedup_gram_n: int | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_threshold: float = 0.5,
     classifier_n_features: int = 1 << 18,
@@ -227,6 +231,29 @@ def corpus_pipeline(
             )
             .filter(F.col("quality_score") >= F.lit(min_quality))
             .drop("n_paras_dropped")
+        )
+
+    # 4c. duplicate-span dedup (optional): Lee-et-al exact-substring removal
+    # at token-gram granularity — catches syndicated passages inside
+    # otherwise-unique docs that paragraph dedup misses when the copy spans
+    # paragraph boundaries or the paragraphs differ at the edges. Same
+    # post-rebuild hygiene as 4b: emptied docs drop, quality re-scores.
+    if span_dedup_gram_n is not None:
+        from final_ocr_spark.operators.spans import duplicate_span_dedup
+
+        docs = (
+            duplicate_span_dedup(
+                docs, key="url", text_col="text", gram_n=span_dedup_gram_n
+            )
+            .filter(F.length("text") > 0)
+            .withColumn(
+                "quality_score",
+                F.when(
+                    F.col("n_tokens_dropped") > 0, quality_score(F.col("text"))
+                ).otherwise(F.col("quality_score")),
+            )
+            .filter(F.col("quality_score") >= F.lit(min_quality))
+            .drop("n_tokens_dropped")
         )
 
     # 5. near-dup dedup: candidates → exact verify → components → reps

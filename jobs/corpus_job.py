@@ -59,6 +59,11 @@ def main() -> None:
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-paragraph removal for "
                          "paragraphs of at least MIN_CHARS chars")
+    ap.add_argument("--span-dedup", type=int, default=None,
+                    metavar="GRAM_N",
+                    help="duplicated-span removal (Lee et al. 2022): drop "
+                         "every non-first occurrence of any duplicated span "
+                         "of at least GRAM_N tokens (50 is the standard)")
     ap.add_argument("--warc-input", default=None,
                     help="directory of WARC(.gz) archives instead of --input")
     ap.add_argument("--containment", type=float, default=None,
@@ -130,6 +135,7 @@ def main() -> None:
         blocked_domains=blocked,
         url_patterns=DEFAULT_URL_PATTERNS if args.url_patterns else (),
         paragraph_dedup_min_chars=args.paragraph_dedup,
+        span_dedup_gram_n=args.span_dedup,
         min_quality=args.min_quality,
         gopher=not args.no_gopher,
         redact=not args.no_redact,

@@ -353,3 +353,30 @@ def test_corpus_pipeline_robots_gate(spark):
     base = dict(min_quality=0.0, gopher=False, near_dup=False, redact=False)
     urls = {r.url for r in corpus_pipeline(pages, robots=robots, **base).collect()}
     assert urls == {"https://a.com/public/1", "https://open.com/anything"}
+
+
+def test_corpus_pipeline_span_dedup(spark):
+    # a 12-token passage syndicated into an otherwise-unique document, NOT
+    # on a paragraph boundary — exactly what stage 4c exists to catch
+    span = ("breaking news the harbour bridge reopened to traffic this "
+            "morning after repairs")
+    rows = [
+        ("https://a.example.com/1", f"{span} reported by the city desk "
+                                    "with further details to follow soon"),
+        ("https://b.example.com/2", f"our morning roundup begins {span} "
+                                    "and in other stories the market rose"),
+    ]
+    out = {
+        r["url"]: r["text"]
+        for r in corpus_pipeline(
+            _pages(spark, rows),
+            min_quality=0.0, gopher=False, redact=False, near_dup=False,
+            span_dedup_gram_n=12,
+        ).collect()
+    }
+    # first occurrence (min url) keeps the span verbatim
+    assert span in out["https://a.example.com/1"]
+    # the later doc loses exactly the duplicated span, keeps its own words
+    assert out["https://b.example.com/2"] == (
+        "our morning roundup begins and in other stories the market rose"
+    )
