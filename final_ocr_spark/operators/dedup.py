@@ -1078,6 +1078,88 @@ def paragraph_dedup(
     )
 
 
+def host_boilerplate_dedup(
+    df: DataFrame,
+    key: str = "url",
+    text_col: str = "text",
+    host_col: str = "host",
+    min_ratio: float = 0.3,
+    min_pages: int = 5,
+    min_chars: int = 15,
+) -> DataFrame:
+    """Per-host boilerplate line removal: a line occurring on a large
+    fraction of ONE host's pages is site chrome (nav, footer, cookie bar,
+    subscribe prompt), not content — remove it from EVERY page of that host.
+
+    This deliberately keeps ZERO copies, unlike :func:`paragraph_dedup`'s
+    global first-occurrence-wins: a repeated paragraph across hosts may be a
+    legitimately quoted passage (keep one), but a line on >= ``min_ratio``
+    of a single host's pages is template chrome — the copy on the "first"
+    page is exactly as worthless as the rest. The per-host frequency test
+    also never fires on cross-host quotes, so the two operators compose
+    (this one first: thinning chrome before global dedup stops shared nav
+    from pulling unrelated same-host pages over the jaccard threshold).
+
+    A line participates if it has >= ``min_chars`` chars; a host
+    participates if it has >= ``min_pages`` pages (below that, "30% of
+    pages" is 1-2 pages — noise). The ratio test counts DISTINCT pages
+    containing the line (in-page repeats don't inflate it) and compares by
+    integer cross-multiplication at 1e-6 granularity — no float division,
+    engine-exact for the DuckDB oracle.
+
+    Scale shape (the ``paragraph_dedup`` recipe, keyed by host):
+    slim (host, key, pos, hash) explode → per-(host,hash) distinct-page
+    counts with map-side partial agg → boilerplate (host,hash) set joined
+    back to line rows → one (key, kill_positions) row per affected page →
+    single left join + in-place HOF rebuild. Host page counts are
+    O(#hosts); nothing carries line strings past the hashing projection.
+
+    Returns ``df`` with ``text_col`` rewritten and ``n_lines_dropped``.
+    """
+    if not 0.0 < min_ratio <= 1.0:
+        raise ValueError(f"min_ratio must be in (0, 1], got {min_ratio}")
+    ratio_ppm = int(round(min_ratio * 1_000_000))
+    arr = F.split(F.col(text_col), "\n")
+    occ = (
+        df.select(host_col, key, F.posexplode(arr).alias("pos", "line"))
+        .filter(F.length("line") >= min_chars)
+        .select(host_col, key, "pos", F.xxhash64("line").alias("_h"))
+    )
+    npages = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("_npages"))
+    line_pages = occ.groupBy(host_col, "_h").agg(
+        F.countDistinct(key).alias("_nwith")
+    )
+    boiler = (
+        line_pages.join(npages, host_col)
+        .filter(
+            (F.col("_npages") >= min_pages)
+            & (F.col("_nwith") * F.lit(1_000_000) >= F.lit(ratio_ppm) * F.col("_npages"))
+        )
+        .select(host_col, "_h")
+    )
+    kill = (
+        occ.join(boiler, [host_col, "_h"])
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_kill"))
+    )
+    rebuilt = F.array_join(
+        F.filter(arr, lambda p, i: ~F.array_contains(F.col("_kill"), i)), "\n"
+    )
+    return (
+        df.join(kill, key, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_kill").isNull(), F.col(text_col)).otherwise(rebuilt),
+        )
+        .withColumn(
+            "n_lines_dropped",
+            # size(NULL) is -1 under legacy sizeOfNull — branch, don't coalesce
+            F.when(F.col("_kill").isNull(), F.lit(0)).otherwise(F.size("_kill")),
+        )
+        .drop("_kill")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     key: str = "doc_id",

@@ -18,6 +18,9 @@ to a training-ready corpus, composed from the engine's tested operators.
                           exprs, zero extra shuffle
       3. PII redaction    email/IP/phone masking — scan-local
       4. exact dedup      fingerprint group-by (one shuffle of 8-byte keys)
+      4a. host chrome     optional per-host frequent-line removal (nav/
+                          footer/cookie lines on >= ratio of a host's pages
+                          keep ZERO copies — site template, not content)
       4b. paragraph dedup optional corpus-level repeated-paragraph removal
                           (first-occurrence-wins; slim hash explode +
                           kill-set rebuild — boilerplate inside otherwise
@@ -99,6 +102,8 @@ def corpus_pipeline(
     respect_canonical: bool = False,
     robots: DataFrame | None = None,
     robots_agent: str = "*",
+    host_boilerplate_ratio: float | None = None,
+    host_boilerplate_min_pages: int = 5,
     paragraph_dedup_min_chars: int | None = None,
     span_dedup_gram_n: int | None = None,
     classifier_weights: DataFrame | None = None,
@@ -206,6 +211,31 @@ def corpus_pipeline(
     # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
     # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)
     docs = dedup_exact(docs, text_col="text", keep_col="url")
+
+    # 4a. host chrome removal (optional): lines on >= ratio of one host's
+    # pages are template nav/footer — removed from ALL pages (zero copies)
+    # BEFORE the keep-first dedups, so shared chrome neither survives via
+    # "first occurrence" nor pulls same-host pages over the jaccard
+    # threshold. Same post-rebuild hygiene as 4b/4c.
+    if host_boilerplate_ratio is not None:
+        from final_ocr_spark.operators.dedup import host_boilerplate_dedup
+
+        docs = (
+            host_boilerplate_dedup(
+                docs, key="url", text_col="text", host_col="host",
+                min_ratio=host_boilerplate_ratio,
+                min_pages=host_boilerplate_min_pages,
+            )
+            .filter(F.length("text") > 0)
+            .withColumn(
+                "quality_score",
+                F.when(
+                    F.col("n_lines_dropped") > 0, quality_score(F.col("text"))
+                ).otherwise(F.col("quality_score")),
+            )
+            .filter(F.col("quality_score") >= F.lit(min_quality))
+            .drop("n_lines_dropped")
+        )
 
     # 4b. paragraph dedup (optional): corpus-level boilerplate paragraphs
     # removed before near-dup sketching — shared paragraphs otherwise pull

@@ -59,6 +59,10 @@ def main() -> None:
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-paragraph removal for "
                          "paragraphs of at least MIN_CHARS chars")
+    ap.add_argument("--host-boilerplate", type=float, default=None,
+                    metavar="RATIO",
+                    help="remove lines occurring on >= RATIO of a host's "
+                         "pages (site nav/footer chrome; zero copies kept)")
     ap.add_argument("--span-dedup", type=int, default=None,
                     metavar="GRAM_N",
                     help="duplicated-span removal (Lee et al. 2022): drop "
@@ -134,6 +138,7 @@ def main() -> None:
         pages,
         blocked_domains=blocked,
         url_patterns=DEFAULT_URL_PATTERNS if args.url_patterns else (),
+        host_boilerplate_ratio=args.host_boilerplate,
         paragraph_dedup_min_chars=args.paragraph_dedup,
         span_dedup_gram_n=args.span_dedup,
         min_quality=args.min_quality,

@@ -380,3 +380,33 @@ def test_corpus_pipeline_span_dedup(spark):
     assert out["https://b.example.com/2"] == (
         "our morning roundup begins and in other stories the market rose"
     )
+
+
+def test_corpus_pipeline_host_boilerplate(spark):
+    nav = "Site Menu | Home | Archive | Subscribe | Contact Page"
+
+    def page(u, paras):
+        body = "".join(f"<p>{p}</p>" for p in paras)
+        return (u, TS, f"<html><body>{body}</body></html>".encode(), None, "en")
+
+    # html pages: extraction joins kept <p> blocks with '\n', which is the
+    # line boundary host_boilerplate_dedup splits on
+    rows = [
+        page(f"https://news.example.com/{i}", [nav, f"{GOOD} article number {i}"])
+        for i in range(5)
+    ]
+    # another host with one page quoting the same line: per-host ratio
+    # never fires there
+    rows.append(page("https://other.example.org/1", [nav, f"{GOOD} elsewhere"]))
+    out = {
+        r["url"]: r["text"]
+        for r in corpus_pipeline(
+            spark.createDataFrame(rows, PAGES_SCHEMA),
+            min_quality=0.0, gopher=False, redact=False, near_dup=False,
+            host_boilerplate_ratio=0.8, host_boilerplate_min_pages=5,
+        ).collect()
+    }
+    for i in range(5):
+        assert nav not in out[f"https://news.example.com/{i}"]
+        assert f"article number {i}" in out[f"https://news.example.com/{i}"]
+    assert nav in out["https://other.example.org/1"]
