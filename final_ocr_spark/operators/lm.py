@@ -191,3 +191,70 @@ def merge_bigram_lm(a: DataFrame, b: DataFrame) -> DataFrame:
         )
     )
     return grams.unionByName(v)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    key: str = "url",
+    ppl_col: str = "lm_ppl",
+    by: str = "lang",
+    fractions: tuple[float, float] = (1 / 3, 1 / 3),
+    mode: str = "approx",
+    bucket_col: str = "lm_bucket",
+) -> DataFrame:
+    """CCNet head/middle/tail banding (Wenzek et al. 2020 §4.3): within each
+    language, the lowest-perplexity ``fractions[0]`` of documents are
+    'head', the next ``fractions[1]`` 'middle', the rest 'tail' — the
+    standard quality tiers a training mixture samples from (CCNet ships
+    head+middle by default). Null-``ppl_col`` rows (docs too short to
+    score) get a null bucket and are the caller's policy decision.
+
+    Two modes, one semantics:
+
+    * ``mode="approx"`` (default, the 10^12-doc path): per-language cutoffs
+      via ``percentile_approx`` — ONE slim aggregation over (lang, ppl)
+      with map-side combine, cutoff table is O(#languages) and broadcast
+      back. No per-language global sort; accuracy is the sketch's rank
+      error (1e-4 relative rank by default), which only ever reassigns
+      documents within epsilon of a band edge.
+    * ``mode="rank"`` (exact, the oracle mode): integer cross-multiplied
+      row-rank test over a per-language window — deterministic tiebreak on
+      (ppl, key) and engine-exact against a DuckDB oracle, at the cost of
+      one sort per language partition (fine below ~10^8 docs/language;
+      the approx mode exists because this window serializes per language).
+    """
+    if mode not in ("approx", "rank"):
+        raise ValueError(f"mode must be 'approx' or 'rank', got {mode!r}")
+    f1, f2 = fractions
+    if not (0 < f1 and 0 < f2 and f1 + f2 < 1):
+        raise ValueError(f"fractions must be positive with sum < 1, got {fractions}")
+    scored = df.filter(F.col(ppl_col).isNotNull())
+    if mode == "approx":
+        cuts = scored.groupBy(by).agg(
+            F.percentile_approx(ppl_col, f1, 10000).alias("_c1"),
+            F.percentile_approx(ppl_col, f1 + f2, 10000).alias("_c2"),
+        )
+        out = df.join(F.broadcast(cuts), by, "left").withColumn(
+            bucket_col,
+            F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col(ppl_col) <= F.col("_c1"), F.lit("head"))
+            .when(F.col(ppl_col) <= F.col("_c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        return out.drop("_c1", "_c2")
+    ppm1 = int(round(f1 * 1_000_000))
+    ppm12 = int(round((f1 + f2) * 1_000_000))
+    w = Window.partitionBy(by).orderBy(ppl_col, key)
+    ranked = scored.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(by))
+    )
+    bucketed = ranked.withColumn(
+        bucket_col,
+        F.when(F.col("_r") * 1_000_000 <= F.lit(ppm1) * F.col("_n"), F.lit("head"))
+        .when(F.col("_r") * 1_000_000 <= F.lit(ppm12) * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("_r", "_n")
+    nulls = df.filter(F.col(ppl_col).isNull()).withColumn(
+        bucket_col, F.lit(None).cast("string")
+    )
+    return bucketed.unionByName(nulls)

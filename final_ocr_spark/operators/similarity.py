@@ -481,3 +481,44 @@ def lsh_topk(
     probes = _probe_set(qb, bits, multiprobe)
     cands = emb.withColumn("_b", sketch).filter(F.col("_b").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    seed: int = 11,
+    algorithm: str = "jump",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): drop all
+    but one of any group of documents whose EMBEDDINGS are near-identical —
+    paraphrases, templated rewrites, translations-of-boilerplate that no
+    lexical (MinHash/substring) dedup can see.
+
+    Composition of three already-oracle-checked operators, no new
+    semantics: hyperplane-blocked cosine pairs (:func:`embedding_near_dups`
+    — key-only blocking explode, vectors rejoin for survivors), connected
+    components over the pair graph (``dedup_clusters`` — min-label+pointer
+    jumping, or large-star/small-star via ``algorithm="star"``), then
+    ``keep_cluster_representatives`` (min-key member survives).
+
+    Deviation from the paper, documented: SemDeDup blocks candidates with
+    k-means clusters and keeps the member with LOWEST centroid similarity;
+    this uses seeded hyperplane LSH blocking (no trained centroids to ship,
+    recall bounded by the hamming-1 probe set) and the engine's standard
+    deterministic min-key representative. Returns the input rows minus
+    dropped members (schema preserved).
+    """
+    from final_ocr_spark.operators.dedup import (
+        dedup_clusters,
+        keep_cluster_representatives,
+    )
+
+    pairs = embedding_near_dups(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        bits=bits, seed=seed,
+    ).select("key_a", "key_b")
+    clusters = dedup_clusters(pairs, algorithm=algorithm)
+    return keep_cluster_representatives(emb, clusters, key=id_col)

@@ -5,6 +5,7 @@ both join strategies."""
 from __future__ import annotations
 
 import math
+import random
 import re
 
 import pytest
@@ -129,3 +130,97 @@ def test_merge_equals_joint_training(lm, spark):
     sj = {r.doc_id: r.lm_logprob for r in score_bigram_lm(probes, joint.localCheckpoint()).collect()}
     sm = {r.doc_id: r.lm_logprob for r in score_bigram_lm(probes, merged.localCheckpoint()).collect()}
     assert sj == sm
+
+
+def test_perplexity_buckets_rank_matches_duckdb(spark):
+    """Exact-rank mode vs an independent DuckDB window formulation with the
+    same integer cross-multiplied band test and (ppl, key) tiebreak."""
+    import duckdb
+    import pandas as pd
+
+    from final_ocr_spark.operators.lm import perplexity_buckets
+
+    rng = random.Random(5)
+    rows = [
+        (f"u{i:03d}", rng.choice(["en", "fr"]), round(rng.uniform(10, 900), 3))
+        for i in range(90)
+    ]
+    rows += [("u900", "en", None), ("u901", "de", 55.0)]  # null ppl; tiny lang
+    df = spark.createDataFrame(rows, "url string, lang string, lm_ppl double")
+    got = {
+        r["url"]: r["lm_bucket"]
+        for r in perplexity_buckets(df, mode="rank").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["url", "lang", "lm_ppl"]))
+    oracle = con.execute(
+        """
+        SELECT url,
+               CASE WHEN lm_ppl IS NULL THEN NULL
+                    WHEN r * 1000000 <= 333333 * n THEN 'head'
+                    WHEN r * 1000000 <= 666667 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM (
+          SELECT url, lm_ppl,
+                 row_number() OVER (PARTITION BY lang ORDER BY lm_ppl, url) AS r,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM docs WHERE lm_ppl IS NOT NULL
+          UNION ALL
+          SELECT url, lm_ppl, NULL, NULL FROM docs WHERE lm_ppl IS NULL
+        )
+        """
+    ).fetchall()
+    assert len(oracle) == len(got)
+    for url, bucket in oracle:
+        assert got[url] == bucket, url
+
+
+def test_perplexity_buckets_approx_agrees_on_separated_data(spark):
+    """On well-separated ppl values the approx cutoffs assign the same
+    buckets as exact rank; within-language fractions come out ~1/3 each."""
+    from final_ocr_spark.operators.lm import perplexity_buckets
+
+    rows = [(f"u{i:03d}", "en", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "url string, lang string, lm_ppl double")
+    exact = {r["url"]: r["lm_bucket"]
+             for r in perplexity_buckets(df, mode="rank").collect()}
+    approx = {r["url"]: r["lm_bucket"]
+              for r in perplexity_buckets(df, mode="approx").collect()}
+    diff = sum(1 for u in exact if exact[u] != approx[u])
+    assert diff <= 2, diff  # only band-edge rows may move
+    from collections import Counter
+    c = Counter(approx.values())
+    assert abs(c["head"] - 100) <= 2 and abs(c["middle"] - 100) <= 2
+
+
+def test_perplexity_buckets_end_to_end_with_lm(lm, spark):
+    """Composed with score_bigram_lm: in-domain docs land in a better band
+    than gibberish within the same language."""
+    from final_ocr_spark.operators.lm import perplexity_buckets, score_bigram_lm
+
+    probes = [(f"g{i}", " ".join(f"zx{j}q" for j in range(i, i + 12)))
+              for i in range(8)]
+    probes += [(f"d{i}", "the cat sat on the mat and the dog sat on the rug")
+               for i in range(4)]
+    df = spark.createDataFrame(probes, "doc_id string, text string") \
+        .withColumn("lang", F.lit("en"))
+    scored = score_bigram_lm(df, lm, key="doc_id")
+    out = {r["doc_id"]: r["lm_bucket"]
+           for r in perplexity_buckets(scored, key="doc_id", mode="rank").collect()}
+    # head is the lowest-ppl 1/3 band: only in-domain docs reach it (the
+    # 333333-ppm band edge admits 3 of the 4 tied d-docs; the 4th lands
+    # exactly on rank 4 > 3.999996 — middle)
+    assert sum(out[f"d{i}"] == "head" for i in range(4)) == 3
+    assert all(out[f"d{i}"] != "tail" for i in range(4))
+    assert all(out[f"g{i}"] in ("middle", "tail") for i in range(8))
+
+
+def test_perplexity_buckets_rejects_bad_args(spark):
+    from final_ocr_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame([("u", "en", 1.0)],
+                               "url string, lang string, lm_ppl double")
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, fractions=(0.5, 0.5))
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, mode="exact")

@@ -199,3 +199,45 @@ def test_append_ann_index_incremental(spark, emb, tmp_path):
     assert {t["vec_id"] for t in top2} == {twin_src["vec_id"], 999001}
     with pytest.raises(ValueError, match="bits"):
         ann_index_topk(spark, idx, list(twin_src["embedding"]), k=2, bits=10)
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Planted semantic-duplicate groups collapse to their min-key member;
+    brute-force cosine over the pair graph is the ground truth."""
+    from final_ocr_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(21)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    # group 1: two jittered copies of vec 3 (chain 3 ~ 9001 ~ 9002)
+    rows.append((9001, [x + 0.001 for x in rows[3][1]]))
+    rows.append((9002, [x - 0.001 for x in rows[3][1]]))
+    # group 2: one copy of vec 7
+    rows.append((9003, [x * 1.0005 for x in rows[7][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.999).collect()}
+
+    # ground truth: brute-force pairs >= threshold, transitive closure
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ai in range(len(rows)):
+        for bi in range(ai + 1, len(rows)):
+            if cos(rows[ai][1], rows[bi][1]) >= 0.999:
+                parent[find(rows[ai][0])] = find(rows[bi][0])
+    groups = {}
+    for i, _ in rows:
+        groups.setdefault(find(i), []).append(i)
+    want = {min(g) for g in groups.values()}
+    assert kept == want
+    # sanity on the plant: dup group members are gone, originals survive
+    assert {3, 7}.issubset(kept)
+    assert not {9001, 9002, 9003} & kept
