@@ -182,3 +182,44 @@ def test_graph_job_smoke(tmp_path, spark):
     assert "webgraph written" in out.stdout
     assert "outlinks=4" in out.stdout
     assert "host_pairs=4" in out.stdout and "ranked_hosts=3" in out.stdout
+
+
+def test_frontier_job_smoke(tmp_path, spark):
+    import subprocess
+    import sys
+
+    # sitemap-bodies input path + robots + ranks: the full composition
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    body = (
+        f'<urlset {ns}>'
+        + "".join(
+            f"<url><loc>https://a.com/p{i}</loc></url>" for i in range(6)
+        )
+        + "<url><loc>https://blocked.com/x</loc></url></urlset>"
+    ).encode()
+    spark.createDataFrame(
+        [("https://a.com/sitemap.xml", bytearray(body))],
+        "sitemap_url string, body binary",
+    ).write.parquet(str(tmp_path / "sitemaps"))
+    spark.createDataFrame(
+        [("blocked.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.parquet(str(tmp_path / "robots"))
+    spark.createDataFrame(
+        [("a.com", 0.9)], "id string, rank double"
+    ).write.parquet(str(tmp_path / "ranks"))
+
+    out = subprocess.run(
+        [sys.executable, "jobs/frontier_job.py",
+         "--sitemaps", str(tmp_path / "sitemaps"),
+         "--robots", str(tmp_path / "robots"),
+         "--host-ranks", str(tmp_path / "ranks"),
+         "--per-host-cap", "4",
+         "--output", str(tmp_path / "frontier")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "frontier: 4 urls" in out.stdout
+    rows = spark.read.parquet(str(tmp_path / "frontier")).collect()
+    assert len(rows) == 4
+    assert all(r.host == "a.com" and r.priority == 0.9 for r in rows)
