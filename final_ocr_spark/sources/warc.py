@@ -240,6 +240,17 @@ def _record_rows(
                 # a null url would collapse under latest-wins dedup and is
                 # invisible to every url-keyed stage: skip, don't emit
                 continue
+            if rec.get("warc-type") == "conversion":
+                # WET-style extracted-text record: payload is plain text,
+                # no HTTP wrapper — lands in the text column
+                yield {
+                    "url": url,
+                    "warc_ts": rec.get("warc-date"),
+                    "html": None,
+                    "text": rec["payload"].decode("utf-8", "replace"),
+                    "lang": None, "error": None,
+                }
+                continue
             yield {
                 "url": url,
                 "warc_ts": rec.get("warc-date"),  # ISO-8601; cast engine-side
@@ -311,31 +322,147 @@ def write_warc_bytes(records: list[dict], per_record_gzip: bool = True) -> bytes
     """
     out = []
     for r in records:
+        wtype = r.get("warc_type", "response")
         body = r["body"]
-        enc = r.get("content_encoding")
-        if enc == "gzip":
-            body = gzip.compress(body)
-        elif enc == "deflate":
-            body = zlib.compress(body)
-        if r.get("chunked"):
-            body = b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
-        status = r.get("http_status", 200)
-        payload = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
-            + ("Transfer-Encoding: chunked\r\n" if r.get("chunked") else "")
-            + (f"Content-Encoding: {enc}\r\n" if enc else "")
-            + "\r\n"
-        ).encode() + body
+        if wtype == "conversion":
+            # WET-style extracted-text record: plain-text payload, no HTTP
+            payload = body
+            block_ct = "text/plain"
+        else:
+            enc = r.get("content_encoding")
+            if enc == "gzip":
+                body = gzip.compress(body)
+            elif enc == "deflate":
+                body = zlib.compress(body)
+            if r.get("chunked"):
+                body = b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
+            status = r.get("http_status", 200)
+            payload = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n"
+                + ("Transfer-Encoding: chunked\r\n" if r.get("chunked") else "")
+                + (f"Content-Encoding: {enc}\r\n" if enc else "")
+                + "\r\n"
+            ).encode() + body
+            block_ct = "application/http; msgtype=response"
         uri = r.get("url")
         head = (
             "WARC/1.0\r\n"
-            f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
+            f"WARC-Type: {wtype}\r\n"
             + (f"WARC-Target-URI: {uri}\r\n" if uri is not None else "")
             + f"WARC-Date: {r['date']}\r\n"
             f"Content-Length: {len(payload)}\r\n"
-            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Type: {block_ct}\r\n"
         ).encode()
         # head lines already end with CRLF: one more CRLF terminates the block
         rec = head + b"\r\n" + payload + _CRLF2
         out.append(gzip.compress(rec) if per_record_gzip else rec)
     return b"".join(out)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    per_record_gzip: bool = True,
+) -> list[dict]:
+    """Distributed WET export: the extracted corpus as WARC/1.0
+    ``conversion`` records (Common Crawl's WET deliverable — what
+    downstream text consumers ingest), one ``part-NNNNN.warc.gz`` per
+    input partition.
+
+    An ACTION: runs the job, writes the part files plus ``manifest.json``
+    and ``_SUCCESS`` into ``out_dir``, and returns the manifest rows
+    (one per written file — O(#partitions), the same bounded-collect
+    budget as the extraction manifest). Null-text rows are skipped and
+    counted per file. Null timestamps stamp the epoch (WARC-Date is
+    mandatory in the spec).
+
+    Scale/robustness shape:
+
+    * records stream to the part file batch-by-batch as Arrow batches
+      arrive — peak memory is one batch, never a partition;
+    * each task writes ``part-NNNNN.warc.gz.tmp-<attempt>`` then
+      ``os.replace``s to the deterministic final name: retries and
+      speculative duplicates overwrite ATOMICALLY with byte-identical
+      content (partition input is deterministic), so any completed
+      attempt leaves a correct file — the classic direct-output-committer
+      pattern, valid on POSIX/HDFS-like stores (object stores without
+      atomic rename should write to a staging prefix and commit via the
+      manifest instead — documented, not implemented);
+    * ``_SUCCESS`` is written only after every task reported, so readers
+      (and this engine's own bench corpus cache) can gate on it.
+
+    Round-trips through :func:`read_warc` with
+    ``warc_types=("conversion",)`` — text arrives in the ``text`` column.
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    slim = df.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.col(text_col).alias("text"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        final = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{final}.tmp-{attempt}"
+        n = skipped = nbytes = 0
+        fh = None
+        try:
+            for pdf in batches:
+                recs = []
+                for url, ts, text in zip(pdf["url"], pdf["ts"], pdf["text"]):
+                    if text is None or url is None:
+                        skipped += 1
+                        continue
+                    recs.append({
+                        "url": url,
+                        "date": ts or "1970-01-01T00:00:00Z",
+                        "body": text.encode("utf-8"),
+                        "warc_type": "conversion",
+                    })
+                if not recs:
+                    continue
+                blob = write_warc_bytes(recs, per_record_gzip=per_record_gzip)
+                if fh is None:
+                    fh = open(tmp, "wb")
+                fh.write(blob)
+                n += len(recs)
+                nbytes += len(blob)
+            if fh is not None:
+                fh.close()
+                fh = None
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    [(final, n, skipped, nbytes)],
+                    columns=["file", "records", "skipped", "bytes"],
+                )
+            elif skipped:
+                yield pd.DataFrame(
+                    [(None, 0, skipped, 0)],
+                    columns=["file", "records", "skipped", "bytes"],
+                )
+        finally:
+            if fh is not None:
+                fh.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    manifest = slim.mapInPandas(
+        _write, schema="file string, records long, skipped long, bytes long"
+    ).collect()  # bounded: <= one row per partition
+    rows = [r.asDict() for r in manifest]
+    import json
+
+    with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=1)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8"):
+        pass
+    return rows

@@ -59,6 +59,9 @@ def main() -> None:
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-paragraph removal for "
                          "paragraphs of at least MIN_CHARS chars")
+    ap.add_argument("--wet-output", default=None,
+                    help="also export the corpus as WET-style WARC "
+                         "conversion records (.warc.gz) at this directory")
     ap.add_argument("--host-boilerplate", type=float, default=None,
                     metavar="RATIO",
                     help="remove lines occurring on >= RATIO of a host's "
@@ -171,6 +174,15 @@ def main() -> None:
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"corpus written: {args.output} rows={n}")
+    if args.wet_output:
+        from final_ocr_spark.sources.warc import write_wet
+
+        manifest = write_wet(
+            spark.read.parquet(args.output), args.wet_output
+        )
+        recs = sum(m["records"] for m in manifest)
+        print(f"wet written: {args.wet_output} records={recs} "
+              f"files={sum(1 for m in manifest if m['file'])}")
     spark.stop()
 
 

@@ -48,6 +48,7 @@ def test_corpus_job_warc_and_new_stages_smoke(tmp_path):
          "--output", str(tmp_path / "corpus"),
          "--blocked-domains", str(tmp_path / "blocked.txt"),
          "--url-patterns", "--paragraph-dedup", "30",
+         "--wet-output", str(tmp_path / "wet"),
          "--min-quality", "0", "--no-gopher", "--no-near-dup"],
         capture_output=True, text=True, cwd="/root/repo", timeout=420,
     )
@@ -65,6 +66,8 @@ def test_corpus_job_warc_and_new_stages_smoke(tmp_path):
     assert "cookies" in texts["http://a.example/1"]
     assert "cookies" not in texts["http://b.example/2"]
     assert "mountain trail" in texts["http://b.example/2"]
+    # --wet-output: the corpus round-trips through WET conversion records
+    assert "wet written" in out.stdout and (tmp_path / "wet" / "_SUCCESS").exists()
 
 
 def test_spark_submit_py_files_packaging(tmp_path):

@@ -182,3 +182,68 @@ def test_streaming_parse_multi_member_small_slices(monkeypatch):
     assert all(
         _http_body(rec["payload"]) == r["body"] for rec, r in zip(recs, big)
     )
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """df → write_wet → read_warc(conversion) reproduces url/ts/text exactly
+    (incl. non-ASCII), skips null-text rows, and writes a per-file manifest
+    + _SUCCESS."""
+    import json
+    from datetime import datetime
+
+    from final_ocr_spark.sources.warc import write_wet
+
+    rows = [
+        ("http://a.example/1", datetime(2024, 5, 1, 12, 0, 0), "hello wet one"),
+        ("http://b.example/2", datetime(2024, 5, 1, 12, 0, 1),
+         "héllo wörld — ünïcode ✓\nsecond line"),
+        ("http://c.example/3", None, "null ts gets the epoch stamp"),
+        ("http://d.example/skip", datetime(2024, 5, 1), None),  # skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).repartition(3)
+    out = str(tmp_path / "wet")
+    manifest = write_wet(df, out)
+
+    assert (tmp_path / "wet" / "_SUCCESS").exists()
+    disk = json.loads((tmp_path / "wet" / "manifest.json").read_text())
+    assert disk == manifest
+    assert sum(m["records"] for m in manifest) == 3
+    assert sum(m["skipped"] for m in manifest) == 1
+    for m in manifest:
+        if m["file"]:
+            assert m["file"].endswith(".warc.gz") and m["bytes"] > 0
+
+    back = read_warc(spark, out, warc_types=("conversion",))
+    got = {r["url"]: r for r in back.collect()}
+    assert set(got) == {
+        "http://a.example/1", "http://b.example/2", "http://c.example/3"
+    }
+    assert all(r["error"] is None and r["html"] is None for r in got.values())
+    assert got["http://a.example/1"]["text"] == "hello wet one"
+    assert got["http://a.example/1"]["warc_ts"] == datetime(2024, 5, 1, 12, 0, 0)
+    assert got["http://b.example/2"]["text"] == rows[1][2]
+    assert got["http://c.example/3"]["warc_ts"] == datetime(1970, 1, 1)
+
+
+def test_write_wet_composes_with_extraction(spark, tmp_path):
+    """The flagship flow: pages → extract_pages → write_wet → read back —
+    extracted text byte-identical through the WET round trip."""
+    from final_ocr_spark.operators.extract_pages import extract_pages
+    from final_ocr_spark.sources.synthetic_pages import gen_pages
+    from final_ocr_spark.sources.warc import write_wet
+
+    ext = extract_pages(gen_pages(spark, 60, seed=5), dedup=True)
+    docs = ext.filter("error is null and length(extracted_text) > 0").selectExpr(
+        "url", "warc_ts", "extracted_text AS text"
+    )
+    want = {r["url"]: r["text"] for r in docs.collect()}
+    out = str(tmp_path / "wet")
+    manifest = write_wet(docs, out)
+    assert sum(m["records"] for m in manifest) == len(want)
+    back = {
+        r["url"]: r["text"]
+        for r in read_warc(spark, out, warc_types=("conversion",)).collect()
+    }
+    assert back == want
