@@ -26,6 +26,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+# THE shared authority-extraction regex (group 1 = authority): one
+# definition so the host a gate joins on and the host an operator groups by
+# cannot silently diverge (links.host_graph and robots_verdicts import
+# this; streaming.stateful.with_host keeps its own pinned lowercase-scheme
+# variant with an 'unknown' fallback — a different, oracle-pinned contract)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _TRACKING_RE = r"^(?:utm_[^=]*|gclid|fbclid|ref)="
 _SLD = ("co", "com", "net", "org", "gov", "ac", "edu")
 

@@ -4,19 +4,38 @@ The crawl-side capstone composing the engine's already-tested pieces, no
 new per-row semantics:
 
     candidates (sitemap locs, extracted outlinks, seed lists)
-      1. canonicalize     functions/urls.normalize_url (tracking params
+      1. robots gate      operators/robots.apply_robots on the RAW
+                          candidate URLs — robots rules match the
+                          as-published host and path, and canonicalization
+                          rewrites both (www-strip, trailing-slash strip),
+                          so gating canonical forms would silently bypass
+                          rules keyed by e.g. 'www.example.com' or
+                          'Disallow: /private/'
+      2. canonicalize     functions/urls.normalize_url (tracking params
                           dropped, default ports, www-strip, sorted query)
-                          + one distinct on the canonical form
-      2. robots gate      operators/robots.apply_robots (per-host rule
-                          table, broadcast join, stdlib REP semantics)
+                          + one distinct on the canonical form (a URL is
+                          kept if ANY of its raw variants is robots-allowed)
       3. seen filter      operators/bloom.split_new_vs_maybe_seen against
                           the crawled-history Bloom: definitely-new rows
                           skip the expensive check entirely; maybe-seen
                           rows anti-join the EXACT history table when one
                           is supplied, else drop conservatively (costs
-                          ~fpp of genuinely-new URLs, never re-fetches)
+                          ~fpp of genuinely-new URLs, never re-fetches).
+                          CONTRACT: history and Bloom are keyed by the
+                          CANONICAL url — i.e. by this function's own
+                          output, which is what a crawler's fetch ledger
+                          naturally contains. A raw-keyed Bloom would
+                          misclassify seen URLs as definitely-new (Bloom
+                          probes cannot be normalized after the fact);
+                          the exact table is normalize_url'd defensively
+                          (idempotent on canonical input).
       4. prioritize       broadcast join of host → PageRank (links.pagerank
-                          over the host graph); unknown hosts rank 0
+                          over the host graph). Rank ids keep the authority
+                          as crawled (host_graph never strips www), while
+                          the frontier host is canonical — so rank ids are
+                          lowercased, www-stripped, and summed per
+                          canonical host before the join; unknown hosts
+                          rank 0
       5. per-host cap     sampling.stratified_cap (salted two-phase — one
                           mega-host cannot serialize a task)
 
@@ -47,18 +66,27 @@ def build_frontier(
 ) -> DataFrame:
     """(url, host, priority) fetch frontier from candidate URLs. Every
     input is optional except the candidates; see module doc for the
-    stage-by-stage composition. ``seen_urls`` without ``seen_bloom`` does a
-    full exact anti-join (correct, but the Bloom pre-split is the scale
-    path); ``host_ranks`` is (id, rank) as produced by links.pagerank."""
-    cand = candidates.select(normalize_url(F.col(url_col)).alias("url"))
-    cand = cand.filter(F.col("url").isNotNull() & (F.col("url") != ""))
-    cand = cand.distinct()
+    stage-by-stage composition and the canonical-url contract on
+    ``seen_bloom``/``seen_urls``. ``seen_urls`` without ``seen_bloom``
+    does a full exact anti-join (correct, but the Bloom pre-split is the
+    scale path); ``host_ranks`` is (id, rank) as produced by
+    links.pagerank."""
+    raw = candidates.select(F.col(url_col).alias("url"))
+    raw = raw.filter(F.col("url").isNotNull() & (F.col("url") != ""))
 
+    # 1. robots gate on RAW urls — rules are written against the
+    # as-published host and path (see module doc)
     if robots is not None:
         from final_ocr_spark.operators.robots import apply_robots
 
-        cand = apply_robots(cand, robots, agent=robots_agent)
+        raw = apply_robots(raw, robots, agent=robots_agent)
 
+    # 2. canonicalize + distinct
+    cand = raw.select(normalize_url(F.col("url")).alias("url"))
+    cand = cand.filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    cand = cand.distinct()
+
+    # 3. seen filter (canonical-url contract — see module doc)
     if seen_bloom is not None:
         from final_ocr_spark.operators.bloom import split_new_vs_maybe_seen
 
@@ -82,10 +110,22 @@ def build_frontier(
             "left_anti",
         )
 
+    # 4. priority: rank ids normalized to the frontier's canonical host
+    # form (lowercase, www-stripped) and summed — www.x.com and x.com are
+    # one site for scheduling purposes
     out = cand.withColumn("host", url_parts(F.col("url"))["host"])
+    # non-absolute candidates (relative paths, junk lines from text
+    # sitemaps) pass through normalize_url trimmed and have no host —
+    # unfetchable, drop
+    out = out.filter(F.col("host") != "")
     if host_ranks is not None:
-        ranks = host_ranks.select(
-            F.col("id").alias("host"), F.col("rank").alias("priority")
+        ranks = (
+            host_ranks.select(
+                F.regexp_replace(F.lower(F.col("id")), r"^www\.", "").alias("host"),
+                F.col("rank"),
+            )
+            .groupBy("host")
+            .agg(F.sum("rank").alias("priority"))
         )
         out = out.join(F.broadcast(ranks), "host", "left").withColumn(
             "priority", F.coalesce(F.col("priority"), F.lit(0.0))

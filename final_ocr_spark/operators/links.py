@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from final_ocr_spark.functions.urls import HOST_RE
+
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
 
 
@@ -178,8 +180,8 @@ def host_graph(
     if drop_nofollow:
         e = e.filter(~F.col("nofollow"))
     pairs = e.select(
-        F.lower(F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)).alias("src_host"),
-        F.lower(F.regexp_extract("target_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)).alias("dst_host"),
+        F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("src_host"),
+        F.lower(F.regexp_extract("target_url", HOST_RE, 1)).alias("dst_host"),
     ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
     if drop_self:
         pairs = pairs.filter(F.col("src_host") != F.col("dst_host"))

@@ -233,15 +233,20 @@ def perplexity_buckets(
         cuts = scored.groupBy(by).agg(
             F.percentile_approx(ppl_col, f1, 10000).alias("_c1"),
             F.percentile_approx(ppl_col, f1 + f2, 10000).alias("_c2"),
-        )
-        out = df.join(F.broadcast(cuts), by, "left").withColumn(
+        ).withColumnRenamed(by, "_by")
+        # null-SAFE group join: a null language is a real group (groupBy
+        # already produced its cuts row) — plain equi-join would miss it and
+        # mislabel every null-lang doc 'tail' regardless of perplexity
+        out = df.join(
+            F.broadcast(cuts), F.col(by).eqNullSafe(F.col("_by")), "left"
+        ).withColumn(
             bucket_col,
             F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
             .when(F.col(ppl_col) <= F.col("_c1"), F.lit("head"))
             .when(F.col(ppl_col) <= F.col("_c2"), F.lit("middle"))
             .otherwise(F.lit("tail")),
         )
-        return out.drop("_c1", "_c2")
+        return out.drop("_by", "_c1", "_c2")
     ppm1 = int(round(f1 * 1_000_000))
     ppm12 = int(round((f1 + f2) * 1_000_000))
     w = Window.partitionBy(by).orderBy(ppl_col, key)

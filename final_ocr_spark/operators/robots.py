@@ -26,8 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# same authority regex family as links.host_graph / stateful.with_host
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+from final_ocr_spark.functions.urls import HOST_RE as _HOST_RE
 
 
 def robots_allowed(url: str, body: str | None, agent: str = "*") -> bool:

@@ -65,6 +65,10 @@ def _parse_one(src: str, body: bytes | None, max_urls: int):
             body = gzip.decompress(body)
         except Exception as e:
             return [(None, None, None, None, None, f"gzip: {e}")]
+    # a UTF-8 BOM (common from Windows/.NET generators) must not defeat the
+    # XML sniff — lstrip only strips whitespace, not the BOM bytes
+    if body[:3] == b"\xef\xbb\xbf":
+        body = body[3:]
     stripped = body.lstrip()
     if not stripped.startswith(b"<"):
         # plain-text sitemap: one URL per line (sitemaps.org allows it)
@@ -147,8 +151,14 @@ def parse_sitemaps(
             "changefreq string, _priority_raw string, error string"
         ),
     )
+    # W3C datetime allows fractional seconds of any length
+    # (2024-01-05T10:00:00.123+00:00); Spark's fixed-width fraction patterns
+    # can't express "any number of digits", so strip the fraction before the
+    # cascade (sub-second precision is meaningless for recrawl scheduling;
+    # the raw string survives in lastmod_raw)
+    lastmod_clean = F.regexp_replace("lastmod_raw", r"\.\d+", "")
     lastmod = F.coalesce(
-        *[F.try_to_timestamp("lastmod_raw", F.lit(f)) for f in _LASTMOD_FORMATS]
+        *[F.try_to_timestamp(lastmod_clean, F.lit(f)) for f in _LASTMOD_FORMATS]
     )
     return raw.select(
         "sitemap_url", "loc", "kind", "lastmod_raw",

@@ -459,6 +459,20 @@ def write_wet(
         _write, schema="file string, records long, skipped long, bytes long"
     ).collect()  # bounded: <= one row per partition
     rows = [r.asDict() for r in manifest]
+    # loud shared-filesystem check: tasks wrote with plain open(), so on a
+    # cluster without a shared mount the parts landed on executor-local
+    # disks — every manifest file must be visible from the driver BEFORE
+    # _SUCCESS certifies the directory complete
+    missing = [
+        m["file"] for m in rows if m["file"] and not os.path.exists(m["file"])
+    ]
+    if missing:
+        raise RuntimeError(
+            f"write_wet: {len(missing)} part file(s) not visible from the "
+            f"driver (first: {missing[0]}) — out_dir must be a filesystem "
+            "shared by driver and executors (local mode, NFS); object "
+            "stores / hdfs:// URIs are not supported by this sink"
+        )
     import json
 
     with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as f:

@@ -61,7 +61,9 @@ def main() -> None:
                          "paragraphs of at least MIN_CHARS chars")
     ap.add_argument("--wet-output", default=None,
                     help="also export the corpus as WET-style WARC "
-                         "conversion records (.warc.gz) at this directory")
+                         "conversion records (.warc.gz) at this directory "
+                         "(must be a filesystem shared by driver and "
+                         "executors — local/NFS; not object stores)")
     ap.add_argument("--host-boilerplate", type=float, default=None,
                     metavar="RATIO",
                     help="remove lines occurring on >= RATIO of a host's "

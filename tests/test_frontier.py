@@ -4,6 +4,8 @@ tests pin the COMPOSITION semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from final_ocr_spark.operators.frontier import build_frontier
 
 
@@ -118,3 +120,54 @@ def test_frontier_host_cap(spark):
         f"https://hot.com/{i:03d}" for i in range(10)
     ]
     assert by_host["cold.com"] == ["https://cold.com/only"]
+
+
+def test_frontier_robots_gate_on_raw_urls(spark):
+    """Robots rules are keyed by the AS-PUBLISHED host and path; the gate
+    must run before canonicalization (review-caught: www-keyed rules and
+    trailing-slash Disallow prefixes were silently bypassed)."""
+    robots = spark.createDataFrame(
+        [("www.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    out = {
+        r["url"]
+        for r in build_frontier(
+            _cands(
+                spark,
+                [
+                    "https://www.example.com/private/1",  # rule host = www...
+                    "https://www.example.com/public/1",
+                ],
+            ),
+            robots=robots,
+        ).collect()
+    }
+    # disallowed url dropped even though canonicalization strips www
+    assert out == {"https://example.com/public/1"}
+
+
+def test_frontier_rank_join_normalizes_www_hosts(spark):
+    """pagerank ids keep the authority as crawled (www included); the
+    priority join must still hit (review-caught: every www host ranked 0)."""
+    ranks = spark.createDataFrame(
+        [("www.big.com", 0.6), ("big.com", 0.2), ("other.org", 0.2)],
+        "id string, rank double",
+    )
+    rows = {
+        r["url"]: r["priority"]
+        for r in build_frontier(
+            _cands(spark, ["https://www.big.com/a", "https://nowhere.net/b"]),
+            host_ranks=ranks,
+        ).collect()
+    }
+    # www + apex ranks sum onto the canonical host
+    assert rows["https://big.com/a"] == pytest.approx(0.8)
+    assert rows["https://nowhere.net/b"] == 0.0
+
+
+def test_frontier_drops_hostless_candidates(spark):
+    out = build_frontier(
+        _cands(spark, ["/relative/path", "not a url", "https://ok.com/x"])
+    ).collect()
+    assert [r["url"] for r in out] == ["https://ok.com/x"]

@@ -224,3 +224,19 @@ def test_perplexity_buckets_rejects_bad_args(spark):
         perplexity_buckets(df, fractions=(0.5, 0.5))
     with pytest.raises(ValueError):
         perplexity_buckets(df, mode="exact")
+
+
+def test_perplexity_buckets_null_lang_group(spark):
+    """Review-caught: approx mode must band the null-language group like
+    any other (plain equi-join sent every null-lang doc to 'tail')."""
+    from final_ocr_spark.operators.lm import perplexity_buckets
+
+    rows = [(f"e{i}", "en", float(i)) for i in range(30)]
+    rows += [(f"n{i}", None, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, lang string, lm_ppl double")
+    for mode in ("approx", "rank"):
+        out = {r["url"]: r["lm_bucket"]
+               for r in perplexity_buckets(df, mode=mode).collect()}
+        # the best null-lang docs are head, not tail
+        assert out["n0"] == "head" and out["n29"] == "tail", mode
+        assert out["e0"] == "head" and out["e29"] == "tail", mode

@@ -129,3 +129,16 @@ def test_sitemaps_from_robots(spark):
         ("a.com", "https://a.com/s1.xml"),
         ("a.com", "https://a.com/s2.xml"),
     }
+
+
+def test_bom_and_fractional_lastmod(spark):
+    """Review-caught: a UTF-8 BOM must not demote XML to the text-sitemap
+    branch, and W3C fractional-second lastmod values must still parse."""
+    body = (
+        "﻿<?xml version=\"1.0\"?>"
+        f'<urlset {NS}><url><loc>https://bom.com/p</loc>'
+        "<lastmod>2024-01-05T10:00:00.123+00:00</lastmod></url></urlset>"
+    ).encode("utf-8")
+    (row,) = _rows(spark, [("https://bom.com/s.xml", body)])
+    assert row["error"] is None and row["loc"] == "https://bom.com/p"
+    assert row["lastmod"] == datetime(2024, 1, 5, 10, 0, 0)
