@@ -160,3 +160,51 @@ def test_compact_then_expire_reclaims_small_files(spark, cat):
 def test_compact_missing_table_raises(spark, cat):
     with pytest.raises(FileNotFoundError):
         cat.compact(spark, "nope")
+
+
+def test_diff_between_snapshots(spark, cat):
+    """(key, change) between two snapshots: added/removed/modified only —
+    unchanged keys absent; defaults diff HEAD against its parent."""
+    v1 = spark.createDataFrame(
+        [("u1", "alpha", 1), ("u2", "beta", 2), ("u3", "gamma", 3)],
+        "url string, text string, n int",
+    )
+    cat.write(v1, "pages", mode="overwrite")
+    v2 = spark.createDataFrame(
+        [("u1", "alpha", 1),           # unchanged
+         ("u2", "beta EDITED", 2),     # modified
+         ("u4", "delta", 4)],          # added (u3 removed)
+        "url string, text string, n int",
+    )
+    cat.write(v2, "pages", mode="overwrite")
+
+    got = {r["url"]: r["change"] for r in cat.diff(spark, "pages").collect()}
+    assert got == {"u2": "modified", "u3": "removed", "u4": "added"}
+
+    # explicit ids, reversed direction
+    rev = {r["url"]: r["change"]
+           for r in cat.diff(spark, "pages", from_snapshot=2, to_snapshot=1).collect()}
+    assert rev == {"u2": "modified", "u3": "added", "u4": "removed"}
+
+    # self-diff is empty
+    assert cat.diff(spark, "pages", from_snapshot=2, to_snapshot=2).count() == 0
+
+
+def test_diff_multiset_and_append_semantics(spark, cat):
+    """Duplicate keys fingerprint as a multiset (count + xor): appending a
+    second identical row for a key is 'modified', not invisible."""
+    v1 = spark.createDataFrame([("u1", "same"), ("u2", "x")],
+                               "url string, text string")
+    cat.write(v1, "t", mode="overwrite")
+    cat.write(spark.createDataFrame([("u1", "same")], "url string, text string"),
+              "t", mode="append")
+    got = {r["url"]: r["change"] for r in cat.diff(spark, "t").collect()}
+    assert got == {"u1": "modified"}
+
+
+def test_diff_requires_a_parent(spark, cat):
+    cat.write(spark.createDataFrame([("u1", "a")], "url string, text string"),
+              "solo", mode="overwrite")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot before"):
+        cat.diff(spark, "solo")
