@@ -95,6 +95,7 @@ def corpus_pipeline(
     benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
     cluster_algorithm: str = "jump",
+    fix_mojibake: bool = False,
     normalize_form: str | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
     url_patterns: tuple[str, ...] = (),
@@ -156,6 +157,16 @@ def corpus_pipeline(
         )
     )
     docs = with_host(docs)
+
+    # 1b. mojibake repair (optional): undo UTF-8-as-cp1252/latin-1
+    # mis-decodes BEFORE the quality gates — junk multi-char sequences
+    # distort stopword/word-length metrics and would fragment every
+    # downstream hash. ASCII fast path; same fused scan-local projection.
+    # Off by default to preserve pinned byte-identity goldens.
+    if fix_mojibake:
+        from final_ocr_spark.operators.mojibake import repair_mojibake
+
+        docs = docs.withColumn("text", repair_mojibake("text"))
 
     # 2. quality gate (scan-local)
     docs = docs.withColumn("quality_score", quality_score(F.col("text")))
