@@ -180,7 +180,30 @@ def _gen_pdftok(rng: random.Random, lang: str, size_mult: int = 1) -> tuple[byte
     return "\n".join(lines).encode("utf-8"), " ".join(plain)
 
 
-def gen_page_row(seed: int, doc_id: int, size_mult: int = 1) -> dict:
+def _gen_tables_html(rng: random.Random, lang: str) -> str:
+    """1-3 data tables for with_tables pages (independent rng stream)."""
+    words = WORDS[lang]
+    out = []
+    for _ in range(rng.randrange(1, 4)):
+        n_cols = rng.randrange(2, 6)
+        n_rows = rng.randrange(2, 9)
+        header = "".join(f"<th>{rng.choice(words)}</th>" for _ in range(n_cols))
+        body = "".join(
+            "<tr>" + "".join(
+                f"<td>{rng.choice(words)} {rng.randrange(1000)}</td>"
+                for _ in range(n_cols)
+            ) + "</tr>"
+            for _ in range(n_rows)
+        )
+        cap = (f"<caption>{_sentence(rng, words, 3)[:-1]}</caption>"
+               if rng.random() < 0.4 else "")
+        out.append(f"<table>{cap}<tr>{header}</tr>{body}</table>")
+    return "".join(out)
+
+
+def gen_page_row(
+    seed: int, doc_id: int, size_mult: int = 1, with_tables: bool = False
+) -> dict:
     """Pure function (seed, doc_id, size_mult) → one pages row."""
     rng = random.Random((seed << 32) ^ doc_id)
     lang = LANGS[rng.randrange(len(LANGS))] if rng.random() < 0.85 else "en"
@@ -198,6 +221,15 @@ def gen_page_row(seed: int, doc_id: int, size_mult: int = 1) -> dict:
 
     text_col = plain if rng.random() < 0.5 else None
     lang_col = lang if rng.random() < 0.7 else None
+
+    # opt-in table injection on an INDEPENDENT rng stream: the draws above
+    # are untouched, so all pinned byte-identity goldens (with_tables=False)
+    # stay frozen. ~40% of html pages get 1-3 data tables inside <article>.
+    if with_tables and html.startswith(b"<!DOCTYPE"):
+        trng = random.Random((seed << 32) ^ doc_id ^ 0x7AB1E5)
+        if trng.random() < 0.4:
+            tables = _gen_tables_html(trng, lang).encode("utf-8")
+            html = html.replace(b"</article>", tables + b"</article>", 1)
     return {
         "url": url,
         "warc_ts": ts.replace(tzinfo=None),  # Spark TimestampType, session UTC
@@ -209,7 +241,7 @@ def gen_page_row(seed: int, doc_id: int, size_mult: int = 1) -> dict:
 
 def gen_pages(
     spark, n_docs: int, seed: int = 42, partitions: int | None = None,
-    start: int = 0, size_mult: int = 1,
+    start: int = 0, size_mult: int = 1, with_tables: bool = False,
 ):
     """Distributed deterministic corpus: spark.range → mapInPandas generator.
 
@@ -229,7 +261,8 @@ def gen_pages(
 
     def _gen(batches):
         for pdf in batches:
-            rows = [gen_page_row(seed, int(i), size_mult) for i in pdf["id"]]
+            rows = [gen_page_row(seed, int(i), size_mult, with_tables)
+                    for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return (
