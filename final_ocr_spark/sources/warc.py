@@ -240,9 +240,10 @@ def _record_rows(
                 # a null url would collapse under latest-wins dedup and is
                 # invisible to every url-keyed stage: skip, don't emit
                 continue
-            if rec.get("warc-type") == "conversion":
-                # WET-style extracted-text record: payload is plain text,
-                # no HTTP wrapper — lands in the text column
+            if rec.get("warc-type") in ("conversion", "metadata"):
+                # WET extracted-text / WAT JSON-envelope records: payload is
+                # the content itself (no HTTP wrapper) — lands in the text
+                # column (JSON string for metadata records)
                 yield {
                     "url": url,
                     "warc_ts": rec.get("warc-date"),
@@ -328,6 +329,10 @@ def write_warc_bytes(records: list[dict], per_record_gzip: bool = True) -> bytes
             # WET-style extracted-text record: plain-text payload, no HTTP
             payload = body
             block_ct = "text/plain"
+        elif wtype == "metadata":
+            # WAT-style record: JSON envelope payload, no HTTP wrapper
+            payload = body
+            block_ct = "application/json"
         else:
             enc = r.get("content_encoding")
             if enc == "gzip":
@@ -397,15 +402,142 @@ def write_wet(
     Round-trips through :func:`read_warc` with
     ``warc_types=("conversion",)`` — text arrives in the ``text`` column.
     """
-    import os
-
-    from pyspark import TaskContext
-
     slim = df.select(
         F.col(url_col).alias("url"),
         F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
         F.col(text_col).alias("text"),
     )
+
+    def _records(pdf: pd.DataFrame) -> tuple[list[dict], int]:
+        recs, skipped = [], 0
+        for url, ts, text in zip(pdf["url"], pdf["ts"], pdf["text"]):
+            if text is None or url is None:
+                skipped += 1
+                continue
+            recs.append({
+                "url": url,
+                "date": ts or "1970-01-01T00:00:00Z",
+                "body": text.encode("utf-8"),
+                "warc_type": "conversion",
+            })
+        return recs, skipped
+
+    return _partitioned_warc_write(
+        slim, out_dir, _records, per_record_gzip, sink_name="write_wet"
+    )
+
+
+def write_wat(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+    per_record_gzip: bool = True,
+    max_links: int = 1000,
+) -> list[dict]:
+    """Distributed WAT export: per-page metadata as WARC/1.0 ``metadata``
+    records with a JSON envelope payload (Common Crawl's WAT deliverable —
+    what link-graph and metadata consumers ingest, one record per page).
+
+    Envelope shape (CC-WAT-like, the commonly-consumed subset):
+    ``Envelope.WARC-Header-Metadata`` carries the original record header
+    fields; ``Envelope.Payload-Metadata.HTML-Metadata`` carries ``Head``
+    (title / metas from extract/metadata.py's tolerant parse) and ``Links``
+    (resolved outlinks with anchor text from operators/links.py — same
+    caps and scheme filters as the link-graph path).
+
+    Same sink contract as :func:`write_wet`: one part per partition,
+    batch-streamed, tmp+atomic-replace, manifest.json + _SUCCESS, bounded
+    collect. Null-html pages are skipped and counted. Round-trips through
+    :func:`read_warc` with ``warc_types=("metadata",)`` — the JSON arrives
+    in the ``text`` column (``F.get_json_object``/``from_json`` downstream).
+    """
+    import json
+
+    slim = pages.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.col(html_col).alias("html"),
+    )
+
+    def _records(pdf: pd.DataFrame) -> tuple[list[dict], int]:
+        # worker-side imports (pure cores load once per worker process)
+        from final_ocr_spark.extract.metadata import parse_metadata
+        from final_ocr_spark.operators.links import parse_outlinks
+
+        recs, skipped = [], 0
+        for url, ts, raw in zip(pdf["url"], pdf["ts"], pdf["html"]):
+            if raw is None or url is None:
+                skipped += 1
+                continue
+            raw = bytes(raw)
+            meta = parse_metadata(raw)
+            links = parse_outlinks(url, raw, max_links=max_links)
+            head: dict = {}
+            if meta["title"] is not None:
+                head["Title"] = meta["title"]
+            metas = [
+                {"name": k, "content": meta[k]}
+                for k in ("description", "canonical_url", "lang_attr",
+                          "og_title", "og_site_name", "og_type",
+                          "published_time")
+                if meta[k] is not None
+            ]
+            if metas:
+                head["Metas"] = metas
+            envelope = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": url,
+                        "WARC-Date": ts or "1970-01-01T00:00:00Z",
+                        "WARC-Type": "response",
+                    },
+                    "Payload-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": head,
+                            "Links": [
+                                {"url": u, "text": a,
+                                 **({"rel": "nofollow"} if nf else {})}
+                                for u, a, nf in links
+                            ],
+                        }
+                    },
+                }
+            }
+            recs.append({
+                "url": url,
+                "date": ts or "1970-01-01T00:00:00Z",
+                "body": json.dumps(
+                    envelope, ensure_ascii=False, separators=(",", ":")
+                ).encode("utf-8"),
+                "warc_type": "metadata",
+            })
+        return recs, skipped
+
+    return _partitioned_warc_write(
+        slim, out_dir, _records, per_record_gzip, sink_name="write_wat"
+    )
+
+
+def _partitioned_warc_write(
+    slim: DataFrame,
+    out_dir: str,
+    batch_to_records,
+    per_record_gzip: bool,
+    sink_name: str,
+) -> list[dict]:
+    """Shared partitioned WARC sink (see write_wet's docstring for the
+    full scale/robustness contract): records stream out batch-by-batch
+    (peak memory = one Arrow batch), each task writes
+    ``part-NNNNN.warc.gz.tmp-<attempt>`` then ``os.replace``s to the
+    deterministic final name (retries/speculative attempts overwrite
+    byte-identically — direct-committer pattern; POSIX/NFS only, loudly
+    checked), manifest.json + _SUCCESS only after every task reported."""
+    import os
+
+    from pyspark import TaskContext
+
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -417,17 +549,8 @@ def write_wet(
         fh = None
         try:
             for pdf in batches:
-                recs = []
-                for url, ts, text in zip(pdf["url"], pdf["ts"], pdf["text"]):
-                    if text is None or url is None:
-                        skipped += 1
-                        continue
-                    recs.append({
-                        "url": url,
-                        "date": ts or "1970-01-01T00:00:00Z",
-                        "body": text.encode("utf-8"),
-                        "warc_type": "conversion",
-                    })
+                recs, sk = batch_to_records(pdf)
+                skipped += sk
                 if not recs:
                     continue
                 blob = write_warc_bytes(recs, per_record_gzip=per_record_gzip)
@@ -468,7 +591,7 @@ def write_wet(
     ]
     if missing:
         raise RuntimeError(
-            f"write_wet: {len(missing)} part file(s) not visible from the "
+            f"{sink_name}: {len(missing)} part file(s) not visible from the "
             f"driver (first: {missing[0]}) — out_dir must be a filesystem "
             "shared by driver and executors (local mode, NFS); object "
             "stores / hdfs:// URIs are not supported by this sink"

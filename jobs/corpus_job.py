@@ -64,6 +64,11 @@ def main() -> None:
                          "conversion records (.warc.gz) at this directory "
                          "(must be a filesystem shared by driver and "
                          "executors — local/NFS; not object stores)")
+    ap.add_argument("--wat-output", default=None,
+                    help="also export per-page metadata (head fields + "
+                         "outlinks) from the RAW input pages as WAT-style "
+                         "WARC metadata records at this directory (same "
+                         "shared-filesystem requirement as --wet-output)")
     ap.add_argument("--host-boilerplate", type=float, default=None,
                     metavar="RATIO",
                     help="remove lines occurring on >= RATIO of a host's "
@@ -184,6 +189,13 @@ def main() -> None:
         )
         recs = sum(m["records"] for m in manifest)
         print(f"wet written: {args.wet_output} records={recs} "
+              f"files={sum(1 for m in manifest if m['file'])}")
+    if args.wat_output:
+        from final_ocr_spark.sources.warc import write_wat
+
+        manifest = write_wat(pages, args.wat_output)
+        recs = sum(m["records"] for m in manifest)
+        print(f"wat written: {args.wat_output} records={recs} "
               f"files={sum(1 for m in manifest if m['file'])}")
     spark.stop()
 

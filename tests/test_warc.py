@@ -247,3 +247,84 @@ def test_write_wet_composes_with_extraction(spark, tmp_path):
         for r in read_warc(spark, out, warc_types=("conversion",)).collect()
     }
     assert back == want
+
+
+def test_write_wat_roundtrip(spark, tmp_path):
+    """pages → write_wat → read_warc(metadata): JSON envelope carries head
+    metadata + resolved outlinks; null-html pages skipped and counted."""
+    import json
+    from datetime import datetime
+
+    from final_ocr_spark.sources.warc import write_wat
+
+    html = (
+        "<html><head><title>WAT page</title>"
+        '<meta name="description" content="a test page">'
+        '<link rel="canonical" href="http://a.example/canon">'
+        '<base href="http://a.example/dir/"></head>'
+        '<body><a href="sub/x">rel link</a>'
+        '<a href="http://b.example/y" rel="nofollow">nf link</a>'
+        '<a href="javascript:void(0)">skipme</a></body></html>'
+    ).encode()
+    rows = [
+        ("http://a.example/1", datetime(2024, 5, 1, 12, 0, 0), html),
+        ("http://c.example/none", datetime(2024, 5, 1), None),  # skipped
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(2)
+    out = str(tmp_path / "wat")
+    manifest = write_wat(pages, out)
+    assert (tmp_path / "wat" / "_SUCCESS").exists()
+    assert sum(m["records"] for m in manifest) == 1
+    assert sum(m["skipped"] for m in manifest) == 1
+
+    back = read_warc(spark, out, warc_types=("metadata",)).collect()
+    assert len(back) == 1 and back[0]["url"] == "http://a.example/1"
+    env = json.loads(back[0]["text"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://a.example/1"
+    hm = env["Payload-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "WAT page"
+    metas = {m["name"]: m["content"] for m in hm["Head"]["Metas"]}
+    assert metas["description"] == "a test page"
+    assert metas["canonical_url"] == "http://a.example/canon"
+    links = {l["url"]: l for l in hm["Links"]}
+    # <base href> resolution + scheme filter + nofollow rel
+    assert set(links) == {"http://a.example/dir/sub/x", "http://b.example/y"}
+    assert links["http://a.example/dir/sub/x"]["text"] == "rel link"
+    assert "rel" not in links["http://a.example/dir/sub/x"]
+    assert links["http://b.example/y"]["rel"] == "nofollow"
+
+
+def test_write_wat_json_queryable(spark, tmp_path):
+    """The WAT output is directly consumable Spark-side via
+    get_json_object — the downstream link-graph ingestion path."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from final_ocr_spark.sources.warc import write_wat
+
+    pages = spark.createDataFrame(
+        [(f"http://h{i}.example/p", datetime(2024, 1, 1),
+          f'<html><head><title>t{i}</title></head><body>'
+          f'<a href="http://t.example/{i}">go</a></body></html>'.encode())
+         for i in range(6)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = str(tmp_path / "wat2")
+    write_wat(pages, out)
+    got = (
+        read_warc(spark, out, warc_types=("metadata",))
+        .select(
+            "url",
+            F.get_json_object(
+                "text", "$.Envelope.Payload-Metadata.HTML-Metadata.Links[0].url"
+            ).alias("first_link"),
+        )
+        .collect()
+    )
+    assert len(got) == 6
+    for r in got:
+        i = r["url"].split("http://h")[1].split(".")[0]
+        assert r["first_link"] == f"http://t.example/{i}"
