@@ -16,6 +16,8 @@ Inputs are parquet tables:
     --candidates  (url, ...)            sitemap locs / outlinks / seeds
     --sitemaps    (sitemap_url, body)   alternative: parse sitemap bodies
                                         and use their <loc> rows as candidates
+    --feeds       (feed_url, body)      alternative: parse RSS/Atom bodies
+                                        and use their item links as candidates
     --robots      (host, robots_txt)
     --seen-bloom  bloom bitmap table (operators/bloom.build_bloom output)
     --seen-urls   (url, ...) exact crawl history
@@ -43,6 +45,10 @@ def main() -> None:
                      help="parquet of fetched sitemap bodies "
                           "(sitemap_url, body) — parsed, <loc> rows become "
                           "the candidates")
+    src.add_argument("--feeds",
+                     help="parquet of fetched RSS/Atom feed bodies "
+                          "(feed_url, body) — parsed, item links become "
+                          "the candidates (the freshness-driven source)")
     ap.add_argument("--robots", default=None,
                     help="parquet (host, robots_txt) rule table")
     ap.add_argument("--robots-agent", default="*")
@@ -69,6 +75,14 @@ def main() -> None:
         cands = (
             parsed.filter((parsed.kind == "url") & parsed.error.isNull())
             .select(parsed.loc.alias("url"))
+        )
+    elif args.feeds:
+        from final_ocr_spark.sources.feeds import parse_feeds
+
+        parsed = parse_feeds(spark.read.parquet(args.feeds))
+        cands = (
+            parsed.filter(parsed.error.isNull() & parsed.link.isNotNull())
+            .select(parsed.link.alias("url"))
         )
     else:
         cands = spark.read.parquet(args.candidates)
