@@ -350,17 +350,21 @@ def write_warc_bytes(records: list[dict], per_record_gzip: bool = True) -> bytes
             ).encode() + body
             block_ct = "application/http; msgtype=response"
         uri = r.get("url")
+        digest = r.get("payload_digest")
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {wtype}\r\n"
             + (f"WARC-Target-URI: {uri}\r\n" if uri is not None else "")
             + f"WARC-Date: {r['date']}\r\n"
-            f"Content-Length: {len(payload)}\r\n"
+            + (f"WARC-Payload-Digest: {digest}\r\n" if digest else "")
+            + f"Content-Length: {len(payload)}\r\n"
             f"Content-Type: {block_ct}\r\n"
         ).encode()
         # head lines already end with CRLF: one more CRLF terminates the block
         rec = head + b"\r\n" + payload + _CRLF2
-        out.append(gzip.compress(rec) if per_record_gzip else rec)
+        # mtime=0 pins the gzip header: retries/speculative attempts produce
+        # byte-identical members (the direct-committer + CDX-offset contract)
+        out.append(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return b"".join(out)
 
 
@@ -603,3 +607,161 @@ def _partitioned_warc_write(
     with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8"):
         pass
     return rows
+
+
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str = "warc_ts",
+) -> list[dict]:
+    """Distributed WARC archive export + CDX-style random-access index:
+    the pages table as WARC/1.0 ``response`` records (one gzip member per
+    record — the Common Crawl convention that makes byte-range access
+    possible), plus a ``cdx/`` parquet index
+    ``(url, ts, digest, filename, offset, length)`` — the engine's analog
+    of the CDXJ index CC publishes next to every crawl.
+
+    One action does everything: the index rows ARE the mapInPandas output
+    (written as parquet by Spark's own committer), the part files stream
+    out batch-by-batch as a side effect with exact member offsets tracked,
+    and gzip members are byte-pinned (mtime=0) so a retried task reproduces
+    identical bytes at identical offsets — a half-written ``.tmp`` never
+    becomes a part file, and the index only commits if every task finished.
+    ``digest`` is ``sha1:<base32>`` over the raw page body (the
+    WARC-Payload-Digest convention), also stamped into each record header.
+
+    Null-url/html rows are skipped (counted in the manifest as input minus
+    indexed). Round-trips through :func:`read_warc`; single records come
+    back via :func:`read_warc_record` (seek + one-member decompress — the
+    random-access path the index exists for). Same shared-filesystem
+    requirement as write_wet, loudly checked.
+
+    Returns the per-file manifest rows (bounded: one per part file).
+    """
+    import base64
+    import hashlib
+    import json
+    import os
+
+    from pyspark import TaskContext
+
+    slim = pages.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.col(html_col).alias("html"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_input = slim.count()
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        base = f"part-{pid:05d}.warc.gz"
+        final = os.path.join(out_dir, base)
+        tmp = f"{final}.tmp-{attempt}"
+        offset = 0
+        fh = None
+        try:
+            for pdf in batches:
+                rows = []
+                for url, ts, raw in zip(pdf["url"], pdf["ts"], pdf["html"]):
+                    if url is None or raw is None:
+                        continue
+                    body = bytes(raw)
+                    date = ts or "1970-01-01T00:00:00Z"
+                    digest = "sha1:" + base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+                    blob = write_warc_bytes(
+                        [{"url": url, "date": date, "body": body,
+                          "payload_digest": digest}],
+                        per_record_gzip=True,
+                    )
+                    if fh is None:
+                        fh = open(tmp, "wb")
+                    fh.write(blob)
+                    rows.append((url, date, digest, base, offset, len(blob)))
+                    offset += len(blob)
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "ts", "digest", "filename",
+                                 "offset", "length"],
+                    )
+            if fh is not None:
+                fh.close()
+                fh = None
+                os.replace(tmp, final)
+        finally:
+            if fh is not None:
+                fh.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    index = slim.mapInPandas(
+        _write,
+        schema=("url string, ts string, digest string, filename string, "
+                "offset long, length long"),
+    )
+    cdx_dir = os.path.join(out_dir, "cdx")
+    index.write.mode("overwrite").parquet(cdx_dir)
+
+    # bounded manifest from the committed index: one row per part file
+    spark = pages.sparkSession
+    manifest = (
+        spark.read.parquet(cdx_dir)
+        .groupBy("filename")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.max(F.col("offset") + F.col("length")).alias("bytes"),
+        )
+        .orderBy("filename")
+        .collect()
+    )
+    rows = [
+        {"file": os.path.join(out_dir, m["filename"]),
+         "records": m["records"], "bytes": m["bytes"]}
+        for m in manifest
+    ]
+    missing = [m["file"] for m in rows if not os.path.exists(m["file"])]
+    if missing:
+        raise RuntimeError(
+            f"write_warc: {len(missing)} part file(s) not visible from the "
+            f"driver (first: {missing[0]}) — out_dir must be a filesystem "
+            "shared by driver and executors (local mode, NFS)"
+        )
+    for m in rows:  # offsets must line up with what actually hit disk
+        actual = os.path.getsize(m["file"])
+        if actual != m["bytes"]:
+            raise RuntimeError(
+                f"write_warc: {m['file']} is {actual} bytes but the index "
+                f"says {m['bytes']} — offset bookkeeping diverged"
+            )
+    skipped = n_input - sum(m["records"] for m in rows)
+    with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as f:
+        json.dump({"files": rows, "skipped": skipped}, f, indent=1)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8"):
+        pass
+    return rows
+
+
+def read_warc_record(path: str, offset: int, length: int) -> dict:
+    """Random access: read ONE record by its CDX index entry — seek to
+    ``offset``, read ``length`` bytes, decompress the single gzip member,
+    parse the record. This is the consumer side of write_warc's index:
+    cost is one ranged read of one member, never a file scan.
+
+    Returns ``{url, warc_ts, html, digest}`` for response records (html =
+    decoded HTTP payload body)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    rec = next(iter_warc_records(blob))
+    return {
+        "url": rec.get("warc-target-uri"),
+        "warc_ts": rec.get("warc-date"),
+        "html": _http_body(rec["payload"]),
+        "digest": rec.get("warc-payload-digest"),
+    }

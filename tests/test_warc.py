@@ -328,3 +328,66 @@ def test_write_wat_json_queryable(spark, tmp_path):
     for r in got:
         i = r["url"].split("http://h")[1].split(".")[0]
         assert r["first_link"] == f"http://t.example/{i}"
+
+
+def test_write_warc_archive_and_cdx_random_access(spark, tmp_path):
+    """pages → write_warc → (a) full read_warc round-trip, (b) CDX index
+    random access: seek each (offset, length), decode ONE member, get the
+    exact page back with a verifying sha1 digest."""
+    import base64
+    import hashlib
+    import json
+    from datetime import datetime
+
+    from final_ocr_spark.sources.warc import read_warc_record, write_warc
+
+    rows = [
+        (f"http://h{i}.example/p{i}", datetime(2024, 6, 1, 0, 0, i),
+         f"<html><body>page {i} — ünïcode ✓</body></html>".encode())
+        for i in range(7)
+    ] + [("http://skip.example/null", datetime(2024, 6, 1), None)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    out = str(tmp_path / "archive")
+    manifest = write_warc(pages, out)
+
+    assert (tmp_path / "archive" / "_SUCCESS").exists()
+    disk = json.loads((tmp_path / "archive" / "manifest.json").read_text())
+    assert disk["skipped"] == 1
+    assert sum(m["records"] for m in manifest) == 7
+
+    # (a) bulk round trip through the ingest path
+    back = read_warc(spark, out, glob="part-*.warc.gz").collect()
+    got = {r["url"]: bytes(r["html"]) for r in back if r["error"] is None}
+    for url, ts, body in rows[:7]:
+        assert got[url] == body
+
+    # (b) random access through the index — the point of the CDX
+    import duckdb
+
+    idx = duckdb.sql(
+        f"select * from '{out}/cdx/*.parquet' order by url"
+    ).fetchall()
+    assert len(idx) == 7
+    cols = [d[0] for d in duckdb.sql(
+        f"select * from '{out}/cdx/*.parquet' limit 0").description]
+    for row in idx:
+        e = dict(zip(cols, row))
+        rec = read_warc_record(
+            f"{out}/{e['filename']}", e["offset"], e["length"])
+        assert rec["url"] == e["url"]
+        want = dict((u, b) for u, _, b in rows[:7])[e["url"]]
+        assert rec["html"] == want
+        d = "sha1:" + base64.b32encode(hashlib.sha1(want).digest()).decode()
+        assert rec["digest"] == d == e["digest"]
+
+
+def test_write_warc_bytes_deterministic(tmp_path):
+    """gzip members are mtime-pinned: two serializations of the same record
+    are byte-identical (retry/speculation safety for CDX offsets)."""
+    from final_ocr_spark.sources.warc import write_warc_bytes
+
+    rec = {"url": "http://x.example/", "date": "2024-01-01T00:00:00Z",
+           "body": b"<html>x</html>"}
+    assert write_warc_bytes([rec]) == write_warc_bytes([rec])
