@@ -47,7 +47,7 @@ the (host, priority) layout this returns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from final_ocr_spark.functions.urls import normalize_url, url_parts
@@ -141,3 +141,62 @@ def build_frontier(
             out, "host", ["url"], per_host_cap, salt_buckets=16, salt_key="url"
         )
     return out
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    *,
+    per_host_per_wave: int = 1,
+    wave_seconds: float = 1.0,
+    host_delays: DataFrame | None = None,
+    max_delay_waves: int = 3600,
+) -> DataFrame:
+    """Politeness scheduling: assign each frontier url a fetch ``wave`` so
+    that any single wave contains at most ``per_host_per_wave`` urls per
+    host — the fetch-loop contract that keeps a distributed crawler from
+    hammering one origin, applied as data instead of runtime coordination
+    (fetchers consume wave by wave; within a wave, everything is safely
+    parallel).
+
+    ``host_delays`` (host, crawl_delay seconds — operators/robots.py:
+    crawl_delays' shape) stretches a host's schedule to honor its declared
+    delay: with waves ``wave_seconds`` apart, a host asking for ``d``
+    seconds between fetches gets one url every ``ceil(d / wave_seconds)``
+    waves (capped at ``max_delay_waves`` against hostile directives; null
+    delay → stride 1). Ordering within a host is priority-descending with a
+    url tiebreak — fully deterministic.
+
+    Scale shape: ONE hash exchange on host + a per-host window row_number —
+    no global sort (a total order over 10^9 frontier rows is a
+    single-partition bottleneck; wave numbers give consumers the same
+    coordination for free). The delays dimension is O(#hosts) and joins
+    broadcast."""
+    if per_host_per_wave < 1:
+        raise ValueError("per_host_per_wave must be >= 1")
+    if wave_seconds <= 0:
+        raise ValueError("wave_seconds must be > 0")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    out = frontier.withColumn("_rank", F.row_number().over(w) - F.lit(1))
+    stride = F.lit(1)
+    if host_delays is not None:
+        d = host_delays.select(
+            F.lower(F.col("host")).alias("host"),
+            F.col("crawl_delay").alias("_delay"),
+        )
+        out = out.join(F.broadcast(d), "host", "left")
+        stride = F.least(
+            F.greatest(F.ceil(F.col("_delay") / F.lit(float(wave_seconds))),
+                       F.lit(1)),
+            F.lit(max_delay_waves),
+        )
+        stride = F.coalesce(stride, F.lit(1))
+    out = out.withColumn(
+        "wave",
+        (F.floor(F.col("_rank") / F.lit(per_host_per_wave)) * stride)
+        .cast("long"),
+    )
+    return out.select(
+        *[c for c in frontier.columns], "wave"
+    )

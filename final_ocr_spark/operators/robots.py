@@ -123,3 +123,51 @@ def apply_robots(
         .select("url")
     )
     return pages.join(allowed, "url", "left_semi")
+
+
+def crawl_delays(
+    robots: DataFrame,
+    *,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, crawl_delay) seconds per host from ``Crawl-delay`` directives
+    (stdlib semantics: the agent's group wins over '*'; ``Request-rate``
+    is converted to seconds-per-request when no Crawl-delay is given).
+    Hosts without a directive get null — the scheduler's default applies.
+
+    One Arrow stage over the O(#hosts) rule table; the result is the
+    broadcast-sized dimension ``schedule_frontier(host_delays=...)`` takes.
+    """
+
+    def _fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.robotparser
+
+        for pdf in it:
+            hosts = pdf[host_col].tolist()
+            bodies = pdf[body_col].tolist()
+            delays: list[float | None] = [None] * len(hosts)
+            for i, b in enumerate(bodies):
+                if not isinstance(b, str) or not b.strip():
+                    continue
+                rp = urllib.robotparser.RobotFileParser()
+                try:
+                    rp.parse(b.splitlines())
+                    d = rp.crawl_delay(agent)
+                    if d is None:
+                        rr = rp.request_rate(agent)
+                        if rr is not None and rr.requests:
+                            d = rr.seconds / rr.requests
+                    delays[i] = float(d) if d is not None else None
+                except Exception:
+                    continue  # unparseable → no delay info
+            yield pd.DataFrame(
+                {"host": [h.lower() if isinstance(h, str) else h
+                          for h in hosts],
+                 "crawl_delay": delays}
+            )
+
+    return robots.select(host_col, body_col).mapInPandas(
+        _fn, schema="host string, crawl_delay double"
+    )

@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--host-ranks", default=None,
                     help="parquet (id, rank) — graph_job pagerank output")
     ap.add_argument("--per-host-cap", type=int, default=None)
+    ap.add_argument("--schedule", action="store_true",
+                    help="also assign politeness fetch waves (adds a 'wave' "
+                         "column; honors Crawl-delay when --robots is given)")
+    ap.add_argument("--per-host-per-wave", type=int, default=1)
+    ap.add_argument("--wave-seconds", type=float, default=1.0)
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
 
@@ -102,6 +107,22 @@ def main() -> None:
         ),
         per_host_cap=args.per_host_cap,
     )
+    if args.schedule:
+        from final_ocr_spark.operators.frontier import schedule_frontier
+
+        delays = None
+        if args.robots:
+            from final_ocr_spark.operators.robots import crawl_delays
+
+            delays = crawl_delays(
+                spark.read.parquet(args.robots), agent=args.robots_agent
+            )
+        frontier = schedule_frontier(
+            frontier,
+            per_host_per_wave=args.per_host_per_wave,
+            wave_seconds=args.wave_seconds,
+            host_delays=delays,
+        )
     frontier.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"frontier: {n} urls -> {args.output}")

@@ -171,3 +171,84 @@ def test_frontier_drops_hostless_candidates(spark):
         _cands(spark, ["/relative/path", "not a url", "https://ok.com/x"])
     ).collect()
     assert [r["url"] for r in out] == ["https://ok.com/x"]
+
+
+def test_schedule_frontier_waves(spark):
+    """At most per_host_per_wave urls of one host share a wave; ordering is
+    priority-desc; crawl-delay stretches a host's stride."""
+    from final_ocr_spark.operators.frontier import schedule_frontier
+
+    rows = (
+        [(f"http://hot.com/{i}", "hot.com", float(10 - i)) for i in range(6)]
+        + [(f"http://slow.com/{i}", "slow.com", float(5 - i)) for i in range(3)]
+        + [("http://one.com/x", "one.com", 1.0)]
+    )
+    fr = spark.createDataFrame(rows, "url string, host string, priority double")
+
+    sched = {r["url"]: r["wave"] for r in schedule_frontier(fr).collect()}
+    # per host: rank order by priority desc → wave = rank (k=1, stride 1)
+    for i in range(6):
+        assert sched[f"http://hot.com/{i}"] == i
+    for i in range(3):
+        assert sched[f"http://slow.com/{i}"] == i
+    assert sched["http://one.com/x"] == 0
+
+    # k=2: two urls of a host per wave
+    sched2 = {r["url"]: r["wave"]
+              for r in schedule_frontier(fr, per_host_per_wave=2).collect()}
+    assert [sched2[f"http://hot.com/{i}"] for i in range(6)] == [0, 0, 1, 1, 2, 2]
+
+    # crawl-delay: slow.com asks 5s, waves are 1s apart → stride 5;
+    # unknown hosts stride 1; hostile delay capped
+    delays = spark.createDataFrame(
+        [("slow.com", 5.0), ("hot.com", None), ("evil.com", 1e12)],
+        "host string, crawl_delay double",
+    )
+    sched3 = {r["url"]: r["wave"]
+              for r in schedule_frontier(fr, host_delays=delays).collect()}
+    assert [sched3[f"http://slow.com/{i}"] for i in range(3)] == [0, 5, 10]
+    assert [sched3[f"http://hot.com/{i}"] for i in range(3)] == [0, 1, 2]
+
+    # wave invariant: within any (host, wave), count <= k
+    from collections import Counter
+    c = Counter((r["url"].split("/")[2], r["wave"])
+                for r in schedule_frontier(fr, per_host_per_wave=2).collect())
+    assert max(c.values()) <= 2
+
+
+def test_schedule_frontier_plan_single_exchange(spark):
+    """No global sort: one hash exchange on host feeds the window."""
+    from final_ocr_spark.operators.frontier import schedule_frontier
+
+    fr = spark.createDataFrame(
+        [("http://a.com/1", "a.com", 1.0)],
+        "url string, host string, priority double",
+    )
+    plan = schedule_frontier(fr)._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "rangepartitioning" not in plan  # a global sort would use one
+
+
+def test_crawl_delays_stdlib_semantics(spark):
+    from final_ocr_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("Slow.com", "User-agent: *\nCrawl-delay: 7\nDisallow: /x"),
+            ("rate.com", "User-agent: *\nRequest-rate: 2/10"),
+            ("agent.com",
+             "User-agent: *\nCrawl-delay: 9\n\nUser-agent: mybot\nCrawl-delay: 2"),
+            ("none.com", "User-agent: *\nDisallow: /private"),
+            ("blank.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(robots).collect()}
+    assert got["slow.com"] == 7.0          # host lowercased
+    assert got["rate.com"] == 5.0          # 10s / 2 requests
+    assert got["none.com"] is None and got["blank.com"] is None
+    assert got["agent.com"] == 9.0         # '*' group for default agent
+    got2 = {r["host"]: r["crawl_delay"]
+            for r in crawl_delays(robots, agent="mybot").collect()}
+    assert got2["agent.com"] == 2.0        # specific agent group wins
