@@ -244,6 +244,152 @@ class SnapshotCatalog:
         )
         return stats
 
+    # -- row-level changes (copy-on-write) ---------------------------------
+    def _cow_rewrite(
+        self,
+        spark: SparkSession,
+        name: str,
+        match_keys: DataFrame,
+        keys: list[str],
+        replacement: DataFrame | None,
+        operation: str,
+    ) -> dict:
+        """Shared copy-on-write core for merge/delete: find the data files
+        that contain any matched key (``input_file_name`` over a keys-only
+        projection — the full rows never move for this probe), rewrite ONLY
+        those files (their non-matched rows + the replacement rows), and
+        commit a snapshot of untouched-files + new-files. Rewrite cost is
+        proportional to files containing matches, never to table size —
+        the Iceberg copy-on-write contract."""
+        snap = self.current_snapshot(name)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {name!r}")
+        tdir = self.table_dir(name)
+        existing = self.read(spark, name)
+
+        # probe: which files hold a matched key? Slim (keys + filename)
+        # projection; result is bounded by the snapshot's file COUNT.
+        tagged = existing.select(*keys).withColumn(
+            "_file", F.input_file_name()
+        )
+        touched_abs = [
+            r["_file"]
+            for r in tagged.join(match_keys, keys, "left_semi")
+            .select("_file").distinct().collect()
+        ]
+        # input_file_name gives a URI; snapshot paths are
+        # 'data/<uuid>/<basename>' — map by the last three components
+        by_rel = {f["path"]: f for f in snap["files"]}
+        touched_rel = []
+        for uri in touched_abs:
+            rel = "/".join(uri.split("/")[-3:])
+            if rel not in by_rel:
+                raise RuntimeError(
+                    f"merge probe returned unknown file {uri!r} for table "
+                    f"{name!r} — snapshot/file-layout invariant broken"
+                )
+            touched_rel.append(rel)
+
+        new_files: list[dict] = []
+        rows_added = 0
+        if touched_rel or replacement is not None:
+            parts = []
+            if touched_rel:
+                touched_df = spark.read.parquet(
+                    *[str(tdir / r) for r in touched_rel]
+                )
+                parts.append(touched_df.join(match_keys, keys, "left_anti"))
+            if replacement is not None:
+                parts.append(replacement)
+            if parts:
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                data_rel = f"data/{uuid.uuid4().hex}"
+                data_dir = tdir / data_rel
+                out.write.mode("overwrite").parquet(str(data_dir))
+                written = spark.read.parquet(str(data_dir))
+                new_files = [
+                    {"path": f"{data_rel}/{pathlib.Path(p).name}",
+                     "bytes": (data_dir / pathlib.Path(p).name).stat().st_size}
+                    for p in sorted(written.inputFiles())
+                ]
+                rows_added = written.count()
+
+        kept = [f for f in snap["files"] if f["path"] not in set(touched_rel)]
+        sid = snap["snapshot_id"] + 1
+        new_snap = {
+            "snapshot_id": sid,
+            "parent_id": snap["snapshot_id"],
+            "operation": operation,
+            "committed_at_epoch": time.time(),
+            "app_id": spark.sparkContext.applicationId,
+            "schema": snap["schema"],
+            "row_count_added": rows_added,
+            "files": kept + new_files,
+        }
+        self._commit_snapshot(name, new_snap)
+        return {
+            "snapshot_id": sid,
+            "files_rewritten": len(touched_rel),
+            "files_added": len(new_files),
+            "rows_written": rows_added,
+        }
+
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        name: str,
+        key: str | list[str] = "url",
+    ) -> dict:
+        """``MERGE INTO`` (upsert) analog, copy-on-write: rows in
+        ``updates`` REPLACE existing rows with the same key (whole-row
+        replace — the recrawl semantics: same url, fresher warc_ts/html);
+        keys not present insert. Only data files containing a matched key
+        are rewritten; snapshot isolation, time travel, and expiry behave
+        exactly as for write/compact (readers pinned to the parent snapshot
+        still see the pre-merge rows).
+
+        ``updates`` must be key-unique (checked loudly — a duplicate-key
+        update batch has no well-defined winner) and carry the table's
+        exact column set."""
+        keys = [key] if isinstance(key, str) else list(key)
+        existing_cols = set(self.read(spark, name).columns)
+        if set(updates.columns) != existing_cols:
+            raise ValueError(
+                f"merge schema mismatch for {name!r}: table has "
+                f"{sorted(existing_cols)}, updates have {sorted(updates.columns)}"
+            )
+        if (
+            updates.groupBy(*keys).count()
+            .filter(F.col("count") > 1).limit(1).count()
+        ):
+            raise ValueError(
+                "updates contain duplicate keys — dedup (e.g. latest-wins) "
+                "before merge; a duplicate-key batch has no defined winner"
+            )
+        return self._cow_rewrite(
+            spark, name, updates.select(*keys).distinct(), keys,
+            updates, "merge",
+        )
+
+    def delete(
+        self,
+        spark: SparkSession,
+        delete_keys: DataFrame,
+        name: str,
+        key: str | list[str] = "url",
+    ) -> dict:
+        """Row-level DELETE by key, copy-on-write (e.g. takedown/robots
+        retro-compliance lists): files containing a matched key are
+        rewritten without those rows; everything else is untouched."""
+        keys = [key] if isinstance(key, str) else list(key)
+        return self._cow_rewrite(
+            spark, name, delete_keys.select(*keys).distinct(), keys,
+            None, "delete",
+        )
+
     def diff(
         self,
         spark: SparkSession,

@@ -208,3 +208,106 @@ def test_diff_requires_a_parent(spark, cat):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no snapshot before"):
         cat.diff(spark, "solo")
+
+
+def test_merge_upsert_copy_on_write(spark, cat):
+    """merge replaces matched keys, inserts new ones, rewrites ONLY the
+    files containing matches, and keeps time travel intact."""
+    import pyspark.sql.functions as F
+
+    # two separate appends → two file groups; keys 1-2 in group A, 3-4 in B
+    cat.write(spark.createDataFrame([(1, "a1"), (2, "b1")], ["id", "v"]), "t")
+    cat.write(spark.createDataFrame([(3, "c1"), (4, "d1")], ["id", "v"]), "t")
+    pre = cat.current_snapshot("t")
+
+    updates = spark.createDataFrame([(2, "b2"), (5, "e1")], ["id", "v"])
+    stats = cat.merge(spark, updates, "t", key="id")
+
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {1: "a1", 2: "b2", 3: "c1", 4: "d1", 5: "e1"}
+
+    # copy-on-write granularity: only group A (key 2) was rewritten; group
+    # B's files survive into the new snapshot verbatim
+    post = cat.current_snapshot("t")
+    pre_paths = {f["path"] for f in pre["files"]}
+    post_paths = {f["path"] for f in post["files"]}
+    assert stats["files_rewritten"] >= 1
+    b_files = pre_paths - {  # files NOT containing key 2
+        "/".join(u.split("/")[-3:])
+        for u in [
+            r["_f"] for r in cat.read(spark, "t", snapshot_id=pre["snapshot_id"])
+            .filter(F.col("id").isin(2))
+            .select(F.input_file_name().alias("_f")).distinct().collect()
+        ]
+    }
+    assert b_files <= post_paths  # untouched files carried over
+    assert post["operation"] == "merge" and post["parent_id"] == pre["snapshot_id"]
+
+    # time travel: the pre-merge snapshot still serves the old row
+    old = {r["id"]: r["v"]
+           for r in cat.read(spark, "t", snapshot_id=pre["snapshot_id"]).collect()}
+    assert old == {1: "a1", 2: "b1", 3: "c1", 4: "d1"}
+
+
+def test_merge_guards(spark, cat):
+    cat.write(spark.createDataFrame([(1, "a")], ["id", "v"]), "t")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate keys"):
+        cat.merge(
+            spark,
+            spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"]),
+            "t", key="id",
+        )
+    with _pt.raises(ValueError, match="schema mismatch"):
+        cat.merge(
+            spark,
+            spark.createDataFrame([(1, "x", 9)], ["id", "v", "extra"]),
+            "t", key="id",
+        )
+
+
+def test_merge_pure_insert_and_delete(spark, cat):
+    cat.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "t")
+    # no matched keys → pure insert, zero files rewritten
+    stats = cat.merge(
+        spark, spark.createDataFrame([(9, "z")], ["id", "v"]), "t", key="id"
+    )
+    assert stats["files_rewritten"] == 0
+    assert cat.read(spark, "t").count() == 3
+
+    # delete one key: only its file rewritten, row gone, history preserved
+    pre = cat.current_snapshot("t")
+    dstats = cat.delete(
+        spark, spark.createDataFrame([(1,)], ["id"]), "t", key="id"
+    )
+    assert dstats["files_rewritten"] >= 1
+    got = sorted(r["id"] for r in cat.read(spark, "t").collect())
+    assert got == [2, 9]
+    assert cat.current_snapshot("t")["operation"] == "delete"
+    assert cat.read(spark, "t", snapshot_id=pre["snapshot_id"]).count() == 3
+
+    # deleting a missing key is a no-op rewrite-wise
+    d2 = cat.delete(spark, spark.createDataFrame([(777,)], ["id"]), "t", key="id")
+    assert d2["files_rewritten"] == 0
+    assert cat.read(spark, "t").count() == 2
+
+
+def test_merge_is_the_recrawl_path(spark, cat):
+    """End-to-end recrawl semantics on the pages shape: fresh warc_ts rows
+    replace stale ones by url; diff() sees them as 'modified'."""
+    import datetime
+
+    rows1 = [("http://a.com/1", datetime.datetime(2026, 1, 1), "old text"),
+             ("http://a.com/2", datetime.datetime(2026, 1, 1), "keep")]
+    cat.write(spark.createDataFrame(
+        rows1, "url string, warc_ts timestamp, text string"), "pages")
+    pre = cat.current_snapshot("pages")["snapshot_id"]
+    recrawl = spark.createDataFrame(
+        [("http://a.com/1", datetime.datetime(2026, 2, 1), "new text"),
+         ("http://a.com/3", datetime.datetime(2026, 2, 1), "brand new")],
+        "url string, warc_ts timestamp, text string")
+    cat.merge(spark, recrawl, "pages", key="url")
+    d = {r["url"]: r["change"]
+         for r in cat.diff(spark, "pages", from_snapshot=pre).collect()}
+    assert d == {"http://a.com/1": "modified", "http://a.com/3": "added"}
