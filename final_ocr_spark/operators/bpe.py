@@ -1,0 +1,241 @@
+"""BPE tokenizer training over a distributed corpus + encode/count UDFs.
+
+A training-data engine that reports "token counts" needs a tokenizer, and
+the industrially-correct way to TRAIN one over 100 TB is not to stream
+text into the merge loop — it is the shape every production tokenizer
+trainer uses (Sennrich et al. 2016's released recipe, SentencePiece's
+word-count mode): the corpus reduces to a **word-frequency table** (one
+map-side-combinable aggregation — the only part that touches the data),
+and the merge loop runs over that bounded dictionary, with cost
+independent of corpus size. Spark does the single heavy agg; the driver
+does the dictionary-sized merge loop; the learned merges broadcast back
+as a tiny table for encoding.
+
+Pieces:
+
+* :func:`word_frequencies` — (word, count) via the engine's canonical
+  pre-tokenizer (digits and punctuation runs split off — the same rule
+  text_stats.token_count applies), TakeOrdered-capped to ``max_words``
+  (top-K by count, deterministic word tiebreak — never a global sort);
+* :func:`train_bpe` — Sennrich merge loop with the indexed
+  incremental-pair-count optimization (pair counts update only through
+  words containing the merged pair; a full recount per merge would be
+  O(|dict|·vocab));
+* :func:`bpe_encode` / :func:`bpe_token_count` — Arrow-batched encode
+  applying merges in rank order with a per-word memo (web text repeats
+  words constantly; the memo makes encode ~O(distinct words) per batch).
+
+End-of-word is modeled with a ``</w>`` sentinel symbol (the original BPE
+formulation), so merges never cross word boundaries and detokenization is
+exact: join token pieces, strip the sentinel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_EOW = "</w>"
+
+# the engine's canonical pre-tokenization (text_stats.token_count's rule):
+# digit runs and punctuation runs become their own words
+_PRETOK_RE = r"([0-9]+|[^\w\s]+)"
+
+
+def pre_tokenize(text: str) -> list[str]:
+    """Pure-Python twin of the Column-side pre-tokenizer (regexp split with
+    digit/punct runs separated) — differential-tested against it."""
+    import re
+
+    return re.sub(_PRETOK_RE, r" \1 ", text).split()
+
+
+def word_frequencies(
+    corpus: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+) -> DataFrame:
+    """(word, count) over the corpus, capped to the ``max_words`` most
+    frequent (count desc, word asc — deterministic). ONE partial/final
+    aggregation; the cap is TakeOrdered (per-partition top-K, never a
+    global sort). This is the only stage that reads the corpus."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = F.split(
+        F.trim(F.regexp_replace(t, _PRETOK_RE, r" $1 ")), r"\s+"
+    )
+    freq = (
+        corpus.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return freq.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out = []
+    i, n = 0, len(sym)
+    ab = pair[0] + pair[1]
+    while i < n:
+        if i < n - 1 and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_merges(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Sennrich BPE merge loop over a (word, count) dictionary — pure
+    Python, deterministic (ties break on the lexicographically smallest
+    pair), cost independent of corpus size. Indexed updates: a merge
+    touches only the words that contain its pair."""
+    words: list[tuple[str, ...]] = []
+    counts: list[int] = []
+    for w, c in word_counts:
+        if not w:
+            continue
+        words.append(tuple(w) + (_EOW,))
+        counts.append(int(c))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (sym, c) in enumerate(zip(words, counts)):
+        for a, b in zip(sym, sym[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(idx)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # argmax with lexicographic tiebreak — deterministic across runs
+        top = max(pair_counts.values())
+        if top < min_pair_count:
+            break
+        best_pair = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best_pair)
+        for idx in list(pair_words.get(best_pair, ())):
+            sym, c = words[idx], counts[idx]
+            new = _merge_word(sym, best_pair)
+            if new == sym:
+                continue
+            for a, b in zip(sym, sym[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(idx)
+                    if not ws:
+                        del pair_words[(a, b)]
+            words[idx] = new
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+                pair_words.setdefault((a, b), set()).add(idx)
+    return merges
+
+
+def train_bpe(
+    corpus: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 8000,
+    lowercase: bool = True,
+    max_words: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Corpus → merges table ``(rank, left, right)``. One aggregation over
+    the data (word_frequencies), a bounded collect of the capped
+    dictionary, the merge loop driver-side — the standard scalable recipe
+    (module doc). The result is O(n_merges) rows: broadcast it."""
+    wc = [
+        (r["word"], r["count"])
+        for r in word_frequencies(
+            corpus, text_col, lowercase=lowercase, max_words=max_words
+        ).collect()
+    ]
+    merges = learn_merges(wc, n_merges, min_pair_count=min_pair_count)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with rank-greedy merging (always apply the
+    lowest-rank applicable merge first — exactly the order training
+    created them)."""
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    text_col,
+    merges: list[tuple[str, str]] | DataFrame,
+    *,
+    lowercase: bool = True,
+) -> Column:
+    """Column: text → array<string> of BPE tokens (``</w>``-terminated
+    pieces). Arrow-batched with a per-word memo; merges ship to workers as
+    a broadcast-sized rank dict."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[str]] = {}
+
+        def one(v):
+            if v is None:
+                return None
+            if lowercase:
+                v = v.lower()
+            out: list[str] = []
+            for w in pre_tokenize(v):
+                toks = memo.get(w)
+                if toks is None:
+                    toks = encode_word(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        for s in it:
+            yield s.map(one)
+
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return _enc(col)
+
+
+def bpe_token_count(text_col, merges, *, lowercase: bool = True) -> Column:
+    """Column: token count under the trained tokenizer — the honest
+    sequence-length number for packing/budgeting (whitespace counts
+    undercount multilingual/rare text badly)."""
+    return F.array_size(bpe_encode(text_col, merges, lowercase=lowercase))
