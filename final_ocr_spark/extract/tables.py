@@ -71,6 +71,11 @@ class _TableBuilder:
     row_all_th: list[bool] = field(default_factory=list)
     # active cell: [pieces, colspan, rowspan, is_th] | None
     cell: list | None = None
+    # set when a nested table closed inside the open cell: trailing text
+    # after the inner table is dropped (the docstring contract — browsers
+    # hoist it out of the table entirely; gluing it onto the pre-table text
+    # would corrupt the cell: 'before'+'after' → 'beforeafter')
+    cell_frozen: bool = False
     # pending rowspan fills: col -> [text, rows_remaining]
     _pending: dict[int, list] = field(default_factory=dict)
     _row: list[str] | None = None
@@ -82,6 +87,7 @@ class _TableBuilder:
     def open_cell(self, colspan: int, rowspan: int, is_th: bool) -> None:
         self.close_cell()
         self.cell = [[], colspan, rowspan, is_th]
+        self.cell_frozen = False
 
     def close_cell(self) -> None:
         if self.cell is None:
@@ -175,6 +181,8 @@ class _TableParser(HTMLParser):
         slot = self._order_slots.pop()
         if t is not None:
             self.tables.insert(slot, t)
+        if self._stack and self._stack[-1].cell is not None:
+            self._stack[-1].cell_frozen = True  # drop text after inner table
 
     # -- HTMLParser hooks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs_list) -> None:
@@ -237,7 +245,7 @@ class _TableParser(HTMLParser):
         top = self._stack[-1]
         if self._caption_depth:
             top.caption_pieces.append(data)
-        elif top.cell is not None:
+        elif top.cell is not None and not top.cell_frozen:
             top.cell[0].append(data)
 
     def close(self) -> None:  # truncated docs: flush every open level

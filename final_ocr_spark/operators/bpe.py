@@ -42,8 +42,14 @@ from pyspark.sql.functions import pandas_udf
 _EOW = "</w>"
 
 # the engine's canonical pre-tokenization (text_stats.token_count's rule):
-# digit runs and punctuation runs become their own words
-_PRETOK_RE = r"([0-9]+|[^\w\s]+)"
+# digit runs and punctuation runs become their own words. Java regex \w/\s
+# are ASCII-only by default while Python's are Unicode — the (?U) flag on
+# the Spark side aligns them (probed equal on Latin/Greek/CJK/Arabic;
+# differential-pinned in tests with non-ASCII samples), otherwise training
+# would learn merges over fragments the encoder never produces.
+_PRETOK_RE = r"([0-9]+|[^\w\s]+)"          # Python re (Unicode by default)
+_PRETOK_RE_SPARK = "(?U)" + _PRETOK_RE     # Java regex, Unicode classes
+_SPLIT_RE_SPARK = r"(?U)\s+"
 
 
 def pre_tokenize(text: str) -> list[str]:
@@ -69,7 +75,8 @@ def word_frequencies(
     if lowercase:
         t = F.lower(t)
     words = F.split(
-        F.trim(F.regexp_replace(t, _PRETOK_RE, r" $1 ")), r"\s+"
+        F.trim(F.regexp_replace(t, _PRETOK_RE_SPARK, r" $1 ")),
+        _SPLIT_RE_SPARK,
     )
     freq = (
         corpus.select(F.explode(words).alias("word"))

@@ -179,7 +179,6 @@ def schedule_frontier(
         F.desc("priority"), F.asc("url")
     )
     out = frontier.withColumn("_rank", F.row_number().over(w) - F.lit(1))
-    stride = F.lit(1)
     if host_delays is not None:
         d = host_delays.select(
             F.lower(F.col("host")).alias("host"),
@@ -191,12 +190,15 @@ def schedule_frontier(
                        F.lit(1)),
             F.lit(max_delay_waves),
         )
-        stride = F.coalesce(stride, F.lit(1))
-    out = out.withColumn(
-        "wave",
-        (F.floor(F.col("_rank") / F.lit(per_host_per_wave)) * stride)
-        .cast("long"),
-    )
+        # a host that declared a delay gets ONE url per wave-group — k>1
+        # inside a wave would mean k simultaneous fetches to a host that
+        # asked for spacing between every request (review-caught)
+        wave = F.when(
+            F.col("_delay").isNotNull(), F.col("_rank") * stride
+        ).otherwise(F.floor(F.col("_rank") / F.lit(per_host_per_wave)))
+    else:
+        wave = F.floor(F.col("_rank") / F.lit(per_host_per_wave))
+    out = out.withColumn("wave", wave.cast("long"))
     return out.select(
         *[c for c in frontier.columns], "wave"
     )

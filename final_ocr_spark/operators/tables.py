@@ -74,12 +74,17 @@ def extract_tables(
                 if raw is None:
                     continue
                 text, _charset, _src = decode_html(bytes(raw))
-                idx = 0
-                for t in extract_tables_html(text):
+                emitted = 0
+                # table_idx is DOCUMENT order over all parsed tables — a
+                # filtered layout grid still consumes its index, so idx
+                # stays a stable provenance pointer across different
+                # min_rows/min_cols settings (review-caught)
+                for idx, t in enumerate(extract_tables_html(text)):
                     if t["n_rows"] < min_rows or t["n_cols"] < min_cols:
                         continue
-                    if idx >= max_tables_per_page:
+                    if emitted >= max_tables_per_page:
                         break
+                    emitted += 1
                     out["url"].append(urls[i])
                     out["warc_ts"].append(tss[i])
                     out["table_idx"].append(idx)
@@ -92,7 +97,6 @@ def extract_tables(
                         out["markdown"].append(
                             table_to_markdown(t["header"], t["rows"])
                         )
-                    idx += 1
             if out["url"]:  # empty frames carry wrong dtypes (float64
                 # columns can't Arrow-cast to timestamp) — yield nothing
                 yield pd.DataFrame(out, columns=out_cols)

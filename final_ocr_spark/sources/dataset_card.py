@@ -50,8 +50,10 @@ def corpus_stats(
     host_col = host_col if host_col in cols else None
     quality_col = quality_col if quality_col in cols else None
 
+    # NOTE: only the slim DERIVED columns enter the checkpoint — carrying
+    # the text column itself would persist the whole corpus for nothing
+    # (review-caught)
     base = corpus.select(
-        F.col(text_col).alias("_t"),
         token_count(F.col(text_col)).alias("_tok"),
         F.length(text_col).alias("_chars"),
         *([F.col(lang_col).alias("_lang")] if lang_col else []),

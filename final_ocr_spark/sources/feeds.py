@@ -28,13 +28,14 @@ stage of the same shape as operators/metadata.py.
 
 from __future__ import annotations
 
-import gzip
 from html.parser import HTMLParser
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from final_ocr_spark.sources._ingest import gunzip_and_strip_bom
 
 # RFC 822 (RSS) then RFC 3339/W3C (Atom), most-specific first. Spark 3+
 # forbids 'E' (weekday) in PARSE patterns, so the redundant "Mon, " prefix
@@ -78,18 +79,23 @@ def _rss_items(channel, max_items: int):
 
 
 def _parse_rss_item(item) -> tuple:
+    # first NON-NULL wins everywhere: items routinely carry namespaced
+    # siblings with the same localname (<atom:link rel=enclosure/> has no
+    # text, <media:title>/<itunes:title> follow the real <title>) — a
+    # last-wins overwrite nulls the link / clobbers the title
+    # (review-caught, test-pinned)
     title = link = guid = pub = summary = None
     for f in item:
         name = _localname(f.tag)
-        if name == "title":
+        if name == "title" and title is None:
             title = _text(f)
-        elif name == "link":
+        elif name == "link" and link is None:
             link = _text(f)
-        elif name == "guid":
+        elif name == "guid" and guid is None:
             guid = _text(f)
-        elif name == "pubDate" or name == "date":  # <dc:date> in RSS 1.0
+        elif name in ("pubDate", "date") and pub is None:  # dc:date in RSS 1.0
             pub = _text(f)
-        elif name == "description":
+        elif name == "description" and summary is None:
             summary = _text(f)
     return title, link, guid, pub, summary
 
@@ -98,7 +104,7 @@ def _parse_atom_entry(entry) -> tuple:
     title = link = guid = pub = updated = summary = None
     for f in entry:
         name = _localname(f.tag)
-        if name == "title":
+        if name == "title" and title is None:  # first-wins (media:title etc.)
             title = _text(f)
         elif name == "link":
             rel = f.get("rel") or "alternate"
@@ -123,15 +129,9 @@ def _parse_one(body: bytes | None, max_items: int) -> list[tuple]:
     def err(msg: str) -> list[tuple]:
         return [(None, None, None, None, None, None, None, msg)]
 
-    if body is None or not body.strip():
-        return err("empty body")
-    if body[:2] == b"\x1f\x8b":
-        try:
-            body = gzip.decompress(body)
-        except Exception as e:
-            return err(f"gzip: {e}")
-    if body[:3] == b"\xef\xbb\xbf":
-        body = body[3:]
+    body, ingest_err = gunzip_and_strip_bom(body)
+    if ingest_err is not None:
+        return err(ingest_err)
     try:
         root = ET.fromstring(body)
     except ET.ParseError as e:

@@ -32,12 +32,13 @@ XML declaration/root '<' and emit kind='url' rows with null metadata.
 
 from __future__ import annotations
 
-import gzip
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from final_ocr_spark.sources._ingest import gunzip_and_strip_bom
 
 # W3C datetime (the sitemaps.org lastmod format family), most-specific first
 _LASTMOD_FORMATS = [
@@ -58,17 +59,9 @@ def _parse_one(src: str, body: bytes | None, max_urls: int):
     error). Never raises — malformed input yields one error row."""
     import xml.etree.ElementTree as ET
 
-    if body is None or not body.strip():
-        return [(None, None, None, None, None, "empty body")]
-    if body[:2] == b"\x1f\x8b":
-        try:
-            body = gzip.decompress(body)
-        except Exception as e:
-            return [(None, None, None, None, None, f"gzip: {e}")]
-    # a UTF-8 BOM (common from Windows/.NET generators) must not defeat the
-    # XML sniff — lstrip only strips whitespace, not the BOM bytes
-    if body[:3] == b"\xef\xbb\xbf":
-        body = body[3:]
+    body, ingest_err = gunzip_and_strip_bom(body)
+    if ingest_err is not None:
+        return [(None, None, None, None, None, ingest_err)]
     stripped = body.lstrip()
     if not stripped.startswith(b"<"):
         # plain-text sitemap: one URL per line (sitemaps.org allows it)

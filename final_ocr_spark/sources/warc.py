@@ -653,7 +653,12 @@ def write_warc(
         F.col(html_col).alias("html"),
     )
     os.makedirs(out_dir, exist_ok=True)
-    n_input = slim.count()
+    # skipped accounting rides an accumulator instead of a second full scan
+    # of the (possibly expensive) pages lineage; accumulators are
+    # at-least-once under task retries, so the count is a monitoring
+    # number, never an invariant (the invariant checks below use the
+    # committed index + on-disk sizes)
+    skipped_acc = pages.sparkSession.sparkContext.accumulator(0)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -668,6 +673,7 @@ def write_warc(
                 rows = []
                 for url, ts, raw in zip(pdf["url"], pdf["ts"], pdf["html"]):
                     if url is None or raw is None:
+                        skipped_acc.add(1)
                         continue
                     body = bytes(raw)
                     date = ts or "1970-01-01T00:00:00Z"
@@ -739,9 +745,8 @@ def write_warc(
                 f"write_warc: {m['file']} is {actual} bytes but the index "
                 f"says {m['bytes']} — offset bookkeeping diverged"
             )
-    skipped = n_input - sum(m["records"] for m in rows)
     with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as f:
-        json.dump({"files": rows, "skipped": skipped}, f, indent=1)
+        json.dump({"files": rows, "skipped": skipped_acc.value}, f, indent=1)
     with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8"):
         pass
     return rows

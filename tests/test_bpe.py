@@ -73,16 +73,37 @@ def test_encode_roundtrip(w):
 def test_pretokenize_matches_column_rule(spark):
     import pyspark.sql.functions as F
 
-    samples = ["Price: 1,234.56 USD!", "foo-bar baz_qux 42", "  ", "a.b,c"]
+    from final_ocr_spark.operators.bpe import _PRETOK_RE_SPARK, _SPLIT_RE_SPARK
+
+    samples = [
+        "Price: 1,234.56 USD!", "foo-bar baz_qux 42", "  ", "a.b,c",
+        # non-ASCII: Java \w is ASCII-only without (?U) — these pin the flag
+        "café olé", "naïve — résumé", "日本語のテキスト!", "Ωμέγα_σ",
+        "عربى ١٢٣", "Straße über",
+    ]
     df = spark.createDataFrame([(s,) for s in samples], ["t"])
     spark_words = [
         [w for w in r["w"] if w]
         for r in df.select(
             F.split(F.trim(F.regexp_replace(
-                "t", r"([0-9]+|[^\w\s]+)", r" $1 ")), r"\s+").alias("w")
+                "t", _PRETOK_RE_SPARK, r" $1 ")), _SPLIT_RE_SPARK).alias("w")
         ).collect()
     ]
     assert spark_words == [pre_tokenize(s) for s in samples]
+
+
+def test_unicode_words_train_and_encode_consistently(spark):
+    # the review-caught bug: training fragments must be the encoder's words
+    from final_ocr_spark.operators.bpe import bpe_encode, train_bpe, word_frequencies
+
+    corpus = spark.createDataFrame(
+        [("café café café olé",), ("résumé café naïve",)], ["text"])
+    wf = {r["word"]: r["count"] for r in word_frequencies(corpus, "text").collect()}
+    assert wf["café"] == 4  # whole word, not 'caf' + 'é'
+    merges = train_bpe(corpus, "text", n_merges=50, min_pair_count=2)
+    toks = spark.createDataFrame([("café",)], ["text"]).select(
+        bpe_encode("text", merges).alias("t")).first()["t"]
+    assert toks == ["café" + _EOW]  # trained merges apply to the real word
 
 
 def test_spark_train_and_count(spark):

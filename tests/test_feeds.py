@@ -130,3 +130,23 @@ def test_discover_and_spark_discovery(spark):
     assert {r["feed_url"] for r in rows} == {
         "http://site.com/feed.xml", "http://x.com/atom"
     }
+
+
+def test_namespaced_siblings_do_not_clobber():
+    # review-caught: podcast/WordPress items carry <atom:link/> (no text)
+    # and <media:title> after the real fields — first non-null must win
+    body = (
+        b'<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom" '
+        b'xmlns:media="http://search.yahoo.com/mrss/"><channel>'
+        b"<title>Pod</title>"
+        b"<item><title>Ep 1</title><link>http://x.com/ep1</link>"
+        b'<atom:link rel="enclosure" href="http://x.com/ep1.mp3"/>'
+        b"<media:title>thumb title</media:title>"
+        b"<description>real</description>"
+        b"<media:description>alt</media:description></item>"
+        b"</channel></rss>"
+    )
+    rows = _parse_one(body, 10)
+    kind, ft, title, link, guid, pub, summary, err = rows[0]
+    assert title == "Ep 1" and link == "http://x.com/ep1"
+    assert summary == "real" and err is None

@@ -252,3 +252,21 @@ def test_crawl_delays_stdlib_semantics(spark):
     got2 = {r["host"]: r["crawl_delay"]
             for r in crawl_delays(robots, agent="mybot").collect()}
     assert got2["agent.com"] == 2.0        # specific agent group wins
+
+
+def test_delayed_host_never_parallel_within_wave(spark):
+    # review-caught: a host with a declared Crawl-delay gets ONE url per
+    # wave even when per_host_per_wave > 1
+    from final_ocr_spark.operators.frontier import schedule_frontier
+
+    fr = spark.createDataFrame(
+        [(f"http://slow.com/{i}", "slow.com", float(9 - i)) for i in range(4)]
+        + [(f"http://fast.com/{i}", "fast.com", float(9 - i)) for i in range(4)],
+        "url string, host string, priority double",
+    )
+    delays = spark.createDataFrame([("slow.com", 5.0)],
+                                   "host string, crawl_delay double")
+    got = {r["url"]: r["wave"] for r in schedule_frontier(
+        fr, per_host_per_wave=2, host_delays=delays).collect()}
+    assert [got[f"http://slow.com/{i}"] for i in range(4)] == [0, 5, 10, 15]
+    assert [got[f"http://fast.com/{i}"] for i in range(4)] == [0, 0, 1, 1]

@@ -167,3 +167,34 @@ def test_spark_operator(spark):
     # data-tables-only setting sheds the 1x1 layout grid
     strict = extract_tables(pages, min_rows=1, min_cols=2).collect()
     assert len(strict) == 1 and strict[0]["header"] == ["k", "v"]
+
+
+def test_text_after_inner_table_dropped():
+    # review-caught: docstring contract — trailing outer-cell text after a
+    # nested table is dropped, never glued onto the pre-table text
+    ts = extract_tables_html(
+        "<table><tr><td>before"
+        "<table><tr><td>inner</td></tr></table>"
+        "after</td><td>other</td></tr></table>"
+    )
+    assert ts[0]["rows"] == [["before", "other"]]
+    assert ts[1]["rows"] == [["inner"]]
+
+
+def test_table_idx_is_document_order(spark):
+    # review-caught: a filtered layout table still consumes its index
+    import datetime
+
+    html = (
+        "<table><tr><td>layout</td></tr></table>"  # 1x1, filtered
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>a</td><td>1</td></tr></table>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("http://t.com/p", datetime.datetime(2026, 1, 1), html)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    from final_ocr_spark.operators.tables import extract_tables
+
+    out = extract_tables(pages, min_rows=1, min_cols=2).collect()
+    assert len(out) == 1 and out[0]["table_idx"] == 1  # second in doc order
