@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--tfidf-k", type=int, default=0,
                     help="per-doc top TF-IDF terms; 0 disables the stage")
     ap.add_argument("--cms-depth", type=int, default=4)
+    ap.add_argument("--dataset-card", default=None, metavar="PATH.md",
+                    help="also render a markdown dataset card (+ .json) of "
+                         "bounded corpus statistics at this path")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -107,6 +110,20 @@ def main() -> None:
     if args.tfidf_k:
         (tf_idf_top_terms(docs, args.key_col, args.text_col, k=args.tfidf_k)
          .write.mode("overwrite").parquet(str(out / "tfidf")))
+
+    if args.dataset_card:
+        from final_ocr_spark.sources.dataset_card import write_dataset_card
+        from final_ocr_spark.streaming.stateful import with_host
+
+        card_in = docs
+        if "host" not in card_in.columns and args.key_col == "url":
+            card_in = with_host(card_in.withColumnRenamed(args.key_col, "url"))
+        stats = write_dataset_card(
+            card_in, args.dataset_card, name=pathlib.Path(args.output).name,
+            text_col=args.text_col,
+        )
+        print(f"dataset card written: {args.dataset_card} "
+              f"docs={stats['docs']} tokens={stats['tokens']}")
 
     for name in ("profile", "lang_rollup", "heavy_hitters", "cms") + (
             ("tfidf",) if args.tfidf_k else ()):
