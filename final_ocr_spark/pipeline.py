@@ -95,6 +95,7 @@ def corpus_pipeline(
     benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
     cluster_algorithm: str = "jump",
+    mime_gate: bool = False,
     fix_mojibake: bool = False,
     normalize_form: str | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
@@ -146,6 +147,19 @@ def corpus_pipeline(
 
         pages = indexable_pages(
             pages, page_metadata(pages), respect_canonical=respect_canonical
+        )
+
+    # 0d. MIME gate (optional): magic-byte routing BEFORE the Python
+    # extraction stage — media/archive payloads (mislabeled Content-Type is
+    # the norm) never reach the UDF. Pure codegen, fuses into the scan.
+    # Text-only rows (html null, text set) pass through untouched.
+    if mime_gate:
+        from final_ocr_spark.operators.mime import route_for_mime, sniff_mime
+
+        route = route_for_mime(sniff_mime("html"))
+        pages = pages.filter(
+            F.col("html").isNull()
+            | route.isin("extract_html", "extract_pdf")
         )
 
     # 1. extract + latest-wins url dedup; quarantined rows dropped

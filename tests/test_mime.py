@@ -74,3 +74,35 @@ def test_route_unknown_label_null(spark):
     df = spark.createDataFrame([("nonsense",), (None,)], "m string")
     got = [r["r"] for r in df.select(route_for_mime("m").alias("r")).collect()]
     assert got == [None, None]
+
+
+def test_pipeline_mime_gate(spark):
+    """mime_gate sheds media payloads before extraction; html and text-only
+    rows pass through."""
+    import datetime
+
+    from final_ocr_spark.pipeline import corpus_pipeline
+
+    ts = datetime.datetime(2026, 1, 1)
+    body = ("<html><body><p>genuine page with plenty of readable english "
+            "prose so every quality gate is satisfied here today</p>"
+            "</body></html>").encode()
+    rows = [
+        ("http://a.com/html", ts, body, None, None),
+        ("http://a.com/png", ts,
+         bytes.fromhex("89504E470D0A1A0A") + b"fakeimg", None, None),
+        ("http://a.com/textonly", ts, None,
+         "plain text fallback row with enough english words to pass the "
+         "quality gates of the corpus pipeline easily", None),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b) if b else None, x, l) for u, t, b, x, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = corpus_pipeline(
+        pages, min_quality=0.0, gopher=False, redact=False,
+        near_dup=False, mime_gate=True,
+    )
+    urls = {r["url"] for r in out.select("url").collect()}
+    assert "http://a.com/png" not in urls
+    assert {"http://a.com/html", "http://a.com/textonly"} <= urls
