@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -1044,11 +1044,53 @@ def paragraph_dedup(
     count column. 64-bit hash collisions (≈n²/2^65) can merge two distinct
     paragraphs — same accepted tradeoff as ``dedup_exact``.
     """
-    arr = F.split(F.col(text_col), "\n")
+    return _segment_dedup(
+        df, key, text_col,
+        arr=F.split(F.col(text_col), "\n"), joiner="\n",
+        min_chars=min_chars, drop_col="n_paras_dropped",
+    )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 40,
+) -> DataFrame:
+    """Corpus-level SENTENCE dedup, first-occurrence-wins: the granularity
+    below :func:`paragraph_dedup` — syndicated ledes, wire-service opening
+    sentences, and quote spam repeat inside otherwise-unique paragraphs, so
+    neither doc- nor paragraph-level dedup sees them. Same slim kill-set
+    machinery (hashes shuffle, sentences don't); segmentation is
+    operators/sentences.py's protected split. Higher ``min_chars`` default
+    than paragraphs: short sentences legitimately repeat ("Thanks!",
+    "Read more.") and are not dedup targets.
+
+    Rebuild NOTE: affected docs re-join their sentences with a single
+    space, so intra-paragraph newlines in those docs normalize — the same
+    formatting contract as paragraph_dedup's rebuilt docs. Unaffected docs
+    are byte-identical."""
+    from final_ocr_spark.operators.sentences import sentences
+
+    return _segment_dedup(
+        df, key, text_col,
+        arr=sentences(F.col(text_col)), joiner=" ",
+        min_chars=min_chars, drop_col="n_sents_dropped",
+    )
+
+
+def _segment_dedup(
+    df: DataFrame, key: str, text_col: str, *,
+    arr: Column, joiner: str, min_chars: int, drop_col: str,
+) -> DataFrame:
+    """Shared first-occurrence-wins segment dedup (paragraph/sentence):
+    explode slim (key, pos, hash) rows → duplicated-hash owners via
+    map-side agg → per-affected-doc kill positions → one join + in-place
+    array-filter rebuild. Segment strings never shuffle."""
     occ = (
-        df.select(F.col(key), F.posexplode(arr).alias("pos", "para"))
-        .filter(F.length("para") >= min_chars)
-        .select(key, "pos", F.xxhash64("para").alias("_h"))
+        df.select(F.col(key), F.posexplode(arr).alias("pos", "seg"))
+        .filter(F.length("seg") >= min_chars)
+        .select(key, "pos", F.xxhash64("seg").alias("_h"))
     )
     owners = occ.groupBy("_h").agg(
         F.min(F.struct(key, "pos")).alias("_first"),
@@ -1061,7 +1103,8 @@ def paragraph_dedup(
         .agg(F.sort_array(F.collect_set("pos")).alias("_kill"))
     )
     rebuilt = F.array_join(
-        F.filter(arr, lambda p, i: ~F.array_contains(F.col("_kill"), i)), "\n"
+        F.filter(arr, lambda p, i: ~F.array_contains(F.col("_kill"), i)),
+        joiner,
     )
     return (
         df.join(kill, key, "left")
@@ -1070,7 +1113,7 @@ def paragraph_dedup(
             F.when(F.col("_kill").isNull(), F.col(text_col)).otherwise(rebuilt),
         )
         .withColumn(
-            "n_paras_dropped",
+            drop_col,
             # size(NULL) is -1 under legacy sizeOfNull — branch, don't coalesce
             F.when(F.col("_kill").isNull(), F.lit(0)).otherwise(F.size("_kill")),
         )
