@@ -107,6 +107,7 @@ def corpus_pipeline(
     host_boilerplate_ratio: float | None = None,
     host_boilerplate_min_pages: int = 5,
     paragraph_dedup_min_chars: int | None = None,
+    sentence_dedup_min_chars: int | None = None,
     span_dedup_gram_n: int | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_threshold: float = 0.5,
@@ -286,6 +287,28 @@ def corpus_pipeline(
             )
             .filter(F.col("quality_score") >= F.lit(min_quality))
             .drop("n_paras_dropped")
+        )
+
+    # 4b'. sentence dedup (optional): the granularity below 4b — syndicated
+    # ledes/wire sentences repeating inside otherwise-unique paragraphs.
+    # Same post-rebuild hygiene: emptied docs drop, quality re-scores.
+    if sentence_dedup_min_chars is not None:
+        from final_ocr_spark.operators.dedup import sentence_dedup
+
+        docs = (
+            sentence_dedup(
+                docs, key="url", text_col="text",
+                min_chars=sentence_dedup_min_chars,
+            )
+            .filter(F.length("text") > 0)
+            .withColumn(
+                "quality_score",
+                F.when(
+                    F.col("n_sents_dropped") > 0, quality_score(F.col("text"))
+                ).otherwise(F.col("quality_score")),
+            )
+            .filter(F.col("quality_score") >= F.lit(min_quality))
+            .drop("n_sents_dropped")
         )
 
     # 4c. duplicate-span dedup (optional): Lee-et-al exact-substring removal

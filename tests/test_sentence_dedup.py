@@ -83,3 +83,40 @@ def test_sentence_dedup_slim_plan(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "seg" not in m.group(1)
+
+
+def test_pipeline_sentence_stage(spark):
+    """Pipeline stage 4b': planted syndicated lede drops from the later doc;
+    unaffected doc untouched."""
+    import datetime
+
+    from final_ocr_spark.pipeline import corpus_pipeline
+
+    lede = ("Officials confirmed on Tuesday that the merger between the two "
+            "companies will proceed as planned this quarter.")
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, body):
+        return (url, ts,
+                f"<html><body><p>{body}</p></body></html>".encode(),
+                None, None)
+
+    rows = [
+        page("http://a.com/1",
+             f"{lede} Original analysis with plenty of additional unique "
+             "english prose for the quality gates to accept happily."),
+        page("http://b.com/syndicated",
+             f"{lede} Different second take with plenty of additional "
+             "unique english prose for the quality gates to accept."),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r["url"]: r["text"] for r in corpus_pipeline(
+        pages, min_quality=0.0, gopher=False, redact=False, near_dup=False,
+        sentence_dedup_min_chars=40,
+    ).collect()}
+    assert lede in out["http://a.com/1"]
+    assert lede not in out["http://b.com/syndicated"]
+    assert "Different second take" in out["http://b.com/syndicated"]
