@@ -55,6 +55,17 @@ def main() -> None:
                          "before extraction (broadcast anti-join)")
     ap.add_argument("--url-patterns", action="store_true",
                     help="enable the pinned default URL hygiene patterns")
+    ap.add_argument("--sentence-dedup", type=int, default=None,
+                    metavar="MIN_CHARS",
+                    help="corpus-level repeated-sentence removal for "
+                         "sentences of at least MIN_CHARS chars "
+                         "(syndicated ledes)")
+    ap.add_argument("--mime-gate", action="store_true",
+                    help="drop media/archive payloads by magic bytes "
+                         "before extraction")
+    ap.add_argument("--fix-mojibake", action="store_true",
+                    help="repair UTF-8-as-cp1252/latin-1 mis-decoded text "
+                         "before the quality gates")
     ap.add_argument("--paragraph-dedup", type=int, default=None,
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-paragraph removal for "
@@ -150,6 +161,9 @@ def main() -> None:
         url_patterns=DEFAULT_URL_PATTERNS if args.url_patterns else (),
         host_boilerplate_ratio=args.host_boilerplate,
         paragraph_dedup_min_chars=args.paragraph_dedup,
+        sentence_dedup_min_chars=args.sentence_dedup,
+        mime_gate=args.mime_gate,
+        fix_mojibake=args.fix_mojibake,
         span_dedup_gram_n=args.span_dedup,
         min_quality=args.min_quality,
         gopher=not args.no_gopher,
