@@ -173,3 +173,47 @@ def tf_idf_top_terms(
         .select(F.col("_k").alias(key), "term", "tf", "doc_freq",
                 F.round("tf_idf", 9).alias("tf_idf"), "rank")
     )
+
+
+def syllable_count(word_col) -> Column:
+    """Column: estimated syllables in ONE word — vowel-group counting with
+    the standard silent-'e' adjustment (the heuristic every readability
+    library uses; exact syllabification needs a dictionary). Minimum 1 for
+    any word containing a letter."""
+    col = word_col if isinstance(word_col, Column) else F.col(word_col)
+    w = F.lower(col)
+    groups = F.size(
+        F.filter(F.split(w, r"[^aeiouy]+"), lambda s: s != "")
+    )
+    silent_e = (
+        w.rlike(r"[^aeiouy]e$") & ~w.rlike(r"(le|re)$")
+    ).cast("int")
+    has_letter = w.rlike(r"[a-z]")
+    return F.when(
+        has_letter, F.greatest(groups - silent_e, F.lit(1))
+    ).otherwise(F.lit(0))
+
+
+def flesch_reading_ease(text_col) -> Column:
+    """Column: Flesch Reading Ease — 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words). Higher = easier; English prose lands ~30-80,
+    word salad and SEO keyword stuffing land far outside. Composes the
+    engine's own sentence splitter and tokenizer; everything is Column
+    arithmetic (the aggregate-over-array syllable sum is an interpreted
+    HOF on an already-materialized array — no re-evaluation blowup).
+    Null/empty text → null."""
+    from final_ocr_spark.operators.sentences import sentence_count
+
+    toks = tokens(text_col)
+    n_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    n_sents = F.greatest(sentence_count(text_col), F.lit(1))
+    n_syll = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, t: acc + syllable_count(t),
+    )
+    return F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words),
+    ).otherwise(F.lit(None).cast("double"))

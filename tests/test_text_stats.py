@@ -53,3 +53,49 @@ def test_profile_documents(spark):
     cols = set(prof.columns)
     assert {"quality_score", "n_tokens", "fingerprint", "stopword_ratio"} <= cols
     assert all(0 <= r["quality_score"] <= 100 for r in rows)
+
+
+def test_syllable_and_flesch(spark):
+    """Syllable heuristic vs a pure-Python twin; Flesch orders simple prose
+    above dense academic prose; degenerate inputs behave."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from final_ocr_spark.operators.text_stats import (
+        flesch_reading_ease,
+        syllable_count,
+    )
+
+    def py_syllables(word):
+        w = word.lower()
+        if not re.search(r"[a-z]", w):
+            return 0
+        groups = len([g for g in re.split(r"[^aeiouy]+", w) if g])
+        silent = 1 if (re.search(r"[^aeiouy]e$", w)
+                       and not re.search(r"(le|re)$", w)) else 0
+        return max(groups - silent, 1)
+
+    words = ["cat", "table", "make", "syllable", "readability", "the",
+             "queue", "rhythm", "fire", "123", "!?", "acre"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r["w"]: r["n"] for r in df.select(
+        "w", syllable_count("w").alias("n")).collect()}
+    for w in words:
+        assert got[w] == py_syllables(w), (w, got[w], py_syllables(w))
+    assert got["cat"] == 1 and got["make"] == 1 and got["table"] == 2
+
+    simple = ("The cat sat on the mat. The dog ran to the park. "
+              "We like to play all day. It is fun in the sun.")
+    dense = ("Notwithstanding institutional heterogeneity, epistemological "
+             "considerations necessitate comprehensive multidimensional "
+             "reconceptualization of organizational phenomenology.")
+    rows = spark.createDataFrame(
+        [("simple", simple), ("dense", dense), ("empty", ""), ("null", None)],
+        ["k", "t"],
+    ).select("k", flesch_reading_ease("t").alias("f")).collect()
+    f = {r["k"]: r["f"] for r in rows}
+    assert f["simple"] > 75          # easy prose
+    assert f["dense"] < 0            # word-salad academic pileup
+    assert f["simple"] > f["dense"]
+    assert f["empty"] is None and f["null"] is None
