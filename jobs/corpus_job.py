@@ -70,6 +70,12 @@ def main() -> None:
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-paragraph removal for "
                          "paragraphs of at least MIN_CHARS chars")
+    ap.add_argument("--tables-output", default=None,
+                    help="also extract structured HTML tables from the RAW "
+                         "input pages (url, table_idx, caption, header, "
+                         "rows, markdown) to this parquet path")
+    ap.add_argument("--tables-min-rows", type=int, default=2)
+    ap.add_argument("--tables-min-cols", type=int, default=2)
     ap.add_argument("--wet-output", default=None,
                     help="also export the corpus as WET-style WARC "
                          "conversion records (.warc.gz) at this directory "
@@ -204,6 +210,16 @@ def main() -> None:
         recs = sum(m["records"] for m in manifest)
         print(f"wet written: {args.wet_output} records={recs} "
               f"files={sum(1 for m in manifest if m['file'])}")
+    if args.tables_output:
+        from final_ocr_spark.operators.tables import extract_tables
+
+        tabs = extract_tables(
+            pages, min_rows=args.tables_min_rows,
+            min_cols=args.tables_min_cols, markdown=True,
+        )
+        tabs.write.mode("overwrite").parquet(args.tables_output)
+        n_tabs = spark.read.parquet(args.tables_output).count()
+        print(f"tables written: {args.tables_output} rows={n_tabs}")
     if args.wat_output:
         from final_ocr_spark.sources.warc import write_wat
 
