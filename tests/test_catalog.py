@@ -311,3 +311,25 @@ def test_merge_is_the_recrawl_path(spark, cat):
     d = {r["url"]: r["change"]
          for r in cat.diff(spark, "pages", from_snapshot=pre).collect()}
     assert d == {"http://a.com/1": "modified", "http://a.com/3": "added"}
+
+
+def test_expire_reclaims_merge_superseded_files(spark, cat, tmp_path):
+    """The CoW lifecycle closes: files rewritten by merge stay on disk for
+    time travel until expire drops the old snapshots, then are reclaimed."""
+    import pathlib
+
+    cat.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), "t")
+    pre_files = {f["path"] for f in cat.current_snapshot("t")["files"]}
+    cat.merge(spark, spark.createDataFrame([(1, "a2")], ["id", "v"]),
+              "t", key="id")
+    tdir = pathlib.Path(cat.table_dir("t"))
+    # superseded file still on disk (parent snapshot time-travels)
+    assert all((tdir / p).exists() for p in pre_files)
+    removed = cat.expire("t", keep_last=1)
+    assert removed >= 1
+    post_files = {f["path"] for f in cat.current_snapshot("t")["files"]}
+    for p in pre_files - post_files:
+        assert not (tdir / p).exists()  # reclaimed
+    # table still reads correctly after expiry
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {1: "a2", 2: "b"}
