@@ -217,3 +217,36 @@ def flesch_reading_ease(text_col) -> Column:
         - F.lit(1.015) * (n_words / n_sents)
         - F.lit(84.6) * (n_syll / n_words),
     ).otherwise(F.lit(None).cast("double"))
+
+
+def flagged_token_ratio(text_col, wordlist: list[str]) -> Column:
+    """Column: fraction of tokens whose lowercase form is in ``wordlist`` —
+    the classic blocklist signal (UT1-style adult/toxicity lists, spam
+    vocabularies; the list is caller-supplied policy, never baked in).
+    Small lists inline as an `isin` literal set (codegen); use
+    ``wordlist_gate`` for the operator form with thresholds."""
+    if not wordlist:
+        raise ValueError("wordlist must be non-empty")
+    wl = sorted({w.lower() for w in wordlist})
+    toks = tokens(text_col)
+    n = F.size(toks)
+    flagged = F.size(F.filter(toks, lambda t: F.lower(t).isin(*wl)))
+    return F.when(n > 0, flagged / n).otherwise(F.lit(0.0))
+
+
+def wordlist_gate(
+    docs,
+    wordlist: list[str],
+    text_col: str = "text",
+    max_ratio: float = 0.01,
+    ratio_col: str | None = None,
+):
+    """Filter docs whose flagged-token ratio exceeds ``max_ratio`` (keep
+    rows at or under). Scan-local Column work, composes anywhere in the
+    pipeline; pass ``ratio_col`` to also keep the signal as a column for
+    audit instead of silently dropping."""
+    r = flagged_token_ratio(F.col(text_col), wordlist)
+    if ratio_col is not None:
+        docs = docs.withColumn(ratio_col, r)
+        return docs.filter(F.col(ratio_col) <= F.lit(float(max_ratio)))
+    return docs.filter(r <= F.lit(float(max_ratio)))

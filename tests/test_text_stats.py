@@ -99,3 +99,36 @@ def test_syllable_and_flesch(spark):
     assert f["dense"] < 0            # word-salad academic pileup
     assert f["simple"] > f["dense"]
     assert f["empty"] is None and f["null"] is None
+
+
+def test_wordlist_gate(spark):
+    from final_ocr_spark.operators.text_stats import (
+        flagged_token_ratio,
+        wordlist_gate,
+    )
+
+    wl = ["casino", "jackpot", "FreeSpins"]
+    rows = [
+        ("clean", "a perfectly ordinary document about cooking pasta well"),
+        ("spam", "casino casino jackpot freespins casino jackpot win now"),
+        ("mild", "one casino mention in twenty other perfectly normal "
+                 "words about travel plans and museum visits this summer"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, ["k", "text"])
+    ratios = {r["k"]: r["r"] for r in df.select(
+        "k", flagged_token_ratio("text", wl).alias("r")).collect()}
+    assert ratios["clean"] == 0.0
+    assert ratios["spam"] > 0.5
+    assert 0.0 < ratios["mild"] < 0.1
+    assert ratios["empty"] == 0.0
+
+    kept = {r["k"] for r in wordlist_gate(df, wl, max_ratio=0.1).collect()}
+    assert kept == {"clean", "mild", "empty"}
+    audited = wordlist_gate(df, wl, max_ratio=0.1, ratio_col="flag_ratio")
+    assert "flag_ratio" in audited.columns
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        flagged_token_ratio("text", [])
