@@ -111,6 +111,12 @@ def profile_documents(df: DataFrame, text_col: str = "text", lang_col: str | Non
     cols.append(quality_score(F.col(text_col)).alias("quality_score"))
     cols.append(bpe_ish_token_count(F.col(text_col)).alias("n_subword_tokens"))
     cols.append(fingerprint64(F.col(text_col)).alias("fingerprint"))
+    cols.append(
+        F.round(flesch_reading_ease(F.col(text_col)), 2).alias("flesch")
+    )
+    from final_ocr_spark.operators.script import dominant_script
+
+    cols.append(dominant_script(F.col(text_col)).alias("script"))
     if lang_col is None:
         cols.append(detect_lang_udf()(F.col(text_col)).alias("lang_detected"))
     return df.select(*cols)
