@@ -53,9 +53,12 @@ def script_ratios(text_col, sample_chars: int = 4096) -> Column:
     fields = [letters.alias("letters")]
     for name, cls in _SCRIPT_CLASSES.items():
         fields.append(
-            F.when(letters > 0,
-                   _count_in_class(head, cls) / letters)
-            .otherwise(F.lit(0.0))
+            # three-way: ratio / 0.0 for letterless text / NULL for null
+            # text ("null > 0" is null and would otherwise fall into the
+            # 0.0 branch, making null docs indistinguishable from
+            # digits-only docs — review-caught)
+            F.when(letters > 0, _count_in_class(head, cls) / letters)
+            .when(letters.isNotNull(), F.lit(0.0))
             .alias(name)
         )
     return F.struct(*fields)

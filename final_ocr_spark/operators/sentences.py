@@ -59,13 +59,17 @@ _PROTECT = [
 ]
 
 # two fixed-width lookbehind alternatives (Python re rejects variable-width
-# lookbehind; Java accepts both forms, so one pattern serves both engines)
+# lookbehind; Java accepts both forms). Java \s/\b/\w are ASCII-ONLY by
+# default while Python's are Unicode (the pinned bpe.py pitfall) — an NBSP
+# between sentences (&nbsp;, ubiquitous in HTML) would split Python-side
+# but not JVM-side — so the Spark forms carry the (?U) Unicode flag.
 _SPLIT_RE = r"(?<=[.!?])\s+|(?<=[.!?][\"'’”)\]])\s+"
+_SPLIT_RE_SPARK = "(?U)" + _SPLIT_RE
 
 
 def _protect_java(col: Column) -> Column:
     for pat, rep in _PROTECT:
-        col = F.regexp_replace(col, pat, rep)
+        col = F.regexp_replace(col, "(?U)" + pat, rep)
     return col
 
 
@@ -78,7 +82,8 @@ def split_sentences(text: str | None) -> list[str] | None:
     for pat, rep in _PROTECT:
         out = re.sub(pat, rep.replace("$1", r"\g<1>"), out)
     pieces = re.split(_SPLIT_RE, out)
-    return [p.replace(_SENTINEL, ".") for p in pieces if p]
+    # whitespace-only pieces are not sentences (the documented contract)
+    return [p.replace(_SENTINEL, ".") for p in pieces if p.strip()]
 
 
 def sentences(text_col) -> Column:
@@ -89,12 +94,14 @@ def sentences(text_col) -> Column:
     pitfalls). null → null, whitespace-only text → empty array."""
     col = text_col if isinstance(text_col, Column) else F.col(text_col)
     protected = _protect_java(col)
-    pieces = F.split(protected, _SPLIT_RE)
+    pieces = F.split(protected, _SPLIT_RE_SPARK)
     return F.filter(
         F.transform(
             pieces, lambda p: F.replace(p, F.lit(_SENTINEL), F.lit("."))
         ),
-        lambda p: p != "",
+        # NOT F.trim: it strips ASCII spaces only (pinned pitfall) — a
+        # "\n" or NBSP piece must drop exactly like Python .strip() does
+        lambda p: ~p.rlike(r"(?U)^\s*$"),
     )
 
 

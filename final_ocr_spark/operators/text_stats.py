@@ -200,16 +200,22 @@ def syllable_count(word_col) -> Column:
     ).otherwise(F.lit(0))
 
 
-def flesch_reading_ease(text_col) -> Column:
+def flesch_reading_ease(text_col, sample_chars: int = 8192) -> Column:
     """Column: Flesch Reading Ease — 206.835 − 1.015·(words/sentences) −
     84.6·(syllables/words). Higher = easier; English prose lands ~30-80,
     word salad and SEO keyword stuffing land far outside. Composes the
     engine's own sentence splitter and tokenizer; everything is Column
     arithmetic (the aggregate-over-array syllable sum is an interpreted
     HOF on an already-materialized array — no re-evaluation blowup).
+    Computed over the first ``sample_chars`` characters: the per-token
+    syllable fold is interpreted, so cost must stay flat per row (the
+    same head-sample bound the script detector uses); readability is a
+    ratio statistic and stabilizes within a couple of KB of prose.
     Null/empty text → null."""
     from final_ocr_spark.operators.sentences import sentence_count
 
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    text_col = F.substring(col, 1, sample_chars)
     toks = tokens(text_col)
     n_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
     n_sents = F.greatest(sentence_count(text_col), F.lit(1))
@@ -236,7 +242,16 @@ def flagged_token_ratio(text_col, wordlist: list[str]) -> Column:
     wl = sorted({w.lower() for w in wordlist})
     toks = tokens(text_col)
     n = F.size(toks)
-    flagged = F.size(F.filter(toks, lambda t: F.lower(t).isin(*wl)))
+    # strip leading/trailing punctuation before comparing: clause-final
+    # occurrences ('word.', 'word,') must match, or the gate systematically
+    # undercounts (review-caught). (?U): curly quotes etc. are \W only
+    # under Unicode classes.
+    flagged = F.size(F.filter(
+        toks,
+        lambda t: F.lower(
+            F.regexp_replace(t, r"(?U)^\W+|\W+$", "")
+        ).isin(*wl),
+    ))
     return F.when(n > 0, flagged / n).otherwise(F.lit(0.0))
 
 

@@ -52,14 +52,30 @@ def incremental_extract(
     if head is None:
         raise FileNotFoundError(f"no such table: {pages_table!r}")
 
+    try:
+        cat.read(spark, extracted_table)
+        exists = True
+    except FileNotFoundError:
+        exists = False
+
     pages = cat.read(spark, pages_table)
-    if since is None and head["parent_id"] is None:
-        # very first snapshot: everything is "changed" — full backfill
+    if since is None and (not exists or head["parent_id"] is None):
+        # no prior processing state (extracted table absent, or the pages
+        # table has only its first snapshot): everything is "changed" —
+        # full backfill. Without the `exists` clause, a first run against
+        # a multi-snapshot pages table would silently process only the
+        # parent→HEAD window and create a partial extracted table
+        # (review-caught, test-pinned).
         n_changed = None
         removed_keys = None
         n_removed = 0
     else:
-        changed = cat.diff(spark, pages_table, from_snapshot=since)
+        # the diff feeds four consumers (two counts, the semi-join, the
+        # delete) — localCheckpoint so the two-snapshot fingerprint join
+        # computes once, not four times (the pinned recompute pitfall)
+        changed = cat.diff(
+            spark, pages_table, from_snapshot=since
+        ).localCheckpoint(eager=False)
         upd_keys = changed.filter(
             F.col("change").isin("added", "modified")
         ).select("url")
@@ -70,6 +86,11 @@ def incremental_extract(
         # Python stage, so unchanged page payloads are never decoded again
         pages = pages.join(upd_keys, "url", "left_semi")
 
+    # row-accounting invariant this loop relies on (pinned by
+    # test_changed_to_junk_payload_updates): extract_pages emits EXACTLY
+    # one row per input url — junk/binary payloads become empty-text or
+    # quarantine rows, never dropped rows — so merge always covers every
+    # changed url and stale extracted rows cannot survive a modification.
     ext = extract_pages(pages, dedup=True, partitions=extract_partitions)
 
     stats: dict = {
@@ -77,12 +98,6 @@ def incremental_extract(
         "n_removed": n_removed,
         "n_changed": n_changed,
     }
-
-    try:
-        cat.read(spark, extracted_table)
-        exists = True
-    except FileNotFoundError:
-        exists = False
 
     if not exists:
         snap = cat.write(ext, extracted_table, mode="append")

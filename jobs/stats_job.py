@@ -116,8 +116,11 @@ def main() -> None:
         from final_ocr_spark.streaming.stateful import with_host
 
         card_in = docs
-        if "host" not in card_in.columns and args.key_col == "url":
-            card_in = with_host(card_in.withColumnRenamed(args.key_col, "url"))
+        # host section requires a real url column; derive host only then
+        # (a non-url --key-col cannot be assumed to hold urls — the card
+        # just omits its host tables in that case)
+        if "host" not in card_in.columns and "url" in card_in.columns:
+            card_in = with_host(card_in)
         stats = write_dataset_card(
             card_in, args.dataset_card, name=pathlib.Path(args.output).name,
             text_col=args.text_col,

@@ -92,3 +92,41 @@ def test_idempotent_window(spark, cat):
         (r["url"], r["extracted_text"])
         for r in cat.read(spark, "extracted").collect())
     assert before == after
+
+
+def test_first_run_on_multi_snapshot_pages_backfills(spark, cat):
+    # review-caught: pages already has TWO snapshots when the extracted
+    # table is first built — the full corpus must backfill, not just the
+    # parent→HEAD window
+    cat.write(gen_pages(spark, 40, seed=5, partitions=2), "pages")
+    cat.write(gen_pages(spark, 10, seed=5, start=2_000_000, partitions=2),
+              "pages", mode="append")
+    s = incremental_extract(spark, cat)
+    n_pages = cat.read(spark, "pages").select("url").distinct().count()
+    n_ext = cat.read(spark, "extracted").count()
+    assert n_ext == n_pages  # every url extracted, not ~10
+    assert s["n_extracted"] == n_ext
+
+
+def test_changed_to_junk_payload_updates(spark, cat):
+    # a url modified to a junk payload must UPDATE its extracted row (the
+    # one-row-per-url extract_pages invariant), never serve stale content
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    cat.write(gen_pages(spark, 20, seed=3, partitions=2), "pages")
+    s1 = incremental_extract(spark, cat)
+    victim = cat.read(spark, "extracted").filter(
+        F.length("extracted_text") > 50).first()
+    junk = spark.createDataFrame(
+        [(victim["url"], datetime.datetime(2027, 1, 1),
+          bytearray(b"\x00\x01\xfe\xffgarbage"), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    cat.merge(spark, junk, "pages", key="url")
+    incremental_extract(spark, cat, since=s1["processed_snapshot"])
+    row = cat.read(spark, "extracted").filter(
+        F.col("url") == victim["url"]).first()
+    assert row is not None
+    assert row["extracted_text"] != victim["extracted_text"]  # no stale text
+    assert (row["extracted_text"] or "") == ""  # junk extracts to nothing

@@ -97,3 +97,12 @@ def test_block_classes_agree_with_unicodedata_names():
         letters = [c for c in text if unicodedata.category(c).startswith("L")]
         in_cls = [c for c in letters if _re.match(f"[{cls}]", c)]
         assert len(in_cls) >= 0.9 * len(letters), (name, letters, in_cls)
+
+
+def test_ratios_null_text_yields_null_fields(spark):
+    # review-caught: "null > 0" is null — must not fall into the 0.0 branch
+    df = spark.createDataFrame([(None,), ("123 !?",)], "t string")
+    rows = df.select(script_ratios("t").alias("s")).collect()
+    null_row, digits_row = rows[0]["s"], rows[1]["s"]
+    assert null_row["letters"] is None and null_row["latin"] is None
+    assert digits_row["letters"] == 0 and digits_row["latin"] == 0.0

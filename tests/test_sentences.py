@@ -39,6 +39,12 @@ def test_column_matches_python(spark):
     texts = [t for t, _ in GOLDENS] + [
         "Mixed! Content? With... ellipsis. And trailing  ",
         "Multi\nline. Breaks\n\nhere. End.",
+        # NBSP / ideographic space between sentences: Java \s is ASCII-only
+        # without (?U) — these pin the Unicode flag (review-caught)
+        "Hi. Next sentence.",
+        "First one.　Second one.",
+        "Tab.\tthen more.   ",
+        "   ",  # whitespace-only → empty both sides
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                ["id", "t"])
@@ -55,11 +61,14 @@ def test_column_matches_python(spark):
 def test_no_loss_invariant(text):
     pieces = split_sentences(text)
     # concatenation reproduces the input minus the inter-sentence
-    # whitespace the split consumed (and fully-whitespace pieces)
+    # whitespace the split consumed and whitespace-only pieces
     import re
     joined = "".join(pieces)
-    assert joined == "".join(re.split(r"(?<=[.!?])\s+|(?<=[.!?][\"'’”)\]])\s+",
-                                      text)).replace("\x01", "")
+    want = "".join(
+        p for p in re.split(r"(?<=[.!?])\s+|(?<=[.!?][\"'’”)\]])\s+", text)
+        if p.strip()
+    ).replace("\x01", "")
+    assert joined == want
 
 
 def test_explode_and_count(spark):

@@ -132,3 +132,17 @@ def test_wordlist_gate(spark):
 
     with _pt.raises(ValueError):
         flagged_token_ratio("text", [])
+
+
+def test_wordlist_matches_through_punctuation(spark):
+    # review-caught: clause-final occurrences ('word.', "word,”") must match
+    from final_ocr_spark.operators.text_stats import flagged_token_ratio
+
+    df = spark.createDataFrame(
+        [("every casino. mention jackpot, ends “freespins.” with punct",)],
+        ["text"],
+    )
+    r = df.select(
+        flagged_token_ratio("text", ["casino", "jackpot", "freespins"])
+        .alias("r")).first()["r"]
+    assert r == 3 / 8
