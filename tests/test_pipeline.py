@@ -410,3 +410,50 @@ def test_corpus_pipeline_host_boilerplate(spark):
         assert nav not in out[f"https://news.example.com/{i}"]
         assert f"article number {i}" in out[f"https://news.example.com/{i}"]
     assert nav in out["https://other.example.org/1"]
+
+
+def test_all_round3_stages_compose(spark):
+    """MIME gate + mojibake repair + paragraph + sentence dedup enabled
+    together: each stage's effect lands, none clobbers another."""
+    import datetime
+
+    from final_ocr_spark.pipeline import corpus_pipeline
+
+    ts = datetime.datetime(2026, 1, 1)
+    lede = ("Officials confirmed the merger will proceed exactly as "
+            "planned for the remainder of this quarter period.")
+
+    def page(url, body_html):
+        return (url, ts, body_html.encode(), None, None)
+
+    # only sequences whose misdecoded view has no whitespace-like
+    # chars (the NBSP view of 0xA0 dies in extraction whitespace
+    # collapse — pinned in test_mojibake): é ö ’ €
+    moji = "rÃ©sumÃ© KÃ¶ln donâ€™t â‚¬99"
+    rows = [
+        page("http://a.com/1",
+             f"<html><body><p>{lede}</p><p>{moji} plus original first "
+             "document prose with plenty of unique english filler words "
+             "to pass the quality gates comfortably today.</p></body></html>"),
+        page("http://b.com/2",
+             f"<html><body><p>{lede}</p><p>A different second document "
+             "middle section with its own unique english filler words to "
+             "pass the quality gates comfortably today.</p></body></html>"),
+    ]
+    # one media payload the MIME gate must shed
+    rows.append(("http://c.com/img", ts,
+                 bytes.fromhex("89504E470D0A1A0A") + b"img", None, None))
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b), x, l) for u, t, b, x, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r["url"]: r["text"] for r in corpus_pipeline(
+        pages, min_quality=0.0, gopher=False, redact=False, near_dup=False,
+        mime_gate=True, fix_mojibake=True,
+        paragraph_dedup_min_chars=30, sentence_dedup_min_chars=40,
+    ).collect()}
+    assert "http://c.com/img" not in out            # MIME gate
+    assert "résumé Köln don’t €99" in out["http://a.com/1"]  # repaired
+    assert lede in out["http://a.com/1"]            # first owner keeps
+    assert lede not in out["http://b.com/2"]        # dedup dropped copy
+    assert "different second document" in out["http://b.com/2"]
