@@ -133,3 +133,25 @@ def extract_pages(
         ext = dedup_latest(ext, key="url", order_col="warc_ts")
 
     return ext
+
+
+def quarantine_report(ext: DataFrame) -> DataFrame:
+    """(error, doc_kind, n_docs, sample_urls) rollup over an extracted
+    table — the operational view of what extraction rejected and why
+    (error is null rows are the healthy corpus and are excluded). One
+    map-side-combinable aggregation whose state is BOUNDED per group
+    (count + min/max url exemplars — collect_set over a hot error class
+    would hold millions of urls in aggregation state at corpus scale);
+    the error taxonomy is closed by construction, so the result is a
+    handful of rows at ANY corpus size."""
+    return (
+        ext.filter(F.col("error").isNotNull())
+        .groupBy("error", "doc_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_distinct(
+                F.array(F.min("url"), F.max("url"))
+            ).alias("sample_urls"),
+        )
+        .orderBy(F.desc("n_docs"))
+    )

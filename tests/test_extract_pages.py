@@ -33,3 +33,29 @@ def test_latency_histogram_accumulator(spark):
     over[47] = 10
     st = percentiles(over)
     assert st["p50"] is None and st["p99"] is None and st["overflow"] == 10
+
+
+def test_quarantine_report(spark):
+    import datetime
+
+    from final_ocr_spark.operators.extract_pages import (
+        extract_pages,
+        quarantine_report,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("http://ok.com/1", ts, b"<html><body><p>fine page with plenty of "
+         b"text to extract</p></body></html>", None, None),
+        ("http://null.com/1", ts, None, None, None),
+        ("http://null.com/2", ts, None, None, None),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b) if b else None, x, l) for u, t, b, x, l in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    rep = quarantine_report(extract_pages(pages, dedup=True)).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["error"] == "empty-document" and r["n_docs"] == 2
+    assert set(r["sample_urls"]) == {"http://null.com/1", "http://null.com/2"}
