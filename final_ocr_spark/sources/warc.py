@@ -285,7 +285,18 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
+    return pages_from_archives(raw, warc_types=warc_types)
 
+
+def pages_from_archives(
+    raw: DataFrame, warc_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
+    """(path, content) archive blobs → pages rows (+ per-file quarantine).
+    The parse stage of :func:`read_warc`, factored out so the STREAMING
+    path (a readStream binaryFile source over a WARC drop directory, or a
+    foreachBatch micro-batch) runs the identical framing/decode/quarantine
+    code as the batch reader."""
+    raw = raw.select("path", "content")
     raw_schema = (
         "url string, warc_ts string, html binary, text string, lang string, "
         "error string"

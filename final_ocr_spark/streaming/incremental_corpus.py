@@ -286,3 +286,67 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    corpus_dir: str,
+    sigs_dir: str,
+    checkpoint_dir: str,
+    *,
+    glob: str = "*.warc*",
+    key: str = "url",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.85,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The raw-crawl flavor of :func:`stream_dedup_ingest`: watch a WARC
+    drop directory (how crawl output actually lands — segment archives
+    appearing over time), and per micro-batch run the FULL path — WARC
+    framing/decode (identical code to the batch reader via
+    pages_from_archives) → flagship extraction → exact+LSH dedup against
+    the accumulated corpus → idempotent batch_id-keyed appends.
+
+    Source progress lives in ``checkpoint_dir`` (an archive is never
+    re-parsed across runs); one archive = one stream file = atomic unit of
+    progress, matching the batch reader's parallelism contract. Archives
+    that fail framing quarantine into rows the extraction stage drops —
+    never a stream failure."""
+    from final_ocr_spark.operators.extract_pages import extract_pages
+    from final_ocr_spark.sources.warc import pages_from_archives
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is
+        # fixed by the data source spec
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(warc_dir).select("path", "content")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        pages = pages_from_archives(batch_df).filter(
+            F.col("error").isNull()
+        ).drop("error")
+        ext = extract_pages(pages, dedup=True)
+        ingest_batch(
+            ext, batch_id, corpus_dir, sigs_dir,
+            key=key, text_col="extracted_text", num_hashes=num_hashes,
+            bands=bands, shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+        )
+
+    writer = raw.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

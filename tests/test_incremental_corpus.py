@@ -192,3 +192,49 @@ def test_ingest_batch_within_batch_pick_is_deterministic(spark):
             ingest_batch(b, 0, f"{td}/c", f"{td}/s")
             got = spark.read.parquet(f"{td}/c").select("extracted_text").collect()
             assert [r["extracted_text"] for r in got] == [want], f"parts={parts}"
+
+
+def test_stream_warc_ingest_end_to_end(spark, tmp_path):
+    """WARC drop dir → streaming framing/extract/dedup ingest: cross-run
+    near-dup dedup, checkpointed archive progress, quarantine tolerance."""
+    from final_ocr_spark.sources.warc import write_warc_bytes
+    from final_ocr_spark.streaming.incremental_corpus import stream_warc_ingest
+
+    drop = tmp_path / "warcs"
+    drop.mkdir()
+
+    def archive(name, pages):
+        recs = [
+            {"url": u, "date": "2026-01-01T00:00:00Z",
+             "body": f"<html><body><p>{text}</p></body></html>".encode()}
+            for u, text in pages
+        ]
+        (drop / name).write_bytes(write_warc_bytes(recs))
+
+    def run():
+        q = stream_warc_ingest(
+            spark,
+            warc_dir=str(drop),
+            corpus_dir=str(tmp_path / "corpus"),
+            sigs_dir=str(tmp_path / "sigs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination(180)
+
+    archive("seg1.warc.gz", [("http://x/a", _BASE), ("http://x/b", _OTHER)])
+    # a corrupt archive must quarantine, not kill the stream
+    (drop / "broken.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    run()
+    kept = {r["url"]: r["extracted_text"]
+            for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert set(kept) == {"http://x/a", "http://x/b"}
+    assert "harbor lights" in kept["http://x/a"]
+
+    # second drop: near-dup of a (cross-run, vs the signature store) + new c
+    archive("seg2.warc.gz",
+            [("http://y/a-again", _BASE[:-12]), ("http://y/c", _THIRD)])
+    run()
+    kept2 = {r["url"]
+             for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept2 == {"http://x/a", "http://x/b", "http://y/c"}
