@@ -41,7 +41,13 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="directory new extracted-doc parquet files land in")
+                    help="directory new extracted-doc parquet files land in "
+                         "(or raw WARC archives with --warc)")
+    ap.add_argument("--warc", action="store_true",
+                    help="treat --input as a WARC drop directory: per "
+                         "micro-batch WARC parse + extraction happen "
+                         "BEFORE the dedup ingest")
+    ap.add_argument("--warc-glob", default="*.warc*")
     ap.add_argument("--corpus", required=True, help="deduped corpus sink")
     ap.add_argument("--sigs", required=True, help="signature store")
     ap.add_argument("--checkpoint", required=True,
@@ -60,26 +66,45 @@ def main() -> None:
     args = ap.parse_args()
 
     from final_ocr_spark.session import get_spark
-    from final_ocr_spark.streaming.incremental_corpus import stream_dedup_ingest
+    from final_ocr_spark.streaming.incremental_corpus import (
+        stream_dedup_ingest,
+        stream_warc_ingest,
+    )
 
     spark = get_spark(app_name="final-ocr-spark-ingest")
     spark.sparkContext.setLogLevel("WARN")
 
-    q = stream_dedup_ingest(
-        spark,
-        input_dir=args.input,
-        corpus_dir=args.corpus,
-        sigs_dir=args.sigs,
-        checkpoint_dir=args.checkpoint,
-        key=args.key,
-        text_col=args.text_col,
-        input_schema=args.schema,
-        num_hashes=args.num_hashes,
-        bands=args.bands,
-        shingle_k=args.shingle_k,
-        jaccard_threshold=args.jaccard,
-        max_files_per_trigger=args.max_files_per_trigger,
-    )
+    if args.warc:
+        q = stream_warc_ingest(
+            spark,
+            warc_dir=args.input,
+            corpus_dir=args.corpus,
+            sigs_dir=args.sigs,
+            checkpoint_dir=args.checkpoint,
+            glob=args.warc_glob,
+            key=args.key,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            shingle_k=args.shingle_k,
+            jaccard_threshold=args.jaccard,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    else:
+        q = stream_dedup_ingest(
+            spark,
+            input_dir=args.input,
+            corpus_dir=args.corpus,
+            sigs_dir=args.sigs,
+            checkpoint_dir=args.checkpoint,
+            key=args.key,
+            text_col=args.text_col,
+            input_schema=args.schema,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            shingle_k=args.shingle_k,
+            jaccard_threshold=args.jaccard,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
     q.awaitTermination()
     try:
         n = spark.read.parquet(args.corpus).count()
