@@ -136,19 +136,24 @@ def extract_pages(
 
 
 def quarantine_report(ext: DataFrame) -> DataFrame:
-    """(error, doc_kind, n_docs, sample_urls) rollup over an extracted
-    table — the operational view of what extraction rejected and why
-    (error is null rows are the healthy corpus and are excluded). One
-    map-side-combinable aggregation whose state is BOUNDED per group
-    (count + min/max url exemplars — collect_set over a hot error class
-    would hold millions of urls in aggregation state at corpus scale);
-    the error taxonomy is closed by construction, so the result is a
-    handful of rows at ANY corpus size."""
+    """(error_class, doc_kind, n_docs, sample_error, sample_urls) rollup
+    over an extracted table — the operational view of what extraction
+    rejected and why (error is null rows are the healthy corpus and are
+    excluded). One map-side-combinable aggregation whose state is BOUNDED
+    per group (count + min/max exemplars — collect_set over a hot error
+    class would hold millions of urls in aggregation state at corpus
+    scale). Grouping is on the NORMALIZED class — the prefix before any
+    ':' — because raw messages embed per-document detail (offsets, byte
+    values: `ValueError: ... at offset 91234`), which would make a
+    raw-message groupBy corpus-proportional; one full raw message per
+    class survives as ``sample_error``."""
+    error_class = F.regexp_extract("error", r"^([^:]*)", 1)
     return (
         ext.filter(F.col("error").isNotNull())
-        .groupBy("error", "doc_kind")
+        .groupBy(error_class.alias("error_class"), "doc_kind")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            F.min("error").alias("sample_error"),
             F.array_distinct(
                 F.array(F.min("url"), F.max("url"))
             ).alias("sample_urls"),

@@ -65,6 +65,12 @@ _PROTECT = [
 # but not JVM-side — so the Spark forms carry the (?U) Unicode flag.
 _SPLIT_RE = r"(?<=[.!?])\s+|(?<=[.!?][\"'’”)\]])\s+"
 _SPLIT_RE_SPARK = "(?U)" + _SPLIT_RE
+# Python \s additionally matches the C0 control separators U+001C-001F
+# (White_Space=No in Unicode, so Java (?U)\s does NOT) — the Python twin
+# narrows its \s to Java's semantics so the differential contract holds on
+# every code point (review-caught, test-pinned)
+_JAVA_WS = r"(?:(?![\x1c-\x1f])\s)"
+_SPLIT_RE_PY = _SPLIT_RE.replace(r"\s", _JAVA_WS)
 
 
 def _protect_java(col: Column) -> Column:
@@ -81,9 +87,14 @@ def split_sentences(text: str | None) -> list[str] | None:
     out = text
     for pat, rep in _PROTECT:
         out = re.sub(pat, rep.replace("$1", r"\g<1>"), out)
-    pieces = re.split(_SPLIT_RE, out)
-    # whitespace-only pieces are not sentences (the documented contract)
-    return [p.replace(_SENTINEL, ".") for p in pieces if p.strip()]
+    pieces = re.split(_SPLIT_RE_PY, out)
+    # whitespace-only pieces are not sentences (the documented contract);
+    # "whitespace" means Java-(?U) whitespace here, like the Column form
+    return [
+        p.replace(_SENTINEL, ".")
+        for p in pieces
+        if not re.fullmatch(_JAVA_WS + "*", p)
+    ]
 
 
 def sentences(text_col) -> Column:

@@ -58,6 +58,16 @@ def incremental_extract(
     except FileNotFoundError:
         exists = False
 
+    if since is not None and not exists:
+        # an explicit window against a missing extracted table would
+        # silently create a PARTIAL table (only that window's urls) —
+        # inconsistent orchestration state; demand an explicit backfill
+        raise ValueError(
+            f"extracted table {extracted_table!r} does not exist but "
+            f"since={since} was given — run once with since=None to "
+            "backfill, then resume incremental windows"
+        )
+
     pages = cat.read(spark, pages_table)
     if since is None and (not exists or head["parent_id"] is None):
         # no prior processing state (extracted table absent, or the pages

@@ -303,6 +303,7 @@ def stream_warc_ingest(
     jaccard_threshold: float = 0.85,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """The raw-crawl flavor of :func:`stream_dedup_ingest`: watch a WARC
     drop directory (how crawl output actually lands — segment archives
@@ -313,9 +314,16 @@ def stream_warc_ingest(
 
     Source progress lives in ``checkpoint_dir`` (an archive is never
     re-parsed across runs); one archive = one stream file = atomic unit of
-    progress, matching the batch reader's parallelism contract. Archives
-    that fail framing quarantine into rows the extraction stage drops —
-    never a stream failure."""
+    progress, matching the batch reader's parallelism contract.
+
+    Quarantine contract: framing-failed archives AND extraction-failed /
+    empty documents never fail the stream and never enter the corpus —
+    a null-text row admitted here would permanently block a later healthy
+    recrawl of its url under the store's first-wins rule (review-caught,
+    test-pinned). With ``quarantine_dir`` set they are RECORDED there
+    (batch_id-partitioned overwrite — replay-idempotent like the corpus
+    appends); without it they are dropped after a per-batch count is
+    printed, so silent loss is at least visible in the job log."""
     from final_ocr_spark.operators.extract_pages import extract_pages
     from final_ocr_spark.sources.warc import pages_from_archives
 
@@ -333,12 +341,35 @@ def stream_warc_ingest(
     raw = reader.load(warc_dir).select("path", "content")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        pages = pages_from_archives(batch_df).filter(
-            F.col("error").isNull()
-        ).drop("error")
-        ext = extract_pages(pages, dedup=True)
+        parsed = pages_from_archives(batch_df).localCheckpoint(eager=False)
+        pages = parsed.filter(F.col("error").isNull()).drop("error")
+        ext = extract_pages(pages, dedup=True).localCheckpoint(eager=False)
+        # only healthy non-empty documents may enter the corpus (see
+        # quarantine contract in the docstring)
+        good = ext.filter(
+            F.col("error").isNull() & (F.length("extracted_text") > 0)
+        )
+        bad_archives = parsed.filter(F.col("error").isNotNull()).select(
+            F.col("url").alias("source"), "error"
+        )
+        bad_docs = ext.filter(
+            F.col("error").isNotNull() | (F.length("extracted_text") == 0)
+        ).select(F.col("url").alias("source"), "error")
+        quarantined = bad_archives.unionByName(bad_docs)
+        if quarantine_dir is not None:
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_dir}/batch_id={batch_id}"
+            )
+        else:
+            n_bad = quarantined.count()
+            if n_bad:
+                print(
+                    f"stream_warc_ingest batch {batch_id}: "
+                    f"{n_bad} quarantined row(s) dropped "
+                    "(set quarantine_dir to record them)"
+                )
         ingest_batch(
-            ext, batch_id, corpus_dir, sigs_dir,
+            good, batch_id, corpus_dir, sigs_dir,
             key=key, text_col="extracted_text", num_hashes=num_hashes,
             bands=bands, shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold,

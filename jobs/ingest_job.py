@@ -63,7 +63,20 @@ def main() -> None:
     ap.add_argument("--jaccard", type=float, default=0.85)
     ap.add_argument("--max-files-per-trigger", type=int, default=None,
                     help="bound micro-batch size for huge drops")
+    ap.add_argument("--quarantine", default=None,
+                    help="(--warc only) record framing/extraction "
+                         "quarantine rows here instead of dropping them")
     args = ap.parse_args()
+    if args.warc:
+        # --warc fixes the post-extraction shape: key is url, text column
+        # is extracted_text, schema is the extractor's — reject silently-
+        # ignored / crash-later combinations up front
+        if args.key != "url" or args.text_col != "extracted_text" \
+                or args.schema is not None:
+            ap.error("--warc implies --key url / --text-col extracted_text "
+                     "and no --schema (extraction fixes the shape)")
+    elif args.quarantine:
+        ap.error("--quarantine requires --warc")
 
     from final_ocr_spark.session import get_spark
     from final_ocr_spark.streaming.incremental_corpus import (
@@ -88,6 +101,7 @@ def main() -> None:
             shingle_k=args.shingle_k,
             jaccard_threshold=args.jaccard,
             max_files_per_trigger=args.max_files_per_trigger,
+            quarantine_dir=args.quarantine,
         )
     else:
         q = stream_dedup_ingest(

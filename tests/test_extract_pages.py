@@ -57,5 +57,24 @@ def test_quarantine_report(spark):
     rep = quarantine_report(extract_pages(pages, dedup=True)).collect()
     assert len(rep) == 1
     r = rep[0]
-    assert r["error"] == "empty-document" and r["n_docs"] == 2
+    assert r["error_class"] == "empty-document" and r["n_docs"] == 2
+    assert r["sample_error"] == "empty-document"
     assert set(r["sample_urls"]) == {"http://null.com/1", "http://null.com/2"}
+
+
+def test_quarantine_report_normalizes_error_classes(spark):
+    # raw messages embed per-doc detail ('X: at offset N'); the groupBy
+    # must be on the class prefix or the report is corpus-proportional
+    import pyspark.sql.functions as F
+
+    from final_ocr_spark.operators.extract_pages import quarantine_report
+
+    ext = spark.createDataFrame(
+        [(f"http://e.com/{i}", f"ValueError: bad byte at offset {i}")
+         for i in range(50)] + [("http://ok.com/1", None)],
+        "url string, error string",
+    ).withColumn("doc_kind", F.lit("html"))
+    rep = quarantine_report(ext).collect()
+    assert len(rep) == 1
+    assert rep[0]["error_class"] == "ValueError" and rep[0]["n_docs"] == 50
+    assert rep[0]["sample_error"].startswith("ValueError: bad byte")

@@ -238,3 +238,53 @@ def test_stream_warc_ingest_end_to_end(spark, tmp_path):
     kept2 = {r["url"]
              for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
     assert kept2 == {"http://x/a", "http://x/b", "http://y/c"}
+
+
+def test_stream_warc_quarantine_contract(spark, tmp_path):
+    """Null/empty-extraction docs never enter the corpus (a null-text row
+    would permanently block a healthy recrawl under first-wins), and the
+    quarantine sink records framing + extraction rejects idempotently."""
+    from final_ocr_spark.sources.warc import write_warc_bytes
+    from final_ocr_spark.streaming.incremental_corpus import stream_warc_ingest
+
+    drop = tmp_path / "warcs"
+    drop.mkdir()
+
+    def run():
+        q = stream_warc_ingest(
+            spark,
+            warc_dir=str(drop),
+            corpus_dir=str(tmp_path / "corpus"),
+            sigs_dir=str(tmp_path / "sigs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            jaccard_threshold=0.7,
+            quarantine_dir=str(tmp_path / "quar"),
+        )
+        q.awaitTermination(180)
+
+    # drop 1: url X with an empty body (extracts to nothing) + a good doc
+    recs = [
+        {"url": "http://x.com/X", "date": "2026-01-01T00:00:00Z",
+         "body": b"<html><body></body></html>"},
+        {"url": "http://g.com/ok", "date": "2026-01-01T00:00:00Z",
+         "body": f"<html><body><p>{_OTHER}</p></body></html>".encode()},
+    ]
+    (drop / "d1.warc.gz").write_bytes(write_warc_bytes(recs))
+    (drop / "broken.warc.gz").write_bytes(b"\x1f\x8bnot gzip")
+    run()
+    kept = {r["url"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {"http://g.com/ok"}  # empty doc NOT admitted
+    quar = spark.read.parquet(str(tmp_path / "quar")).collect()
+    sources = {r["source"] for r in quar}
+    assert "http://x.com/X" in sources          # extraction reject recorded
+    assert any("broken" in s for s in sources)  # framing reject recorded
+
+    # drop 2: healthy recrawl of X must now be ADMITTED (nothing blocked it)
+    recs2 = [{"url": "http://x.com/X", "date": "2026-02-01T00:00:00Z",
+              "body": f"<html><body><p>{_THIRD}</p></body></html>".encode()}]
+    (drop / "d2.warc.gz").write_bytes(write_warc_bytes(recs2))
+    run()
+    kept2 = {r["url"] for r in
+             spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept2 == {"http://g.com/ok", "http://x.com/X"}

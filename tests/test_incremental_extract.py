@@ -130,3 +130,13 @@ def test_changed_to_junk_payload_updates(spark, cat):
     assert row is not None
     assert row["extracted_text"] != victim["extracted_text"]  # no stale text
     assert (row["extracted_text"] or "") == ""  # junk extracts to nothing
+
+
+def test_since_with_missing_extracted_table_raises(spark, cat):
+    import pytest as _pt
+
+    cat.write(gen_pages(spark, 10, seed=2, partitions=2), "pages")
+    cat.write(gen_pages(spark, 5, seed=2, start=9_000_000, partitions=2),
+              "pages", mode="append")
+    with _pt.raises(ValueError, match="does not exist but since"):
+        incremental_extract(spark, cat, since=1)

@@ -61,12 +61,15 @@ def test_column_matches_python(spark):
 def test_no_loss_invariant(text):
     pieces = split_sentences(text)
     # concatenation reproduces the input minus the inter-sentence
-    # whitespace the split consumed and whitespace-only pieces
+    # whitespace the split consumed and whitespace-only pieces (whitespace
+    # in the Java-(?U) sense — the engine-shared contract)
     import re
+
+    from final_ocr_spark.operators.sentences import _JAVA_WS, _SPLIT_RE_PY
     joined = "".join(pieces)
     want = "".join(
-        p for p in re.split(r"(?<=[.!?])\s+|(?<=[.!?][\"'’”)\]])\s+", text)
-        if p.strip()
+        p for p in re.split(_SPLIT_RE_PY, text)
+        if not re.fullmatch(_JAVA_WS + "*", p)
     ).replace("\x01", "")
     assert joined == want
 
