@@ -524,6 +524,8 @@ def incremental_near_dups(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     new_sigs: DataFrame | None = None,
+    hist_buckets: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus — the
     corpus-maintenance shape: the historical side arrives as its
@@ -539,15 +541,29 @@ def incremental_near_dups(
     already sketched the batch (e.g. the streaming ingest loop, which also
     persists the signatures) pass the ``(k, sig)`` table in and skip the
     re-sketch; it must come from :func:`minhash_sigs` with the same
-    num_hashes/shingle_k."""
+    num_hashes/shingle_k.
+
+    ``hist_buckets`` / ``new_buckets`` optionally replace the banding of
+    either side with a PRECOMPUTED (k, band, bucket) table
+    (:func:`band_buckets` output — deterministic, so it persists like the
+    signatures). The streaming ingest loop stores history's banding once at
+    append time and passes it back here, turning the per-batch history cost
+    from re-band-everything into a column scan; it also pre-filters the NEW
+    side to Bloom-candidate rows only. Both must come from the same
+    (num_hashes, bands, shingle_k) family as the signatures. ``hist_sigs``
+    is still required — surviving candidate pairs verify against it."""
     rows_per_band = num_hashes // bands
     if new_sigs is None:
         new_sigs = minhash_sigs(
             new_df, key=key, text_col=text_col, num_hashes=num_hashes,
             shingle_k=shingle_k,
         ).localCheckpoint(eager=False)
-    nb = band_buckets(new_sigs, bands, rows_per_band)
-    hb = band_buckets(hist_sigs, bands, rows_per_band)
+    nb = new_buckets if new_buckets is not None else band_buckets(
+        new_sigs, bands, rows_per_band
+    )
+    hb = hist_buckets if hist_buckets is not None else band_buckets(
+        hist_sigs, bands, rows_per_band
+    )
     pairs = (
         nb.join(
             hb.select(

@@ -180,9 +180,22 @@ def schedule_frontier(
     )
     out = frontier.withColumn("_rank", F.row_number().over(w) - F.lit(1))
     if host_delays is not None:
-        d = host_delays.select(
-            F.lower(F.col("host")).alias("host"),
-            F.col("crawl_delay").alias("_delay"),
+        # Canonicalize the delays key the same way build_frontier's hosts
+        # are (normalize_url strips a leading www.) — robots crawl_delays
+        # arrive keyed by the host the robots.txt was fetched from, which
+        # for a www.-published site is 'www.example.com' while the frontier
+        # row says 'example.com'; an un-stripped join silently drops the
+        # declared Crawl-delay (review-caught). max() per canonical host is
+        # the conservative merge when www/apex declare different delays.
+        d = (
+            host_delays.select(
+                F.regexp_replace(
+                    F.lower(F.col("host")), r"^www\.", ""
+                ).alias("host"),
+                F.col("crawl_delay").alias("_delay"),
+            )
+            .groupBy("host")
+            .agg(F.max("_delay").alias("_delay"))
         )
         out = out.join(F.broadcast(d), "host", "left")
         stride = F.least(

@@ -26,6 +26,7 @@ consistent snapshot.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import pathlib
@@ -37,6 +38,13 @@ from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
 HEAD_FILE = "HEAD"
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this commit's inputs (e.g. two
+    copy-on-write rewrites touched the same data file). The operation must be
+    re-planned from the new table state — same contract as an Iceberg
+    ValidationException on commit."""
 
 
 class SnapshotCatalog:
@@ -126,26 +134,24 @@ class SnapshotCatalog:
         ]
         row_count = written.count()  # parquet-footer-only
 
-        # 2. write the snapshot JSON (not yet referenced)
-        parent = self.current_snapshot(name)
-        base_files = parent["files"] if (parent and mode == "append") else []
-        sid = (parent["snapshot_id"] + 1) if parent else 1
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "operation": mode,
-            "committed_at_epoch": time.time(),
-            "app_id": spark.sparkContext.applicationId,
-            "schema": df.schema.simpleString(),
-            "row_count_added": row_count,
-            "files": base_files + new_files,
-        }
-        # 2b+3. durable snapshot write, then atomic HEAD flip (fsync the snap
-        # file and its directory entry BEFORE the flip — an fsynced HEAD
-        # pointing at a torn snap file after a power loss would make the
-        # table unreadable instead of serving the previous snapshot)
-        self._commit_snapshot(name, snap)
-        return snap
+        # 2. commit: the snapshot is BUILT inside the CAS loop so a racing
+        # append re-derives base_files from the actual winner instead of the
+        # parent it first read (fsync ordering unchanged: snap file + dir
+        # entry land before the HEAD flip)
+        def _build(parent: dict | None, sid: int) -> dict:
+            base_files = parent["files"] if (parent and mode == "append") else []
+            return {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "operation": mode,
+                "committed_at_epoch": time.time(),
+                "app_id": spark.sparkContext.applicationId,
+                "schema": df.schema.simpleString(),
+                "row_count_added": row_count,
+                "files": base_files + new_files,
+            }
+
+        return self._commit_snapshot(name, _build)
 
     # -- maintenance --------------------------------------------------------
     def compact(
@@ -227,20 +233,37 @@ class SnapshotCatalog:
                 f"{snap['snapshot_id']}"
             )
 
-        sid = snap["snapshot_id"] + 1
-        new_snap = {
-            "snapshot_id": sid,
-            "parent_id": snap["snapshot_id"],
-            "operation": "compact",
-            "committed_at_epoch": time.time(),
-            "app_id": spark.sparkContext.applicationId,
-            "schema": snap["schema"],
-            "row_count_added": 0,
-            "files": big + new_files,
-        }
-        self._commit_snapshot(name, new_snap)
+        small_paths = {f["path"] for f in small}
+
+        def _build(parent: dict | None, sid: int) -> dict:
+            # rebuild against the ACTUAL parent: files appended by a racing
+            # commit survive; but if a racing rewrite removed one of our
+            # small inputs, publishing the rewrite would resurrect its rows
+            pfiles = parent["files"] if parent else []
+            present = {f["path"] for f in pfiles}
+            if not small_paths <= present:
+                raise CommitConflictError(
+                    f"compaction of {name!r} conflicts with a concurrent "
+                    "rewrite of its input files — re-plan from the new "
+                    "snapshot"
+                )
+            return {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "operation": "compact",
+                "committed_at_epoch": time.time(),
+                "app_id": spark.sparkContext.applicationId,
+                "schema": snap["schema"],
+                "row_count_added": 0,
+                "files": [f for f in pfiles if f["path"] not in small_paths]
+                + new_files,
+            }
+
+        committed = self._commit_snapshot(name, _build)
         stats.update(
-            compacted=True, files_after=len(big) + len(new_files), snapshot_id=sid
+            compacted=True,
+            files_after=len(committed["files"]),
+            snapshot_id=committed["snapshot_id"],
         )
         return stats
 
@@ -316,21 +339,36 @@ class SnapshotCatalog:
                 ]
                 rows_added = written.count()
 
-        kept = [f for f in snap["files"] if f["path"] not in set(touched_rel)]
-        sid = snap["snapshot_id"] + 1
-        new_snap = {
-            "snapshot_id": sid,
-            "parent_id": snap["snapshot_id"],
-            "operation": operation,
-            "committed_at_epoch": time.time(),
-            "app_id": spark.sparkContext.applicationId,
-            "schema": snap["schema"],
-            "row_count_added": rows_added,
-            "files": kept + new_files,
-        }
-        self._commit_snapshot(name, new_snap)
+        touched_set = set(touched_rel)
+
+        def _build(parent: dict | None, sid: int) -> dict:
+            # rebuild against the ACTUAL parent: a racing append's files
+            # survive; a racing rewrite of one of OUR touched files is a
+            # genuine write-write conflict (publishing would resurrect rows
+            # it deleted / drop rows it kept) — surface it, like Iceberg
+            pfiles = parent["files"] if parent else []
+            present = {f["path"] for f in pfiles}
+            if not touched_set <= present:
+                raise CommitConflictError(
+                    f"{operation} on {name!r} conflicts with a concurrent "
+                    "rewrite of an overlapping data file — re-plan from the "
+                    "new snapshot"
+                )
+            return {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "operation": operation,
+                "committed_at_epoch": time.time(),
+                "app_id": spark.sparkContext.applicationId,
+                "schema": snap["schema"],
+                "row_count_added": rows_added,
+                "files": [f for f in pfiles if f["path"] not in touched_set]
+                + new_files,
+            }
+
+        committed = self._commit_snapshot(name, _build)
         return {
-            "snapshot_id": sid,
+            "snapshot_id": committed["snapshot_id"],
             "files_rewritten": len(touched_rel),
             "files_added": len(new_files),
             "rows_written": rows_added,
@@ -462,27 +500,88 @@ class SnapshotCatalog:
             .select(F.col("_k").alias(key), "change")
         )
 
-    def _commit_snapshot(self, name: str, snap: dict) -> None:
-        """Durably write a snapshot JSON, then atomically flip HEAD to it
-        (fsync file + dir entry BEFORE the flip — a crash at any point leaves
-        HEAD on the previous consistent snapshot)."""
+    def _latest_committed(self, name: str) -> dict | None:
+        """The committed snapshot with the highest id, resolved from the
+        snapshot FILES (not HEAD): a winner's snap file is durably on disk
+        before its HEAD flip, so the file chain — not the pointer — is the
+        source of truth a concurrent committer must build on."""
+        snaps = self.snapshots(name)
+        return snaps[-1] if snaps else None
+
+    def _commit_snapshot(self, name: str, build_snap, max_retries: int = 64) -> dict:
+        """Optimistic-concurrency commit (Iceberg's commit protocol, on a
+        filesystem): ``build_snap(parent, sid)`` constructs the snapshot dict
+        against the CURRENT latest committed parent, and exclusive creation of
+        ``snap-<sid>.json`` (O_CREAT|O_EXCL — a filesystem compare-and-swap on
+        the snapshot id) is the commit point. Losing the CAS re-derives the
+        parent and REBUILDS the snapshot, so a racing append never erases the
+        winner's files (retrying with a stale file list would be a second,
+        subtler lost update). Builders that can't rebuild against the new
+        parent (overlapping copy-on-write rewrites) raise
+        ``CommitConflictError`` — the same conflict a real Iceberg commit
+        surfaces.
+
+        Durability ordering is unchanged: fsync the snap file + its directory
+        entry BEFORE the HEAD flip. The flip itself is forward-only under an
+        flock (auto-released on process death — no stale-lock hazard), so a
+        slow committer can never regress HEAD below a newer snapshot."""
         md = self._manifest_dir(name)
-        snap_path = md / f"snap-{snap['snapshot_id']:08d}.json"
-        with open(snap_path, "w", encoding="utf-8") as f:
-            f.write(json.dumps(snap, sort_keys=True))
-            f.flush()
-            os.fsync(f.fileno())
-        dfd = os.open(md, os.O_RDONLY)
+        sid_floor = 0
+        for _ in range(max_retries):
+            parent = self._latest_committed(name)
+            # sid_floor skips torn snap files (a crashed writer's partial
+            # JSON occupies the name forever but never parses, so
+            # snapshots() can't see it and parent.sid+1 would loop)
+            sid = max((parent["snapshot_id"] + 1) if parent else 1, sid_floor)
+            snap = build_snap(parent, sid)
+            snap_path = md / f"snap-{sid:08d}.json"
+            try:
+                fd = os.open(
+                    snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                sid_floor = sid + 1
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(json.dumps(snap, sort_keys=True))
+                f.flush()
+                os.fsync(f.fileno())
+            dfd = os.open(md, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            self._flip_head_forward(name, sid)
+            return snap
+        raise RuntimeError(
+            f"commit to table {name!r} lost the snapshot CAS {max_retries} "
+            "times — pathological commit contention"
+        )
+
+    def _flip_head_forward(self, name: str, sid: int) -> None:
+        """Atomically advance HEAD to ``sid`` unless it already points at a
+        newer snapshot (a committer that lost a long race must not move HEAD
+        backwards past the winner). The read-compare-replace runs under an
+        ``flock`` so two flips can't interleave; flock is released by the
+        kernel if the holder dies, so there is no crash-stale lock."""
+        md = self._manifest_dir(name)
+        lfd = os.open(md / f".{HEAD_FILE}.lock", os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            os.fsync(dfd)
+            fcntl.flock(lfd, fcntl.LOCK_EX)
+            head = md / HEAD_FILE
+            cur = 0
+            if head.exists():
+                cur = int(head.read_text(encoding="utf-8").strip() or 0)
+            if sid <= cur:
+                return
+            tmp = md / f".{HEAD_FILE}.{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, head)
         finally:
-            os.close(dfd)
-        tmp = md / f".{HEAD_FILE}.{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(snap["snapshot_id"]))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, md / HEAD_FILE)
+            os.close(lfd)
 
     def expire(self, name: str, keep_last: int = 1) -> int:
         """Iceberg-style snapshot expiry: drop all but the last ``keep_last``

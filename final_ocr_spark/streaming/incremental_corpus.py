@@ -12,8 +12,12 @@ glue: ``readStream → foreachBatch(dedup + idempotent append)``.
 Per micro-batch (``foreachBatch`` gives us the full batch DataFrame plus a
 monotonically increasing ``batch_id``):
 
-1. exact-dedup within the batch on ``key`` — smallest (xxhash64(text),
-   text) per key wins, deterministic under any partitioning;
+1. exact-dedup within the batch: smallest (xxhash64(text), text) per key
+   wins, deterministic under any partitioning; then identical TEXT under
+   DIFFERENT keys collapses to the smallest key — without this, a batch of
+   >cap mutually-identical template-spam pages under distinct urls would
+   leak past the LSH bucket skew cap (dedup.py's ``_rn <= 200``) and be
+   admitted forever under the store's first-wins rule (review-caught);
 2. sketch the batch ONCE with :func:`minhash_sigs` — O(|batch|), the
    historical corpus is never re-read;
 3. within-batch LSH pairs via :func:`minhash_near_dups` over the
@@ -26,32 +30,66 @@ monotonically increasing ``batch_id``):
    components and acceptable because batches are small relative to the
    corpus;
 4. cross-corpus pairs via :func:`incremental_near_dups` against the stored
-   ``(k, sig)`` signature table (reusing the batch signatures from step 2):
-   any new key matching history is dropped;
+   history. The history side is NOT re-banded per batch: survivors'
+   ``(k, band, bucket)`` rows are persisted at append time (``_buckets``
+   sidecar — deterministic from the signatures, so replay-safe), and a
+   small Bloom filter over history's band-bucket values (``_bloom_buckets``
+   sidecar) pre-splits the batch's bucket rows so the history band join
+   probes only overlap + fpp rows. A batch with NO bucket hits skips the
+   history join (and its scan) entirely. Exact first-wins key checking gets
+   the same treatment via a ``_bloom_keys`` sidecar +
+   :func:`split_new_vs_maybe_seen`. Sidecar names start with ``_`` so
+   Spark's hidden-file filter keeps them invisible to plain reads of the
+   store. Missing/incomplete sidecars (e.g. a store written by an older
+   build, or a crash between the main append and the sidecar append)
+   degrade SAFELY to the full-scan path — coverage is checked per batch by
+   comparing batch_id sets, and a sidecar that doesn't cover every history
+   partition is ignored rather than trusted (a partial Bloom would have
+   false negatives, which would admit duplicates);
 5. survivors' ROWS are appended to the corpus sink and survivors'
-   SIGNATURES to the signature store, both under ``batch_id=<id>``
-   subdirectories written with ``mode=overwrite`` — a retried batch
-   (Structured Streaming replays the last uncommitted batch after a crash)
-   overwrites its own directory instead of duplicating rows, which is the
-   standard exactly-once-by-idempotence foreachBatch pattern.
+   SIGNATURES (+ bucket/Bloom sidecars) to the signature store, all under
+   ``batch_id=<id>`` subdirectories written with ``mode=overwrite`` — a
+   retried batch (Structured Streaming replays the last uncommitted batch
+   after a crash) overwrites its own directories instead of duplicating
+   rows, which is the standard exactly-once-by-idempotence foreachBatch
+   pattern.
+
+Store lifecycle: one directory set per batch_id accumulates small files
+forever; :func:`compact_signature_store` (and the generic
+:func:`compact_batch_store` for the corpus rows) bin-packs old batch
+partitions into one consolidated partition, preserving the max-batch_id
+high-water mark the checkpoint-reset guard relies on. Run it between ingest
+runs (the ``availableNow`` model makes every run a natural maintenance
+window); Bloom sidecars merge via ``bit_or`` during compaction.
 
 Scale notes: the signature store grows by O(|survivors|) per batch and is
 ``num_hashes`` longs per doc (~0.5 KB) — at 10^12 docs it is a normal
-parquet table, band-joined (slim key+band+bucket rows, never text) once per
-batch. Re-banding the historical signatures each batch is a scan of that
-slim table; a deployment where that scan dominates should persist the
-``(k, band, bucket)`` table instead (band_buckets output is deterministic),
-trading storage for the transform — noted, not needed at sandbox scale.
+parquet table. Per batch, the high-water/row-count guard reads only the
+``batch_id`` PARTITION column (no data pages), the signature-family check
+reads ONE partition, and the band join reads history only when the Bloom
+reports candidates. The remaining full-history reads (exact-key semi-join
+probe, candidate signature verify) are slim-column scans that run only on
+Bloom-positive batches.
 """
 
 from __future__ import annotations
+
+import pathlib
+import shutil
+import uuid
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
+from final_ocr_spark.operators.bloom import (
+    build_bloom,
+    split_new_vs_maybe_seen,
+    with_bloom_membership,
+)
 from final_ocr_spark.operators.dedup import (
+    band_buckets,
     incremental_near_dups,
     minhash_near_dups,
     minhash_sigs,
@@ -63,6 +101,48 @@ SIG_SCHEMA = StructType(
         StructField("sig", ArrayType(LongType()), True),
     ]
 )
+
+BUCKET_SCHEMA = "k string, band int, bucket long"
+BLOOM_SCHEMA = "word_idx long, bits long, m_bits int, k int"
+
+# sidecar directory names — the leading underscore puts them behind Spark's
+# hidden-path filter, so spark.read.parquet(sigs_dir) still sees ONLY the
+# batch_id=N signature partitions
+BUCKETS_SUBDIR = "_buckets"
+KEY_BLOOM_SUBDIR = "_bloom_keys"
+BUCKET_BLOOM_SUBDIR = "_bloom_buckets"
+
+
+def _read_optional(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame | None:
+    """Read-and-catch (NOT a local-filesystem listing — paths are HDFS/S3
+    URIs on a real cluster). ONLY path-not-found means "absent"; any other
+    analysis failure (corrupt store, permissions) must fail the batch
+    loudly, not silently skip dedup."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = getcls() if getcls else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
+def _batch_ids(df: DataFrame) -> frozenset[int]:
+    """Distinct batch_id set — reads ONLY the partition column (no data
+    pages); the result is O(#batches), thousands at most."""
+    return frozenset(
+        int(r["batch_id"]) for r in df.select("batch_id").distinct().collect()
+    )
+
+
+def _bucket_probe_key() -> F.Column:
+    """The Bloom probe key for a (band, bucket) pair. Plain deterministic
+    string concat — the Bloom is a Spark-side artifact, never compared to
+    another engine."""
+    return F.concat_ws(":", F.col("band"), F.col("bucket"))
 
 
 def ingest_batch(
@@ -77,18 +157,27 @@ def ingest_batch(
     bands: int = 8,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.85,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 5,
 ) -> dict:
     """Dedup one micro-batch against itself and the stored corpus, then
-    idempotently append survivors (rows + signatures) under
-    ``batch_id=<id>``. Returns counts for observability. Usable directly
-    for batch-mode backfill too — it is a plain DataFrame function.
+    idempotently append survivors (rows + signatures + bucket/Bloom
+    sidecars) under ``batch_id=<id>``. Returns counts for observability.
+    Usable directly for batch-mode backfill too — it is a plain DataFrame
+    function.
 
     The corpus is FIRST-WINS PER KEY across batches: a key already in the
     signature store is dropped even when its text changed beyond the
     near-dup threshold (re-crawl policy; a latest-wins corpus would
     instead delete-and-replace, which an append-only store cannot express).
     Zero-shingle survivors (< ``shingle_k`` words) are stored with a NULL
-    signature so that this exact-key rule still sees them."""
+    signature so that this exact-key rule still sees them.
+
+    ``bloom_m_bits``/``bloom_k`` size the sidecar Bloom filters for NEW
+    stores; an existing store's parameters are adopted automatically
+    (filters only merge within one (m, k) family). Size for the expected
+    TOTAL corpus — an undersized filter saturates and degrades gracefully
+    to the full-scan path's cost, never to wrong results."""
     spark = batch_df.sparkSession
     n_raw = batch_df.count()
 
@@ -104,6 +193,19 @@ def ingest_batch(
         batch_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+    # ... then identical TEXT across DIFFERENT keys: smallest key wins.
+    # Partitioning by (hash, text) — not hash alone — makes a 64-bit
+    # collision between distinct texts harmless. Without this rule, >cap
+    # identical docs under distinct urls leak past the LSH bucket skew cap
+    # in one batch and the first-wins store admits them forever.
+    wt = Window.partitionBy(
+        F.xxhash64(F.col(text_col)), F.col(text_col)
+    ).orderBy(F.col(key).asc())
+    batch = (
+        batch.withColumn("_tn", F.row_number().over(wt))
+        .filter((F.col("_tn") == 1) | F.col(text_col).isNull())
+        .drop("_tn")
     )
 
     # one sketch per batch, shared by the self-join, the cross join, and
@@ -126,34 +228,32 @@ def ingest_batch(
     )
     self_drop = self_pairs.select(F.col("key_b").alias("k")).distinct()
 
-    # History probe via read-and-catch, NOT a local-filesystem listing
-    # (sigs_dir is an HDFS/S3 URI on a real cluster). ONLY path-not-found
-    # means "no history yet" — any other analysis failure (corrupt store,
-    # permissions) must fail the batch loudly, not silently skip
-    # cross-corpus dedup.
-    hist = None
-    try:
-        hist = spark.read.schema(SIG_SCHEMA).parquet(sigs_dir)
-    except AnalysisException as e:
-        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-        cls = getcls() if getcls else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
+    stats = {
+        "batch_id": batch_id,
+        "rows_in": n_raw,
+        "exact_bloom_prefilter": False,
+        "exact_history_join_skipped": False,
+        "lsh_bloom_prefilter": False,
+        "lsh_history_join_skipped": False,
+        "lsh_candidate_rows": None,
+    }
+
+    hist = _read_optional(spark, sigs_dir, SIG_SCHEMA)
     has_history, hist_keys, hist_nonnull = False, None, None
+    hist_buckets = None
+    key_bloom = bucket_bloom = None
+    bloom_meta: tuple[int, int] | None = None
     if hist is not None:
         if "batch_id" in hist.columns:
-            # our own partitioned store: one slim agg gives the replay/
-            # reset guard, the history row count, and the family check
             cur = int(batch_id)
+            # replay/reset guard + history row count from the PARTITION
+            # column only — no data pages are read for this
             st = hist.agg(
                 F.max("batch_id").alias("hw"),
                 F.sum((F.col("batch_id") != cur).cast("long")).alias("n_hist"),
                 F.max(
-                    F.when(
-                        (F.col("batch_id") != cur) & F.col("sig").isNotNull(),
-                        F.size("sig"),
-                    )
-                ).alias("siglen"),
+                    F.when(F.col("batch_id") != cur, F.col("batch_id"))
+                ).alias("hw_hist"),
             ).first()
             # checkpoint-reset guard: a fresh checkpoint restarts batch ids
             # at 0, and the batch_id-keyed overwrite below would then
@@ -168,12 +268,27 @@ def ingest_batch(
                     "corpus/sigs pair or restore the original checkpoint."
                 )
             has_history = (st["n_hist"] or 0) > 0
-            siglen = st["siglen"]
+            # signature-family check over ONE history partition (every
+            # batch was checked against the store when it was written, so
+            # by induction all partitions agree — scanning sig across the
+            # whole store would be a per-batch cost growing with corpus age)
+            siglen = None
+            if has_history:
+                siglen = hist.filter(
+                    (F.col("batch_id") == int(st["hw_hist"]))
+                    & F.col("sig").isNotNull()
+                ).agg(F.max(F.size("sig"))).first()[0]
             # exclude the CURRENT batch_id partition: a replayed batch
             # (crash between sink write and checkpoint commit) would
             # otherwise match its own first-attempt signatures and drop
             # every row — replay must be a no-op, not data loss.
-            hist = hist.filter(F.col("batch_id") != cur).select("k", "sig")
+            hist = hist.filter(F.col("batch_id") != cur)
+            if has_history:
+                hist_ids = _batch_ids(hist)
+                hist_buckets, key_bloom, bucket_bloom, bloom_meta = (
+                    _load_sidecars(spark, sigs_dir, cur, hist_ids)
+                )
+            hist = hist.select("k", "sig")
         else:
             # flat bootstrap store (minhash_sigs output persisted directly)
             st = hist.agg(
@@ -198,19 +313,57 @@ def ingest_batch(
         # degenerate bucket per band
         hist_nonnull = hist.filter(F.col("sig").isNotNull())
 
+    empty_keys = spark.createDataFrame([], "k string")
     if has_history:
-        cross = incremental_near_dups(
-            None, hist_nonnull, key=key, text_col=text_col,
-            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-            jaccard_threshold=jaccard_threshold, new_sigs=sigs,
-        )
-        cross_drop = cross.select(F.col("new_key").alias("k")).distinct()
-        # first-wins per key across batches: an already-ingested key is
-        # dropped even when its text changed beyond the near-dup threshold
-        exact_drop = (
-            batch.select(F.col(key).alias("k"))
-            .join(hist_keys, "k", "left_semi")
-        )
+        # -- cross-corpus LSH --------------------------------------------
+        nb = band_buckets(sigs, bands, num_hashes // bands)
+        if bucket_bloom is not None:
+            stats["lsh_bloom_prefilter"] = True
+            # pre-split the batch's bucket rows: rows whose (band, bucket)
+            # is DEFINITELY absent from history cannot pair with it (Bloom
+            # has no false negatives) and skip the history join entirely
+            tagged = with_bloom_membership(
+                nb.withColumn("_bkey", _bucket_probe_key()),
+                bucket_bloom, "_bkey",
+            ).localCheckpoint(eager=False)
+            cand_nb = tagged.filter(F.col("maybe_seen")).select(
+                "k", "band", "bucket"
+            )
+            stats["lsh_candidate_rows"] = cand_nb.count()
+            if stats["lsh_candidate_rows"] == 0:
+                stats["lsh_history_join_skipped"] = True
+                cross_drop = empty_keys
+            else:
+                cross = incremental_near_dups(
+                    None, hist_nonnull, key=key, text_col=text_col,
+                    num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+                    jaccard_threshold=jaccard_threshold, new_sigs=sigs,
+                    hist_buckets=hist_buckets, new_buckets=cand_nb,
+                )
+                cross_drop = cross.select(F.col("new_key").alias("k")).distinct()
+        else:
+            cross = incremental_near_dups(
+                None, hist_nonnull, key=key, text_col=text_col,
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+                jaccard_threshold=jaccard_threshold, new_sigs=sigs,
+                hist_buckets=hist_buckets,
+            )
+            cross_drop = cross.select(F.col("new_key").alias("k")).distinct()
+
+        # -- first-wins exact key check -----------------------------------
+        # an already-ingested key is dropped even when its text changed
+        # beyond the near-dup threshold
+        batch_keys = batch.select(F.col(key).alias("k"))
+        if key_bloom is not None:
+            stats["exact_bloom_prefilter"] = True
+            _, maybe_keys = split_new_vs_maybe_seen(batch_keys, key_bloom, "k")
+            if maybe_keys.isEmpty():
+                stats["exact_history_join_skipped"] = True
+                exact_drop = empty_keys
+            else:
+                exact_drop = maybe_keys.join(hist_keys, "k", "left_semi")
+        else:
+            exact_drop = batch_keys.join(hist_keys, "k", "left_semi")
         dropped = (
             self_drop.unionByName(cross_drop).unionByName(exact_drop).distinct()
         )
@@ -231,14 +384,317 @@ def ingest_batch(
         survivors.select(F.col(key).alias("k"))
         .join(sigs, "k", "left")
         .select("k", "sig")
+        .localCheckpoint(eager=False)
     )
     surv_sigs.write.mode("overwrite").parquet(f"{sigs_dir}/batch_id={batch_id}")
-    return {
-        "batch_id": batch_id,
-        "rows_in": n_raw,
-        "rows_unique": n_unique,
-        "rows_kept": n_out,
+    _write_sidecars(
+        spark, surv_sigs, survivors.select(F.col(key).alias("k")),
+        sigs_dir, batch_id,
+        bands=bands, num_hashes=num_hashes,
+        bloom_meta=bloom_meta or (bloom_m_bits, bloom_k),
+    )
+    stats.update(rows_unique=n_unique, rows_kept=n_out)
+    return stats
+
+
+def _load_sidecars(
+    spark: SparkSession,
+    sigs_dir: str,
+    cur_batch_id: int,
+    hist_ids: frozenset[int],
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, tuple[int, int] | None]:
+    """(hist_buckets, key_bloom, bucket_bloom, bloom_meta) for the history
+    partitions — each only if its sidecar COVERS every history batch_id
+    (an incomplete bucket table or Bloom has false negatives for the
+    uncovered batches and would silently admit duplicates; incomplete ⇒
+    ignored, the full-scan path is the safe fallback). ``bloom_meta`` is
+    returned even without full coverage so the current batch's sidecar
+    writes stay in the store's existing (m_bits, k) family."""
+    hist_buckets = key_bloom = bucket_bloom = None
+    bloom_meta: tuple[int, int] | None = None
+
+    bk = _read_optional(spark, f"{sigs_dir}/{BUCKETS_SUBDIR}", BUCKET_SCHEMA)
+    if bk is not None and "batch_id" in bk.columns:
+        bk = bk.filter(F.col("batch_id") != cur_batch_id)
+        if _batch_ids(bk) >= hist_ids:
+            # band −1 rows are the visibility sentinels, not real buckets
+            hist_buckets = bk.filter(F.col("band") >= 0).select(
+                "k", "band", "bucket"
+            )
+
+    for subdir, slot in ((KEY_BLOOM_SUBDIR, "key"), (BUCKET_BLOOM_SUBDIR, "bucket")):
+        bl = _read_optional(spark, f"{sigs_dir}/{subdir}", BLOOM_SCHEMA)
+        if bl is None or "batch_id" not in bl.columns:
+            continue
+        metas = [
+            (int(r["m_bits"]), int(r["k"]))
+            for r in bl.select("m_bits", "k").distinct().collect()
+        ]
+        if len(metas) > 1:
+            raise ValueError(
+                f"Bloom sidecar {sigs_dir}/{subdir} holds mixed (m_bits, k) "
+                f"families {sorted(metas)} — filters only merge within one "
+                "family; rebuild the sidecar (delete it; coverage checking "
+                "will fall back to full scans until it is re-populated)."
+            )
+        if metas:
+            bloom_meta = metas[0]
+        hist_bl = bl.filter(F.col("batch_id") != cur_batch_id)
+        if not (_batch_ids(hist_bl) >= hist_ids):
+            continue
+        merged = (
+            hist_bl.groupBy("word_idx", "m_bits", "k")
+            .agg(F.bit_or("bits").alias("bits"))
+            .select("word_idx", "bits", "m_bits", "k")
+        )
+        if slot == "key":
+            key_bloom = merged
+        else:
+            bucket_bloom = merged
+    return hist_buckets, key_bloom, bucket_bloom, bloom_meta
+
+
+def _write_sidecars(
+    spark: SparkSession,
+    surv_sigs: DataFrame,
+    surv_keys: DataFrame,
+    sigs_dir: str,
+    batch_id: int,
+    *,
+    bands: int,
+    num_hashes: int,
+    bloom_meta: tuple[int, int],
+) -> None:
+    """Persist the current batch's bucket table and Bloom sidecars under
+    ``batch_id=<id>`` (overwrite ⇒ replay-idempotent; everything here is a
+    deterministic function of the survivors)."""
+    m_bits, k_hashes = bloom_meta
+    buckets = band_buckets(
+        surv_sigs.filter(F.col("sig").isNotNull()), bands, num_hashes // bands
+    ).localCheckpoint(eager=False)
+    # sentinel row (band −1 can never equi-join a real band) keeps this
+    # partition VISIBLE even when no survivor had a signature — an empty
+    # parquet write leaves no files, the partition would vanish from the
+    # batch_id set, and the coverage check would put ingest on the
+    # full-scan fallback forever
+    sentinel = spark.createDataFrame([("", -1, 0)], BUCKET_SCHEMA)
+    buckets.unionByName(sentinel).write.mode("overwrite").parquet(
+        f"{sigs_dir}/{BUCKETS_SUBDIR}/batch_id={batch_id}"
+    )
+    build_bloom(
+        surv_keys, "k", m_bits=m_bits, k_hashes=k_hashes
+    ).write.mode("overwrite").parquet(
+        f"{sigs_dir}/{KEY_BLOOM_SUBDIR}/batch_id={batch_id}"
+    )
+    build_bloom(
+        buckets.withColumn("_bkey", _bucket_probe_key()), "_bkey",
+        m_bits=m_bits, k_hashes=k_hashes,
+    ).write.mode("overwrite").parquet(
+        f"{sigs_dir}/{BUCKET_BLOOM_SUBDIR}/batch_id={batch_id}"
+    )
+
+
+# -- store lifecycle --------------------------------------------------------
+def compact_batch_store(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    keep_recent: int = 2,
+    min_partitions: int = 3,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema: StructType | str | None = None,
+) -> dict:
+    """Bin-pack a ``batch_id=N``-partitioned store (corpus rows, signature
+    store, or any sidecar): consolidate every partition EXCEPT the newest
+    ``keep_recent`` into a single partition at the highest compacted id.
+
+    The max batch_id never decreases (the consolidated partition reuses the
+    highest id it absorbed, and newer partitions are untouched), so the
+    checkpoint-reset guard's high-water mark survives compaction; the
+    newest partitions are left alone because Structured Streaming may still
+    REPLAY the last uncommitted batch into its own directory. Original
+    per-row batch provenance inside the compacted range is intentionally
+    dropped (rows re-land under the consolidated id) — signatures and
+    corpus rows don't consume it; anything that needs provenance should
+    carry it as a data column.
+
+    Run between ingest runs (the availableNow model makes each run a
+    discrete maintenance window): the swap is rename-based and a reader
+    racing it could transiently see missing history — for an ingest batch
+    that means missed dedup candidates, so don't ingest concurrently.
+
+    Row-count equality between inputs and the rewrite is verified BEFORE
+    any original partition is touched. Returns ``{"compacted", "target",
+    "partitions_before", "partitions_after", "files_before",
+    "files_after"}``."""
+    if keep_recent < 1:
+        raise ValueError(
+            "keep_recent must be >= 1 — the newest partition can be "
+            "replayed by the stream and must keep its own directory"
+        )
+    root = pathlib.Path(store_dir)
+    parts = sorted(
+        (int(p.name.split("=", 1)[1]), p)
+        for p in root.glob("batch_id=*") if p.is_dir()
+    )
+
+    def _nfiles(dirs):
+        return sum(
+            1 for _, p in dirs for f in p.rglob("*.parquet")
+        )
+
+    stats = {
+        "compacted": False,
+        "target": None,
+        "partitions_before": len(parts),
+        "partitions_after": len(parts),
+        "files_before": _nfiles(parts),
+        "files_after": _nfiles(parts),
     }
+    old = parts[:-keep_recent]
+    if len(old) < max(2, min_partitions):
+        return stats
+    target = old[-1][0]
+    src_dirs = [str(p) for _, p in old]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        src = reader.parquet(*src_dirs)
+    except AnalysisException:
+        # every compactable partition is empty (no footers to infer from,
+        # schema not supplied) — nothing worth consolidating
+        return stats
+    total_bytes = sum(
+        f.stat().st_size for _, p in old for f in p.rglob("*.parquet")
+    )
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    tmp = root / f".compact-tmp-{uuid.uuid4().hex}"
+    src.coalesce(n_out).write.mode("overwrite").parquet(str(tmp))
+    n_src = src.count()
+    n_new = spark.read.parquet(str(tmp)).count() if n_src else 0
+    if n_src != n_new:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"store compaction row-count mismatch under {store_dir}: "
+            f"{n_src} in, {n_new} rewritten — store left untouched"
+        )
+    trash = root / f".compact-trash-{uuid.uuid4().hex}"
+    trash.mkdir()
+    for i, p in old:
+        p.rename(trash / p.name)
+    tmp.rename(root / f"batch_id={target}")
+    shutil.rmtree(trash)
+    kept = parts[-keep_recent:]
+    stats.update(
+        compacted=True,
+        target=target,
+        partitions_after=len(kept) + 1,
+        files_after=_nfiles(kept)
+        + sum(1 for _ in (root / f"batch_id={target}").rglob("*.parquet")),
+    )
+    return stats
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    sigs_dir: str,
+    *,
+    keep_recent: int = 2,
+    min_partitions: int = 3,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the signature store AND its sidecars coherently.
+
+    The main (k, sig) table and the ``_buckets`` sidecar bin-pack via
+    :func:`compact_batch_store`; Bloom sidecars MERGE (one ``bit_or``
+    group-by — the whole point of the word-table representation) into the
+    same consolidated partition id. A sidecar that doesn't fully cover the
+    compacted range has its covered partitions DELETED instead of merged:
+    after compaction its batch_id set would otherwise equal the main
+    store's and the coverage check would trust a filter with false
+    negatives (⇒ admitted duplicates); deleting keeps coverage visibly
+    false and ingest on the safe full-scan path until the sidecars are
+    naturally re-populated by future batches."""
+    root = pathlib.Path(sigs_dir)
+
+    def _ids(sub: pathlib.Path) -> dict[int, pathlib.Path]:
+        return {
+            int(p.name.split("=", 1)[1]): p
+            for p in sub.glob("batch_id=*") if p.is_dir()
+        }
+
+    # capture the main store's partition list BEFORE its compaction is
+    # destructive — sidecar coverage is judged against exactly the ids that
+    # got merged
+    main_before = sorted(_ids(root))
+    out = compact_batch_store(
+        spark, sigs_dir, keep_recent=keep_recent,
+        min_partitions=min_partitions, target_file_bytes=target_file_bytes,
+        schema=SIG_SCHEMA,
+    )
+    if not out["compacted"]:
+        return out
+    target = out["target"]
+    merged_main_ids = {i for i in main_before if i <= target}
+
+    for subdir, schema, is_bloom in (
+        (BUCKETS_SUBDIR, BUCKET_SCHEMA, False),
+        (KEY_BLOOM_SUBDIR, BLOOM_SCHEMA, True),
+        (BUCKET_BLOOM_SUBDIR, BLOOM_SCHEMA, True),
+    ):
+        sub = root / subdir
+        if not sub.is_dir():
+            continue
+        side = _ids(sub)
+        in_range = {i for i in side if i <= target}
+        if not in_range:
+            continue
+        covers = in_range >= merged_main_ids
+        if not covers:
+            # incomplete sidecar: deleting the range keeps the coverage
+            # check visibly false (safe full-scan path) instead of letting
+            # a post-compaction id-set match masquerade as full coverage
+            for i in sorted(in_range):
+                shutil.rmtree(side[i])
+            continue
+        dirs = [str(side[i]) for i in sorted(in_range)]
+        src = spark.read.schema(schema).parquet(*dirs)
+        n_src = None
+        if is_bloom:
+            if src.select("m_bits", "k").distinct().count() != 1:
+                for i in sorted(in_range):
+                    shutil.rmtree(side[i])
+                continue
+            src = (
+                src.groupBy("word_idx", "m_bits", "k")
+                .agg(F.bit_or("bits").alias("bits"))
+                .select("word_idx", "bits", "m_bits", "k")
+            )
+        else:
+            n_src = src.count()
+        in_bytes = sum(
+            f.stat().st_size
+            for i in sorted(in_range)
+            for f in side[i].rglob("*.parquet")
+        )
+        n_out = max(1, -(-in_bytes // target_file_bytes))
+        tmp = sub / f".compact-tmp-{uuid.uuid4().hex}"
+        src.coalesce(n_out).write.mode("overwrite").parquet(str(tmp))
+        if n_src is not None:
+            # a dropped bucket row = a silently missed dedup candidate
+            # forever — verify BEFORE deleting the originals
+            n_new = spark.read.schema(schema).parquet(str(tmp)).count()
+            if n_new != n_src:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"sidecar compaction row-count mismatch under {sub}: "
+                    f"{n_src} in, {n_new} rewritten — sidecar left untouched"
+                )
+        for i in sorted(in_range):
+            shutil.rmtree(side[i])
+        tmp.rename(sub / f"batch_id={target}")
+    return out
 
 
 def stream_dedup_ingest(

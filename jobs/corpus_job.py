@@ -139,10 +139,27 @@ def main() -> None:
 
         pages = gen_pages(spark, args.synthetic, seed=args.seed)
     elif args.warc_input:
+        from pyspark.sql import functions as F
+
         from final_ocr_spark.sources.warc import read_warc
 
-        pages = read_warc(spark, args.warc_input).filter(
-            "error is null").drop("error")
+        parsed = read_warc(spark, args.warc_input).localCheckpoint(eager=False)
+        # framing-quarantined archives must not vanish silently (the
+        # streaming path prints a per-batch count + supports a quarantine
+        # dir; the batch job matches that contract): record them in a
+        # sidecar parquet next to --output and print the count
+        bad = parsed.filter("error is not null").select(
+            F.col("url").alias("source"), "error"
+        )
+        n_bad = bad.count()
+        if n_bad:
+            qdir = f"{args.output.rstrip('/')}_quarantine"
+            bad.write.mode("overwrite").parquet(qdir)
+            print(
+                f"corpus_job: {n_bad} framing-quarantined WARC record(s) "
+                f"excluded from the corpus — recorded at {qdir}"
+            )
+        pages = parsed.filter("error is null").drop("error")
     elif args.input:
         from final_ocr_spark.schema import PAGES_SCHEMA
 

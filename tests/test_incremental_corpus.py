@@ -37,6 +37,13 @@ _THIRD = (
 )
 
 
+_FOURTH = (
+    "orchard workers finished the early apple harvest under clear skies "
+    "stacking crates along the farm road while cider presses ran in the "
+    "barn and wasps gathered near the windfalls by the fence line"
+)
+
+
 def test_stream_ingest_dedups_within_and_across_runs(spark, tmp_path):
     import pyspark.sql.types as T
 
@@ -288,3 +295,194 @@ def test_stream_warc_quarantine_contract(spark, tmp_path):
     kept2 = {r["url"] for r in
              spark.read.parquet(str(tmp_path / "corpus")).collect()}
     assert kept2 == {"http://g.com/ok", "http://x.com/X"}
+
+
+# -- round 4: Bloom pre-split, sidecar lifecycle, exact-text spam rule -------
+
+def test_ingest_bloom_prefilter_skips_and_catches(spark, tmp_path):
+    """(a) of the scale-hardening contract: with sidecars present, a batch
+    whose buckets have NO history hits skips the history band join entirely
+    (lsh_history_join_skipped), while a genuine cross-corpus near-dup still
+    pays it and is dropped — the history scan runs only for the
+    Bloom-candidate subset."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    r0 = ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)]),
+        0, corpus, sigs, jaccard_threshold=0.7,
+    )
+    # first batch has no history at all
+    assert not r0["lsh_bloom_prefilter"]
+
+    # batch 1: all-novel text — Bloom answers "definitely absent" for every
+    # bucket and the exact-key Bloom for every key; both history joins skip
+    r1 = ingest_batch(
+        _docs_df(spark, [("http://y/c", _THIRD)]),
+        1, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r1["lsh_bloom_prefilter"] and r1["exact_bloom_prefilter"]
+    assert r1["lsh_candidate_rows"] == 0
+    assert r1["lsh_history_join_skipped"]
+    assert r1["exact_history_join_skipped"]
+    assert r1["rows_kept"] == 1
+
+    # batch 2: a near-dup of batch-0's doc + an exact key repeat — the
+    # Bloom reports candidates, the join runs, both are dropped
+    r2 = ingest_batch(
+        _docs_df(
+            spark,
+            [("http://z/a-again", _BASE[:-12]), ("http://x/b", "changed " + _THIRD)],
+        ),
+        2, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r2["lsh_bloom_prefilter"]
+    assert r2["lsh_candidate_rows"] > 0
+    assert not r2["lsh_history_join_skipped"]
+    assert r2["rows_kept"] == 0
+    kept = {r["url"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == {"http://x/a", "http://x/b", "http://y/c"}
+
+
+def test_ingest_sidecars_replay_idempotent(spark, tmp_path):
+    """Replaying a batch id rewrites its OWN sidecar partitions with
+    identical (deterministic) content, and the replay must not match its
+    own first-attempt sidecars and self-destruct."""
+    from final_ocr_spark.streaming.incremental_corpus import (
+        BUCKET_BLOOM_SUBDIR, BUCKETS_SUBDIR, KEY_BLOOM_SUBDIR, ingest_batch,
+    )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    b = _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)])
+    ingest_batch(b, 0, corpus, sigs, jaccard_threshold=0.7)
+
+    def snap(sub):
+        df = spark.read.parquet(f"{sigs}/{sub}")
+        return sorted(map(tuple, df.drop("batch_id").collect()))
+
+    first = {s: snap(s) for s in (BUCKETS_SUBDIR, KEY_BLOOM_SUBDIR, BUCKET_BLOOM_SUBDIR)}
+    r = ingest_batch(b, 0, corpus, sigs, jaccard_threshold=0.7)  # replay
+    assert r["rows_kept"] == 2  # did not match its own first attempt
+    second = {s: snap(s) for s in first}
+    assert first == second
+    assert spark.read.parquet(corpus).count() == 2
+
+
+def test_compact_signature_store_bounds_files_and_keeps_dedup(spark, tmp_path):
+    """(c) of the scale-hardening contract: after ≥3 ingested batches,
+    compaction bounds the partition/file count, preserves the high-water
+    mark, keeps sidecar COVERAGE (Bloom prefilter still active), and a
+    post-compaction batch still dedups against pre-compaction history."""
+    from final_ocr_spark.streaming.incremental_corpus import (
+        compact_batch_store, compact_signature_store, ingest_batch,
+    )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    texts = [_BASE, _OTHER, _THIRD, _FOURTH]
+    for i, t in enumerate(texts):
+        ingest_batch(
+            _docs_df(spark, [(f"http://x/{i}", t)]),
+            i, corpus, sigs, jaccard_threshold=0.7,
+        )
+
+    def parts(root):
+        import pathlib
+        return sorted(
+            int(p.name.split("=")[1])
+            for p in pathlib.Path(root).glob("batch_id=*") if p.is_dir()
+        )
+
+    assert parts(sigs) == [0, 1, 2, 3]
+    st = compact_signature_store(spark, sigs, keep_recent=2, min_partitions=2)
+    assert st["compacted"] and st["target"] == 1
+    assert parts(sigs) == [1, 2, 3]
+    assert st["files_after"] < st["files_before"]
+    # sidecars consolidated to the same id set (coverage preserved)
+    assert parts(f"{sigs}/_buckets") == [1, 2, 3]
+    assert parts(f"{sigs}/_bloom_keys") == [1, 2, 3]
+    # corpus rows compact with the generic store compactor
+    cst = compact_batch_store(spark, corpus, keep_recent=2, min_partitions=2)
+    assert cst["compacted"]
+    assert spark.read.parquet(corpus).count() == 4  # nothing lost
+
+    # post-compaction ingest: near-dup of the batch-0 doc (now inside the
+    # consolidated partition) is still caught, via the Bloom path
+    r = ingest_batch(
+        _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
+        4, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r["lsh_bloom_prefilter"]  # coverage survived compaction
+    assert r["rows_kept"] == 0
+    # novel batch after compaction still skips the history join
+    r5 = ingest_batch(
+        _docs_df(spark, [("http://z/new", _THIRD.replace("city", "town") + " entirely new words about glaciers")]),
+        5, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r5["lsh_bloom_prefilter"]
+
+
+def test_ingest_exact_text_spam_across_keys(spark, tmp_path):
+    """Review-caught leak: >cap mutually-identical docs under DISTINCT urls
+    exceed the LSH bucket skew cap (200/bucket) in one batch; the exact
+    cross-key text rule must collapse them to the single smallest key."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    spam = [(f"http://spam/{i:04d}", _BASE) for i in range(250)]
+    r = ingest_batch(
+        _docs_df(spark, spam + [("http://x/ok", _OTHER)]),
+        0, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r["rows_kept"] == 2
+    kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
+    assert kept == {"http://spam/0000", "http://x/ok"}
+
+
+def test_ingest_sidecar_fallback_on_missing_coverage(spark, tmp_path):
+    """A store written without sidecars (older build, or a sidecar lost to
+    a partial crash) must put ingest on the safe full-scan path — and still
+    dedup correctly."""
+    import shutil
+
+    from final_ocr_spark.streaming.incremental_corpus import (
+        BUCKET_BLOOM_SUBDIR, BUCKETS_SUBDIR, KEY_BLOOM_SUBDIR, ingest_batch,
+    )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE)]), 0, corpus, sigs,
+        jaccard_threshold=0.7,
+    )
+    for sub in (BUCKETS_SUBDIR, KEY_BLOOM_SUBDIR, BUCKET_BLOOM_SUBDIR):
+        shutil.rmtree(f"{sigs}/{sub}")
+    r = ingest_batch(
+        _docs_df(spark, [("http://y/a-again", _BASE[:-12]), ("http://y/c", _THIRD)]),
+        1, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert not r["lsh_bloom_prefilter"] and not r["exact_bloom_prefilter"]
+    assert r["rows_kept"] == 1  # near-dup still dropped on the fallback path
+    kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
+    assert kept == {"http://x/a", "http://y/c"}
+
+
+def test_ingest_zero_sig_batch_keeps_sidecar_coverage(spark, tmp_path):
+    """A batch whose survivors ALL lack signatures (< shingle_k words) must
+    not leave an invisible empty bucket partition that would break sidecar
+    coverage forever — the sentinel row keeps the partition visible."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE)]), 0, corpus, sigs,
+        jaccard_threshold=0.7,
+    )
+    ingest_batch(
+        _docs_df(spark, [("http://x/short", "too few words")]),
+        1, corpus, sigs, jaccard_threshold=0.7,
+    )
+    r = ingest_batch(
+        _docs_df(spark, [("http://y/c", _THIRD)]), 2, corpus, sigs,
+        jaccard_threshold=0.7,
+    )
+    assert r["lsh_bloom_prefilter"]  # coverage held across the null-sig batch
+    assert r["rows_kept"] == 1
