@@ -35,9 +35,70 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifest"
 HEAD_FILE = "HEAD"
+
+# Safe widening chains (Iceberg's type-promotion rules, the subset the
+# parquet vectorized reader upcasts at scan time — verified in this
+# environment: an INT32 file column reads as bigint under a pinned read
+# schema, FLOAT reads as double, and a column absent from the file reads
+# as null). Order = narrowest → widest.
+_WIDEN_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def _schema_of(schema_str: str) -> StructType:
+    """Parse a snapshot's pinned schema (stored as ``simpleString`` —
+    round-trips through ``StructType.fromDDL`` including nested
+    array/map/struct types)."""
+    return StructType.fromDDL(schema_str)
+
+
+def _widen_two(a: str, b: str) -> str | None:
+    """The wider of two simple type strings along a safe promotion chain,
+    or None if they're incomparable. Nested types must match exactly —
+    recursive promotion inside array/struct is NOT supported (the parquet
+    reader only upcasts top-level primitive columns)."""
+    if a == b:
+        return a
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
+def _merge_schemas(base: StructType, incoming: StructType,
+                   context: str) -> StructType:
+    """Evolve ``base`` by ``incoming``: columns in both must match or widen
+    along a safe chain (the result takes the wider type); columns only in
+    ``incoming`` append at the end (back-filled as null in files that
+    predate them); columns only in ``base`` are kept. Raises ``ValueError``
+    on an incompatible type change (e.g. string → int) — evolution never
+    rewrites data files, so anything the scan-time upcast can't express is
+    refused loudly."""
+    by_name = {f.name: f for f in incoming.fields}
+    out = []
+    for f in base.fields:
+        g = by_name.pop(f.name, None)
+        if g is None:
+            out.append(f)
+            continue
+        a, b = f.dataType.simpleString(), g.dataType.simpleString()
+        wide = _widen_two(a, b)
+        if wide is None:
+            raise ValueError(
+                f"{context}: incompatible type change for column "
+                f"{f.name!r}: table has {a}, incoming has {b} — only "
+                "add-column and safe widening "
+                f"({' / '.join('→'.join(c) for c in _WIDEN_CHAINS)}) evolve"
+            )
+        out.append(f if wide == a else g)
+    out.extend(by_name[f.name] for f in incoming.fields if f.name in by_name)
+    return StructType(out)
 
 
 class CommitConflictError(RuntimeError):
@@ -108,7 +169,11 @@ class SnapshotCatalog:
         files = [str(self.table_dir(name) / f["path"]) for f in snap["files"]]
         if not files:
             return spark.createDataFrame([], snap["schema"])
-        return spark.read.parquet(*files)
+        # pin the snapshot's schema: files written before a column was added
+        # read it as null, and files written before a widen upcast at scan
+        # (both handled by the parquet vectorized reader) — old snapshots
+        # keep reading under the schema they were committed with
+        return spark.read.schema(_schema_of(snap["schema"])).parquet(*files)
 
     # -- write ------------------------------------------------------------
     def write(self, df: DataFrame, name: str, mode: str = "append") -> dict:
@@ -139,14 +204,27 @@ class SnapshotCatalog:
         # parent it first read (fsync ordering unchanged: snap file + dir
         # entry land before the HEAD flip)
         def _build(parent: dict | None, sid: int) -> dict:
-            base_files = parent["files"] if (parent and mode == "append") else []
+            if parent and mode == "append":
+                base_files = parent["files"]
+                # schema evolution on append: new columns join the table
+                # schema (older files read them as null), matching columns
+                # may widen; incompatible changes raise before any commit.
+                # A df MISSING table columns is fine too — its files read
+                # those columns as null (optional-column append).
+                schema = _merge_schemas(
+                    _schema_of(parent["schema"]), df.schema,
+                    f"append to {name!r}",
+                ).simpleString()
+            else:
+                base_files = []
+                schema = df.schema.simpleString()
             return {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "operation": mode,
                 "committed_at_epoch": time.time(),
                 "app_id": spark.sparkContext.applicationId,
-                "schema": df.schema.simpleString(),
+                "schema": schema,
                 "row_count_added": row_count,
                 "files": base_files + new_files,
             }
@@ -211,7 +289,12 @@ class SnapshotCatalog:
         # file lands near target_file_bytes (parquet re-encoding changes the
         # exact size; the bound that matters is file COUNT ≈ bytes/target)
         n_out = max(1, -(-stats["rewritten_bytes"] // target_file_bytes))
-        src = spark.read.parquet(*[str(tdir / f["path"]) for f in small])
+        # pinned schema: small files may predate a schema evolution — the
+        # consolidated rewrite materializes the current schema (nulls for
+        # columns the inputs lack)
+        src = spark.read.schema(_schema_of(snap["schema"])).parquet(
+            *[str(tdir / f["path"]) for f in small]
+        )
         data_rel = f"data/{uuid.uuid4().hex}"
         data_dir = tdir / data_rel
         src.repartition(n_out).write.mode("overwrite").parquet(str(data_dir))
@@ -253,7 +336,7 @@ class SnapshotCatalog:
                 "operation": "compact",
                 "committed_at_epoch": time.time(),
                 "app_id": spark.sparkContext.applicationId,
-                "schema": snap["schema"],
+                "schema": parent["schema"] if parent else snap["schema"],
                 "row_count_added": 0,
                 "files": [f for f in pfiles if f["path"] not in small_paths]
                 + new_files,
@@ -318,16 +401,22 @@ class SnapshotCatalog:
         if touched_rel or replacement is not None:
             parts = []
             if touched_rel:
-                touched_df = spark.read.parquet(
-                    *[str(tdir / r) for r in touched_rel]
-                )
+                # pin the CURRENT snapshot schema: touched files may predate
+                # an earlier evolution and lack columns the table now has
+                touched_df = spark.read.schema(
+                    _schema_of(snap["schema"])
+                ).parquet(*[str(tdir / r) for r in touched_rel])
                 parts.append(touched_df.join(match_keys, keys, "left_anti"))
             if replacement is not None:
                 parts.append(replacement)
             if parts:
                 out = parts[0]
                 for p in parts[1:]:
-                    out = out.unionByName(p)
+                    # allowMissingColumns: a replacement carrying a NEW
+                    # column null-fills it on the kept rows (and union's
+                    # type coercion widens int/bigint etc. consistently
+                    # with _merge_schemas)
+                    out = out.unionByName(p, allowMissingColumns=True)
                 data_rel = f"data/{uuid.uuid4().hex}"
                 data_dir = tdir / data_rel
                 out.write.mode("overwrite").parquet(str(data_dir))
@@ -354,13 +443,23 @@ class SnapshotCatalog:
                     "rewrite of an overlapping data file — re-plan from the "
                     "new snapshot"
                 )
+            # schema evolution rides the merge: the committed schema is the
+            # ACTUAL parent's schema evolved by the replacement's (delete
+            # carries no replacement → schema unchanged); rebuilt per CAS
+            # retry so a racing evolution's columns survive
+            schema = parent["schema"] if parent else snap["schema"]
+            if replacement is not None:
+                schema = _merge_schemas(
+                    _schema_of(schema), replacement.schema,
+                    f"{operation} into {name!r}",
+                ).simpleString()
             return {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "operation": operation,
                 "committed_at_epoch": time.time(),
                 "app_id": spark.sparkContext.applicationId,
-                "schema": snap["schema"],
+                "schema": schema,
                 "row_count_added": rows_added,
                 "files": [f for f in pfiles if f["path"] not in touched_set]
                 + new_files,
@@ -390,15 +489,29 @@ class SnapshotCatalog:
         still see the pre-merge rows).
 
         ``updates`` must be key-unique (checked loudly — a duplicate-key
-        update batch has no well-defined winner) and carry the table's
-        exact column set."""
+        update batch has no well-defined winner) and carry AT LEAST the
+        table's column set (whole-row replace can't leave a column
+        undefined). EXTRA columns evolve the schema (Iceberg-style
+        add-column: rows in files that predate the column read it as
+        null), and matching columns may safely widen (int→bigint,
+        float→double); an incompatible type change refuses loudly before
+        any data file is written."""
         keys = [key] if isinstance(key, str) else list(key)
-        existing_cols = set(self.read(spark, name).columns)
-        if set(updates.columns) != existing_cols:
+        snap = self.current_snapshot(name)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {name!r}")
+        table_schema = _schema_of(snap["schema"])
+        missing = set(table_schema.names) - set(updates.columns)
+        if missing:
             raise ValueError(
-                f"merge schema mismatch for {name!r}: table has "
-                f"{sorted(existing_cols)}, updates have {sorted(updates.columns)}"
+                f"merge into {name!r} is a whole-row replace and updates "
+                f"are missing table columns {sorted(missing)} — select "
+                "them (null is fine) explicitly"
             )
+        # validate evolution compatibility NOW, before the expensive
+        # copy-on-write work (the committed schema is re-derived against
+        # the actual parent inside the commit CAS)
+        _merge_schemas(table_schema, updates.schema, f"merge into {name!r}")
         if (
             updates.groupBy(*keys).count()
             .filter(F.col("count") > 1).limit(1).count()
@@ -476,9 +589,21 @@ class SnapshotCatalog:
             compare_cols = [
                 c for c in a.columns if c != key and c in set(b.columns)
             ]
+        # a column WIDENED between the snapshots (int→bigint etc.) hashes
+        # differently per type even for equal values — cast both sides to
+        # the wider type (string if incomparable) so only real value
+        # changes surface
+        a_types, b_types = dict(a.dtypes), dict(b.dtypes)
+        casts = {}
+        for c in compare_cols:
+            if a_types[c] != b_types[c]:
+                casts[c] = _widen_two(a_types[c], b_types[c]) or "string"
 
         def _fp(df: DataFrame, side: str) -> DataFrame:
-            h = F.xxhash64(*[F.col(c) for c in compare_cols])
+            h = F.xxhash64(*[
+                F.col(c).cast(casts[c]) if c in casts else F.col(c)
+                for c in compare_cols
+            ])
             return df.groupBy(F.col(key).alias("_k")).agg(
                 F.count(F.lit(1)).alias(f"_n_{side}"),
                 F.bit_xor(h).alias(f"_x_{side}"),

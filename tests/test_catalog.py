@@ -259,10 +259,18 @@ def test_merge_guards(spark, cat):
             spark.createDataFrame([(1, "x"), (1, "y")], ["id", "v"]),
             "t", key="id",
         )
-    with _pt.raises(ValueError, match="schema mismatch"):
+    # whole-row replace can't leave a table column undefined
+    with _pt.raises(ValueError, match="missing table columns"):
         cat.merge(
             spark,
-            spark.createDataFrame([(1, "x", 9)], ["id", "v", "extra"]),
+            spark.createDataFrame([(1,)], ["id"]),
+            "t", key="id",
+        )
+    # incompatible type CHANGE (string → int) refuses before any write
+    with _pt.raises(ValueError, match="incompatible type change"):
+        cat.merge(
+            spark,
+            spark.createDataFrame([(1, 7)], "id bigint, v int"),
             "t", key="id",
         )
 
@@ -333,3 +341,77 @@ def test_expire_reclaims_merge_superseded_files(spark, cat, tmp_path):
     # table still reads correctly after expiry
     got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+# -- schema evolution (round-4: evolve-on-merge instead of hard refusal) ----
+def test_merge_evolves_add_column(spark, cat):
+    """Add a column via merge: untouched rows read it as null, time travel
+    shows BOTH schemas, diff reports nothing for untouched keys."""
+    base = spark.createDataFrame(
+        [("u1", "t1"), ("u2", "t2"), ("u3", "t3")], ["url", "text"]
+    )
+    s1 = cat.write(base, "docs")["snapshot_id"]
+    upd = spark.createDataFrame([("u2", "t2b", 0.9)],
+                                "url string, text string, quality double")
+    cat.merge(spark, upd, "docs", key="url")
+
+    head = cat.read(spark, "docs")
+    assert set(head.columns) == {"url", "text", "quality"}
+    rows = {r["url"]: (r["text"], r["quality"]) for r in head.collect()}
+    assert rows == {"u1": ("t1", None), "u2": ("t2b", 0.9), "u3": ("t3", None)}
+    # old snapshot still reads under its pinned (pre-evolution) schema
+    old = cat.read(spark, "docs", snapshot_id=s1)
+    assert old.columns == ["url", "text"] and old.count() == 3
+    # diff: only the merged key; the added-null column marks nothing
+    d = {r["url"]: r["change"]
+         for r in cat.diff(spark, "docs", from_snapshot=s1).collect()}
+    assert d == {"u2": "modified"}
+
+
+def test_merge_evolves_safe_widen(spark, cat):
+    """int → bigint widening via merge: old int files upcast at scan, diff
+    doesn't flag rows whose VALUE didn't change."""
+    cat.write(spark.createDataFrame([("u1", 1), ("u2", 2)],
+                                    "url string, n int"), "t")
+    s1 = cat.current_snapshot("t")["snapshot_id"]
+    upd = spark.createDataFrame([("u2", 2**40)], "url string, n bigint")
+    cat.merge(spark, upd, "t", key="url")
+    head = cat.read(spark, "t")
+    assert dict(head.dtypes)["n"] == "bigint"
+    assert {r["url"]: r["n"] for r in head.collect()} == {"u1": 1, "u2": 2**40}
+    assert dict(cat.read(spark, "t", snapshot_id=s1).dtypes)["n"] == "int"
+    d = {r["url"]: r["change"]
+         for r in cat.diff(spark, "t", from_snapshot=s1).collect()}
+    assert d == {"u2": "modified"}  # u1 NOT flagged despite the widen
+
+
+def test_append_with_evolved_or_subset_schema(spark, cat):
+    """Append evolution: a new column joins the table schema (old files
+    null-fill), and an append MISSING an optional column null-fills its
+    own rows instead."""
+    cat.write(spark.createDataFrame([("u1", "a")], ["url", "v"]), "t")
+    cat.write(spark.createDataFrame([("u2", "b", 3)],
+                                    "url string, v string, n int"),
+              "t", mode="append")
+    head = cat.read(spark, "t")
+    assert set(head.columns) == {"url", "v", "n"}
+    by = {r["url"]: r["n"] for r in head.collect()}
+    assert by == {"u1": None, "u2": 3}
+    # subset append: rows land with null n
+    cat.write(spark.createDataFrame([("u3", "c")], ["url", "v"]),
+              "t", mode="append")
+    by = {r["url"]: r["n"] for r in cat.read(spark, "t").collect()}
+    assert by == {"u1": None, "u2": 3, "u3": None}
+
+
+def test_compact_materializes_evolved_schema(spark, cat):
+    """Compaction over a mix of pre- and post-evolution small files
+    carries the evolved schema and loses no values."""
+    cat.write(spark.createDataFrame([("u1", "a")], ["url", "v"]), "t")
+    cat.write(spark.createDataFrame([("u2", "b", 3)],
+                                    "url string, v string, n int"),
+              "t", mode="append")
+    st = cat.compact(spark, "t", min_input_files=2)
+    assert st["compacted"]
+    by = {r["url"]: r["n"] for r in cat.read(spark, "t").collect()}
+    assert by == {"u1": None, "u2": 3}
