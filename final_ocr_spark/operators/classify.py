@@ -34,18 +34,18 @@ from pyspark.sql import functions as F
 from final_ocr_spark.operators.dedup import sketch_words
 
 
-def _gram_bucket_rows(
+def _gram_rows(
     df: DataFrame,
     key: str,
     text_col: str,
-    n_features: int,
     word_ngrams: int,
 ) -> DataFrame:
-    """(k, b) — one row per word n-gram occurrence (n = 1..word_ngrams),
-    b = pmod(xxhash64(gram), n_features). Grams are built with the sketch
-    tokenizer so classifier features and dedup shingles share one
-    canonical tokenization. Stays in codegen: posexplode + lag windows —
-    the same one-exchange shape as dedup.shingle_hash_rows."""
+    """(k, g) — one row per word n-gram OCCURRENCE (n = 1..word_ngrams).
+    Grams are built with the sketch tokenizer so classifier features,
+    embeddings, and dedup shingles share one canonical tokenization. Stays
+    in codegen: posexplode + lag windows — the same one-exchange shape as
+    dedup.shingle_hash_rows. Shared by the NB classifier and the hashed
+    document embedder (operators/embed.py)."""
     from pyspark.sql import Window
 
     ex = df.select(
@@ -66,10 +66,20 @@ def _gram_bucket_rows(
         grams = F.array(F.col("w"), F.col("_bg"))
     else:
         grams = F.array(F.col("w"))
-    out = ex.select("k", F.explode(grams).alias("g")).filter(
+    return ex.select("k", F.explode(grams).alias("g")).filter(
         F.col("g").isNotNull()
     )
-    return out.select(
+
+
+def _gram_bucket_rows(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    n_features: int,
+    word_ngrams: int,
+) -> DataFrame:
+    """(k, b) — b = pmod(xxhash64(gram), n_features) per gram occurrence."""
+    return _gram_rows(df, key, text_col, word_ngrams).select(
         "k", F.pmod(F.xxhash64("g"), F.lit(n_features)).alias("b")
     )
 

@@ -265,8 +265,14 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     partitions: int | None = None,
+    with_residual: bool = False,
 ) -> DataFrame:
     """Weighted PageRank by power iteration → (id, rank); ranks sum to 1.
+    With ``with_residual=True`` an ``l1_delta`` column (constant across
+    rows) carries Σ|rank_final − rank_prev| — the final-round L1 movement —
+    so a fixed-iteration run is OBSERVABLY converged instead of trusted:
+    one extra equi-join + 1-row aggregate attached by the same no-collect
+    crossJoin pattern as the dangling mass, only when asked for.
 
     Textbook formulation (Page et al. 1999, the weighted variant):
 
@@ -316,11 +322,18 @@ def pagerank(
     )
     n = verts.count()
     if n == 0:
-        return verts.select("id", F.lit(0.0).alias("rank"))
+        out = verts.select("id", F.lit(0.0).alias("rank"))
+        return out.withColumn("l1_delta", F.lit(0.0)) if with_residual else out
     has_out = norm.select(F.col("_src").alias("id")).distinct()
     ranks = verts.select("id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
 
+    prev = None
     for i in range(iterations):
+        if with_residual and i + 1 == iterations:
+            # snapshot the pre-final-round ranks; materialized so the
+            # residual join doesn't re-execute the whole iteration lineage
+            prev = ranks.localCheckpoint(eager=True)
+            ranks = prev
         # mass parked on dangling vertices this round (1-row aggregate)
         dangling = (
             ranks.join(has_out, "id", "left_anti")
@@ -348,4 +361,14 @@ def pagerank(
             # dedup_clusters) — without it round k's plan contains k copies
             # of the join tree and planning time grows superlinearly
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    if not with_residual:
+        return ranks
+    delta = (
+        ranks.join(prev.select("id", F.col("rank").alias("_prev")), "id")
+        .agg(
+            F.coalesce(
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))), F.lit(0.0)
+            ).alias("l1_delta")
+        )
+    )
+    return ranks.crossJoin(delta)

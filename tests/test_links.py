@@ -199,6 +199,38 @@ class TestPagerank:
         with pytest.raises(ValueError, match="iterations"):
             pagerank(df, iterations=0)
 
+    def test_residual_observes_convergence(self, spark):
+        """with_residual=True emits the final-round L1 movement as a
+        constant column — on the standard fixture 20 fixed rounds are
+        genuinely converged (delta < 1e-8), and the delta matches the
+        numpy twin's exactly; ranks are unchanged by the instrumentation."""
+        rng = np.random.RandomState(7)
+        ids = [f"h{i}" for i in range(25)]
+        agg: dict = {}
+        for _ in range(120):
+            s, d = rng.randint(0, 25, 2)
+            if s != d:
+                agg[(ids[s], ids[d])] = agg.get((ids[s], ids[d]), 0) + 1
+        edges = [(s, d, w) for (s, d), w in agg.items()]
+        df = spark.createDataFrame(
+            edges, "src_host string, dst_host string, weight long"
+        )
+        rows = pagerank(df, iterations=20, with_residual=True).collect()
+        deltas = {r["l1_delta"] for r in rows}
+        assert len(deltas) == 1  # constant across rows
+        delta = deltas.pop()
+        assert 0.0 <= delta < 1e-8  # fixed 20 rounds observably converged
+
+        touched = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+        w19 = _numpy_pagerank(edges, touched, iterations=19)
+        w20 = _numpy_pagerank(edges, touched, iterations=20)
+        want_delta = sum(abs(w20[k] - w19[k]) for k in w20)
+        assert delta == pytest.approx(want_delta, abs=1e-12)
+        # ranks identical to the uninstrumented run
+        got = {r.id: r.rank for r in rows}
+        for k in w20:
+            assert got[k] == pytest.approx(w20[k], abs=1e-12)
+
 
 class TestAnchorTextCorpus:
     def _edges(self, spark):
