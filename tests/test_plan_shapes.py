@@ -106,3 +106,96 @@ def test_asof_join_chunked_partitions_by_key_and_chunk(spark):
     assert "hashpartitioning(uid" in plan and "_chunk" in plan.split(
         "hashpartitioning(uid", 1)[1].split(")")[0]
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_aqe_skew_join_splits_hot_host(spark):
+    """Skew evidence for the salting-vs-AQE story PLANS.md argues from
+    design: on a planted hot-host join (one host carrying half the rows,
+    incompressible payloads so shuffle bytes reflect row bytes), AQE's
+    skew handling must actually FIRE — the final adaptive plan shows
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead, and the
+    reducer-stage task count EXCEEDS spark.sql.shuffle.partitions.
+    The task-count inequality is the bounded-distribution proof: AQE
+    coalescing can only merge reducer partitions (count can only drop
+    below the configured 8); the skew SPLIT is the only mechanism that
+    pushes it above, and each split is capped near the advisory size
+    instead of one straggler task carrying the whole hot host."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    sc = spark.sparkContext
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scaled-down thresholds so the split fires at test size (the
+        # default 256 MB bar needs a real cluster's data volume)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        # force sort-merge: a broadcast join has no reducer partitions to skew
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # ~128 B incompressible payload (constant padding lz4-compresses to
+        # nothing and the skew detector sees SHUFFLE bytes)
+        payload = F.concat(
+            F.sha2(F.col("id").cast("string"), 256),
+            F.sha2(F.concat(F.lit("b"), F.col("id").cast("string")), 256),
+        )
+        # 16 map partitions: the skew split's granularity is one map-output
+        # chunk per mapper, so the hot partition can split into up to 16
+        # pieces (at 4 mappers the max 4-way split is cancelled out by
+        # cold-partition coalescing and the task count stays at 8)
+        left = spark.range(0, 120000, 1, 16).select(
+            F.when(F.col("id") < 60000, F.lit("hot.example"))
+            .otherwise(
+                F.concat(F.lit("h"), (F.col("id") % 200).cast("string"))
+            )
+            .alias("host"),
+            payload.alias("payload"),
+        )
+        right = spark.range(0, 201).select(
+            F.when(F.col("id") == 0, F.lit("hot.example"))
+            .otherwise(F.concat(F.lit("h"), (F.col("id") - 1).cast("string")))
+            .alias("host"),
+            F.lit(1.0).alias("host_rank"),
+        )
+        joined = left.join(right, "host")
+        sc.setJobGroup("aqe-skew-test", "planted hot-host join")
+        # collect() (not count()) so THIS DataFrame's query execution runs —
+        # count() spawns its own plan and joined's would stay unexecuted
+        assert len(joined.collect()) == 120000  # every row matches once
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert any(
+            "AQEShuffleRead" in l and "skewed" in l for l in plan.splitlines()
+        ), plan
+
+        st = sc.statusTracker()
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        max_tasks = 0
+        for jid in st.getJobIdsForGroup("aqe-skew-test"):
+            ji = st.getJobInfo(jid)
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si:
+                    max_tasks = max(max_tasks, si.numTasks)
+        assert max_tasks > n_shuffle, (
+            f"join stage ran {max_tasks} tasks <= {n_shuffle} shuffle "
+            "partitions — hot partition was NOT split"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
