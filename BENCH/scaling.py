@@ -40,6 +40,15 @@ import subprocess
 import sys
 import time
 
+import os
+
+# env overrides so the SAME protocol can run at other sizes (round-4: the
+# ~500k-doc large-size evidence BASELINE.md's protocol names) — the --run
+# subprocess inherits the env, so both levels see identical constants
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
 N_DOCS = 192000  # resized round 3 (was 144000): the XY-cut numpy fast path
                  # sped extraction ~1.3×, which would have pushed the 32-core
                  # run under the 25 s floor below.
@@ -64,6 +73,11 @@ SESSIONS = 3   # fresh JVMs per level, interleaved in time; capability = min
                # to 4× within a single session — probe runs spanned 15-70 s
                # on identical work — so per-session medians are lottery draws
                # while the min converges)
+N_DOCS = _env_int("SCALING_DOCS", N_DOCS)
+N_FILES = _env_int("SCALING_FILES", N_FILES)
+RUNS = _env_int("SCALING_RUNS", RUNS)
+SESSIONS = _env_int("SCALING_SESSIONS", SESSIONS)
+WARMUPS = _env_int("SCALING_WARMUPS", WARMUPS)
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))  # script lives in BENCH/, package at repo root
 CORPUS = (
@@ -306,7 +320,10 @@ plan-compilation artifacts, not throughput: isolated fresh-JVM runs
 runs beating their r1 series ~2.5×. bench.py emits a `queries_warm`
 second pass alongside the r1/r2-comparable cold series.
 """
-    (REPO / "BENCH" / "BASELINE.md").write_text(md, encoding="utf-8")
+    # SCALING_OUT_MD: alternate output so a large-size evidence run (env
+    # overrides active) doesn't clobber the committed protocol-of-record
+    out = os.environ.get("SCALING_OUT_MD", str(REPO / "BENCH" / "BASELINE.md"))
+    pathlib.Path(out).write_text(md, encoding="utf-8")
 
 
 if __name__ == "__main__":
