@@ -36,6 +36,9 @@ to a training-ready corpus, composed from the engine's tested operators.
                           → connected components → keep min-url per cluster
       5b'. containment    optional winnowing containment dedup — drops docs
                           wholly quoted/mirrored inside another kept doc
+      5c. semantic dedup  optional SemDeDup-style embedding-space dedup,
+                          text-in via the deterministic hashed-projection
+                          embedder (paraphrase groups lexical dedup misses)
       6. host cap         at most N docs per host (skew-safe salted cap)
       7. sample           optional deterministic md5 sample (stable across
                           reruns and cluster sizes)
@@ -115,6 +118,9 @@ def corpus_pipeline(
     containment_threshold: float | None = None,
     lm_table: DataFrame | None = None,
     lm_max_ppl: float | None = None,
+    semantic_threshold: float | None = None,
+    semantic_dim: int = 128,
+    semantic_bits: int = 12,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -369,6 +375,34 @@ def corpus_pipeline(
             text_col="text",
             containment_threshold=containment_threshold,
         )
+
+    # 5c. semantic dedup (optional, round 4): SemDeDup-style embedding-space
+    # dedup over the deterministic hashed-projection embedder — paraphrase/
+    # template groups no LEXICAL stage above can see collapse to their
+    # min-url member. Runs text-in (operators/embed.py supplies the
+    # vectors), after the lexical dedups so it only sketches the thinned
+    # corpus. Scale shape: embedding is one map-side-combined (url, slot)
+    # agg (≤dim rows/doc shuffle), blocking explodes keys only, vectors
+    # rejoin survivors. The rare gramless doc (NULL embedding) is kept
+    # unconditionally — no vector, no judgment.
+    if semantic_threshold is not None:
+        from final_ocr_spark.operators.embed import embed_hashed_ngrams
+        from final_ocr_spark.operators.similarity import semantic_dedup
+
+        emb = embed_hashed_ngrams(
+            docs, key="url", text_col="text", dim=semantic_dim
+        )
+        with_vec = docs.join(emb, "url").filter(
+            F.col("embedding").isNotNull()
+        )
+        gramless = docs.join(
+            emb.filter(F.col("embedding").isNull()).select("url"),
+            "url", "left_semi",
+        )
+        docs = semantic_dedup(
+            with_vec, threshold=semantic_threshold, id_col="url",
+            bits=semantic_bits,
+        ).drop("embedding").unionByName(gramless)
 
     # 5b. benchmark decontamination (optional): drop docs sharing an n-gram
     # with the eval set — broadcast semi-join on gram hashes, corpus-side

@@ -66,6 +66,14 @@ def main() -> None:
     ap.add_argument("--quarantine", default=None,
                     help="(--warc only) record framing/extraction "
                          "quarantine rows here instead of dropping them")
+    ap.add_argument("--compact-store", action="store_true",
+                    help="after the stream drains, bin-pack old batch_id "
+                         "partitions of the signature store (+ sidecars, "
+                         "Blooms merged) and the corpus — the availableNow "
+                         "drain makes this run a safe maintenance window")
+    ap.add_argument("--compact-min-partitions", type=int, default=16,
+                    help="skip compaction below this many old partitions "
+                         "(avoids write amplification on young stores)")
     args = ap.parse_args()
     if args.warc:
         # --warc fixes the post-extraction shape: key is url, text column
@@ -120,6 +128,24 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
         )
     q.awaitTermination()
+    if args.compact_store:
+        # the stream has fully drained (availableNow), so no ingest can race
+        # the rename-based swap — the contract compact_batch_store documents
+        from final_ocr_spark.streaming.incremental_corpus import (
+            compact_batch_store,
+            compact_signature_store,
+        )
+
+        st = compact_signature_store(
+            spark, args.sigs, min_partitions=args.compact_min_partitions
+        )
+        print(f"signature-store compaction: {st}")
+        if pathlib.Path(args.corpus).is_dir():
+            st = compact_batch_store(
+                spark, args.corpus,
+                min_partitions=args.compact_min_partitions,
+            )
+            print(f"corpus compaction: {st}")
     try:
         n = spark.read.parquet(args.corpus).count()
     except Exception:

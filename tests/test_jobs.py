@@ -226,3 +226,61 @@ def test_frontier_job_smoke(tmp_path, spark):
     rows = spark.read.parquet(str(tmp_path / "frontier")).collect()
     assert len(rows) == 4
     assert all(r.host == "a.com" and r.priority == 0.9 for r in rows)
+
+
+def test_ingest_job_compact_store(tmp_path):
+    """--compact-store: after draining multiple micro-batches, the
+    maintenance pass bin-packs old batch_id partitions of sigs + corpus
+    (sidecar coverage preserved — next run still reports the Bloom path)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    texts = [
+        "alpha harbor report " * 20 + "end one",
+        "beta mountain snowfall survey " * 20 + "end two",
+        "gamma council budget minutes " * 20 + "end three",
+        "delta orchard harvest notes " * 20 + "end four",
+    ]
+    for i, t in enumerate(texts):
+        pd.DataFrame([(f"http://x/{i}", t)], columns=["url", "text"]) \
+            .to_parquet(drops / f"d{i}.parquet")
+
+    common = [
+        sys.executable, "jobs/ingest_job.py",
+        "--input", str(drops), "--corpus", str(tmp_path / "corpus"),
+        "--sigs", str(tmp_path / "sigs"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--schema", "url string, text string",
+        "--key", "url", "--text-col", "text", "--jaccard", "0.7",
+        "--max-files-per-trigger", "1",  # one micro-batch per drop file
+    ]
+    out = subprocess.run(
+        common + ["--compact-store", "--compact-min-partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "corpus rows after ingest: 4" in out.stdout
+    assert "signature-store compaction: {'compacted': True" in out.stdout
+    assert "corpus compaction: {'compacted': True" in out.stdout
+
+    def parts(p):
+        return sorted(
+            int(d.name.split("=")[1])
+            for d in pathlib.Path(p).glob("batch_id=*") if d.is_dir()
+        )
+
+    # 4 batches compacted down to keep_recent(2) + 1 consolidated
+    assert len(parts(tmp_path / "sigs")) == 3
+    assert len(parts(tmp_path / "corpus")) == 3
+    # maintenance never loses corpus rows
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/corpus/*/*.parquet'"
+    ).fetchone()[0]
+    assert n == 4

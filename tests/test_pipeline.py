@@ -457,3 +457,39 @@ def test_all_round3_stages_compose(spark):
     assert lede in out["http://a.com/1"]            # first owner keeps
     assert lede not in out["http://b.com/2"]        # dedup dropped copy
     assert "different second document" in out["http://b.com/2"]
+
+
+def test_corpus_pipeline_semantic_dedup_stage(spark):
+    """Stage 5c: a word-order-permuted paraphrase shares its unigram
+    multiset with the original (hashed-projection cosine ≈ the unigram
+    mass fraction) but almost no 5-gram shingles — lexical near-dup at
+    0.85 keeps it, the semantic stage collapses it to the min-url member.
+    An unrelated doc (cosine ≈ 0) must survive the same threshold."""
+    base_words = (
+        "the committee approved the new harbor dredging budget after a "
+        "long public session where residents raised concerns about noise "
+        "schedules and the seasonal closure of the east boat ramp before "
+        "the final vote passed with a clear majority of the members"
+    ).split()
+    # fixed deterministic permutation (reverse) — same unigrams, new order
+    shuffled = " ".join(reversed(base_words))
+    rows = [
+        ("https://a.example.com/base", " ".join(base_words)),
+        ("https://b.example.com/reordered", shuffled),
+        ("https://c.example.com/other",
+         "quarterly snowfall totals across the northern observation ridge "
+         "exceeded the historical median while wind crusting limited the "
+         "usable depth reported by the avalanche survey teams this winter"),
+    ]
+    # without the stage: the reordered paraphrase survives lexical dedup
+    plain = {r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False,
+        extract_partitions=2,
+    ).collect()}
+    assert plain == {u for u, _ in rows}
+    # with the stage: it collapses to the min-url member; unrelated stays
+    sem = {r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False,
+        extract_partitions=2, semantic_threshold=0.4, semantic_bits=2,
+    ).collect()}
+    assert sem == {"https://a.example.com/base", "https://c.example.com/other"}
