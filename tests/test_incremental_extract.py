@@ -140,3 +140,44 @@ def test_since_with_missing_extracted_table_raises(spark, cat):
               "pages", mode="append")
     with _pt.raises(ValueError, match="does not exist but since"):
         incremental_extract(spark, cat, since=1)
+
+
+def test_recrawl_with_evolved_pages_schema(spark, cat):
+    """Round-4 integration: a recrawl batch that ADDS a column to the pages
+    table (schema evolution rides the merge) must not break the incremental
+    loop — diff stays change-proportional (the added-null column flags
+    nothing), only the recrawled urls re-extract, and the pre-evolution
+    pages snapshot still time-travels under its own schema."""
+    import pyspark.sql.functions as F
+
+    pages1 = gen_pages(spark, 40, seed=7, partitions=4)
+    cat.write(pages1, "pages")
+    s0 = cat.current_snapshot("pages")["snapshot_id"]
+    s1 = incremental_extract(spark, cat)
+    n_backfill = cat.read(spark, "extracted").count()
+    assert n_backfill > 0
+
+    # recrawl: 3 existing urls, fresh timestamps AND a NEW fetch_status
+    # column — the classic mid-life pipeline evolution
+    recrawl = (
+        cat.read(spark, "pages").orderBy("url").limit(3)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("fetch_status", F.lit(200))
+    )
+    touched = {r["url"] for r in recrawl.select("url").collect()}
+    cat.merge(spark, recrawl, "pages", key="url")
+
+    head_pages = cat.read(spark, "pages")
+    assert "fetch_status" in head_pages.columns  # evolved
+    # old snapshot still reads under the pre-evolution schema
+    assert "fetch_status" not in cat.read(spark, "pages", snapshot_id=s0).columns
+
+    s2 = incremental_extract(spark, cat, since=s1["processed_snapshot"])
+    # change-proportional: ONLY the 3 recrawled urls (the added-null column
+    # must not mark the other 37 rows modified)
+    assert s2["n_changed"] == 3 and s2["n_removed"] == 0
+    ext = cat.read(spark, "extracted")
+    assert ext.count() == n_backfill  # same url set, upserted in place
+    assert {r["url"] for r in ext.join(
+        spark.createDataFrame([(u,) for u in touched], ["url"]),
+        "url", "left_semi").collect()} == touched
