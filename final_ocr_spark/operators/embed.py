@@ -60,7 +60,14 @@ def embed_hashed_ngrams(
     Documents with NO grams (empty/whitespace/punctuation-only text) get a
     NULL embedding rather than a silent zero vector — a zero vector has no
     direction, so cosine against it is undefined and downstream operators
-    (semantic_dedup, ANN) must see the absence loudly. Occurrence COUNTS
+    (semantic_dedup, ANN) must see the absence loudly. The same rule covers
+    the sign-cancellation corner: with ``word_ngrams=1`` a document whose
+    gram signs sum to zero in every slot (probability ≈ 1/(2·dim) for a
+    2-distinct-word doc) produces a zero vector, and dividing by its zero
+    norm would abort the whole job under ANSI mode (Spark 4 default) — such
+    docs also embed as NULL instead. (``word_ngrams=2`` cannot hit this: a
+    doc with w words contributes 2w−1 gram occurrences, an odd count, so at
+    least one slot is nonzero.) Occurrence COUNTS
     are used (not the gram set): repeating a gram moves the vector, as in
     any bag-of-words projection.
 
@@ -114,8 +121,11 @@ def embed_hashed_ngrams(
             "_dense",
         ).select(
             "k",
-            F.transform(
-                "_dense", lambda x: x / F.col("_norm")
+            # zero norm ⇒ NULL embedding (see docstring) — the guard also
+            # keeps ANSI mode from raising DIVIDE_BY_ZERO mid-job
+            F.when(
+                F.col("_norm") > 0,
+                F.transform("_dense", lambda x: x / F.col("_norm")),
             ).alias("_dense"),
         )
     emb = dense.select(

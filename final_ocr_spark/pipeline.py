@@ -389,9 +389,11 @@ def corpus_pipeline(
         from final_ocr_spark.operators.embed import embed_hashed_ngrams
         from final_ocr_spark.operators.similarity import semantic_dedup
 
+        # consumed twice below (vector join + gramless semi-join) — without
+        # the checkpoint the full explode→agg embedding plan runs twice
         emb = embed_hashed_ngrams(
             docs, key="url", text_col="text", dim=semantic_dim
-        )
+        ).localCheckpoint(eager=False)
         with_vec = docs.join(emb, "url").filter(
             F.col("embedding").isNotNull()
         )

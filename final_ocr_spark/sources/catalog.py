@@ -429,6 +429,7 @@ class SnapshotCatalog:
                 rows_added = written.count()
 
         touched_set = set(touched_rel)
+        planned_paths = {f["path"] for f in snap["files"]}
 
         def _build(parent: dict | None, sid: int) -> dict:
             # rebuild against the ACTUAL parent: a racing append's files
@@ -443,6 +444,27 @@ class SnapshotCatalog:
                     "rewrite of an overlapping data file — re-plan from the "
                     "new snapshot"
                 )
+            # serializable-isolation validation (Iceberg's
+            # validateNoConflictingData for CoW MERGE/DELETE): a file ADDED
+            # since the snapshot this rewrite was planned from may contain a
+            # matched key that the rewrite never saw — publishing would
+            # leave two rows per key after a merge that promises whole-row
+            # replacement (or resurrect a deleted key). Probe is keys-only
+            # over ONLY the added files, so the happy no-race path costs
+            # nothing (review-caught, test-pinned).
+            added_since = [
+                f["path"] for f in pfiles if f["path"] not in planned_paths
+            ]
+            if added_since:
+                probe = spark.read.schema(
+                    _schema_of(parent["schema"])
+                ).parquet(*[str(tdir / r) for r in added_since]).select(*keys)
+                if not probe.join(match_keys, keys, "left_semi").isEmpty():
+                    raise CommitConflictError(
+                        f"{operation} on {name!r} conflicts with a "
+                        "concurrent append containing a matched key — "
+                        "re-plan from the new snapshot"
+                    )
             # schema evolution rides the merge: the committed schema is the
             # ACTUAL parent's schema evolved by the replacement's (delete
             # carries no replacement → schema unchanged); rebuilt per CAS
@@ -636,9 +658,10 @@ class SnapshotCatalog:
     def _commit_snapshot(self, name: str, build_snap, max_retries: int = 64) -> dict:
         """Optimistic-concurrency commit (Iceberg's commit protocol, on a
         filesystem): ``build_snap(parent, sid)`` constructs the snapshot dict
-        against the CURRENT latest committed parent, and exclusive creation of
-        ``snap-<sid>.json`` (O_CREAT|O_EXCL — a filesystem compare-and-swap on
-        the snapshot id) is the commit point. Losing the CAS re-derives the
+        against the CURRENT latest committed parent, and atomically linking a
+        fully-written temp file into ``snap-<sid>.json`` (link(2) EEXIST — a
+        filesystem compare-and-swap on the snapshot id) is the commit point;
+        a visible snap file is therefore always complete JSON. Losing the CAS re-derives the
         parent and REBUILDS the snapshot, so a racing append never erases the
         winner's files (retrying with a stale file list would be a second,
         subtler lost update). Builders that can't rebuild against the new
@@ -654,23 +677,35 @@ class SnapshotCatalog:
         sid_floor = 0
         for _ in range(max_retries):
             parent = self._latest_committed(name)
-            # sid_floor skips torn snap files (a crashed writer's partial
+            # sid_floor also covers legacy torn snap files (pre-link builds
+            # wrote the committed name directly; a crashed writer's partial
             # JSON occupies the name forever but never parses, so
             # snapshots() can't see it and parent.sid+1 would loop)
             sid = max((parent["snapshot_id"] + 1) if parent else 1, sid_floor)
             snap = build_snap(parent, sid)
             snap_path = md / f"snap-{sid:08d}.json"
-            try:
-                fd = os.open(
-                    snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
-                )
-            except FileExistsError:
-                sid_floor = sid + 1
-                continue
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
+            # write the FULL json to a private temp name first, fsync it,
+            # then hard-link it into the committed name: link(2) is the
+            # atomic CAS (EEXIST on loss), and — unlike creating the
+            # committed name directly — the snap file is never observable
+            # half-written. A concurrent committer that raced the old
+            # direct-write path could read an in-progress (empty) snap-N,
+            # skip it as torn, take snap-(N-1) as parent, and publish a
+            # snap-(N+1) WITHOUT the winner's files — a silent lost update
+            # in the very protocol meant to prevent them (review-caught,
+            # test-pinned).
+            tmp = md / f".snap-inflight-{uuid.uuid4().hex}.json"
+            with open(tmp, "w", encoding="utf-8") as f:
                 f.write(json.dumps(snap, sort_keys=True))
                 f.flush()
                 os.fsync(f.fileno())
+            try:
+                os.link(tmp, snap_path)
+            except FileExistsError:
+                sid_floor = sid + 1
+                continue
+            finally:
+                tmp.unlink(missing_ok=True)
             dfd = os.open(md, os.O_RDONLY)
             try:
                 os.fsync(dfd)

@@ -48,6 +48,46 @@ def test_torn_snapshot_is_invisible(spark, cat):
     assert cat.read(spark, "t").count() == 1
 
 
+def test_concurrent_commit_never_loses_an_update(spark, cat, monkeypatch):
+    """Pin the commit CAS against the torn-write lost-update (review-caught):
+    a full competing append is injected at writer A's exact commit point
+    (between writing the snapshot temp file and linking it into the
+    committed name). Writer B must either serialize before or after A, but
+    BOTH writers' rows must be in the final table. Under the pre-fix
+    protocol (committed name created first, JSON written after), B would
+    observe A's half-written snap file, skip it as torn, build on the older
+    parent, and A's rows would vanish from every future read."""
+    import os as _os
+
+    from final_ocr_spark.sources import catalog as catmod
+
+    cat.write(spark.createDataFrame([(0, "base")], ["id", "v"]), "t")
+
+    real_link = _os.link
+    fired = {"done": False}
+
+    def racing_link(src, dst, *a, **kw):
+        if not fired["done"]:
+            fired["done"] = True  # B's own commit must use the real link
+            cat.write(
+                spark.createDataFrame([(2, "from_b")], ["id", "v"]),
+                "t", mode="append",
+            )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(catmod.os, "link", racing_link)
+    cat.write(
+        spark.createDataFrame([(1, "from_a")], ["id", "v"]), "t", mode="append"
+    )
+    monkeypatch.setattr(catmod.os, "link", real_link)
+
+    got = {r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {"base", "from_a", "from_b"}  # nobody's append was lost
+    sids = [s["snapshot_id"] for s in cat.snapshots("t")]
+    assert sids == [1, 2, 3]
+    assert cat.current_snapshot("t")["snapshot_id"] == 3
+
+
 def test_expire_drops_unreferenced_files(spark, cat):
     df1 = spark.createDataFrame([(i, "x") for i in range(10)], ["id", "v"])
     df2 = spark.createDataFrame([(99, "y")], ["id", "v"])
@@ -208,6 +248,61 @@ def test_diff_requires_a_parent(spark, cat):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no snapshot before"):
         cat.diff(spark, "solo")
+
+
+def test_merge_detects_concurrent_append_of_matched_key(spark, cat, monkeypatch):
+    """Serializable-isolation validation (review-caught): an append that
+    lands a MATCHED key between merge planning and merge commit must fail
+    the merge loudly — publishing would leave two rows for a key the merge
+    promises to whole-row-replace. An append of an UNmatched key must NOT
+    conflict (snapshot-isolation happy path)."""
+    import os as _os
+
+    from final_ocr_spark.sources import catalog as catmod
+    from final_ocr_spark.sources.catalog import CommitConflictError
+
+    cat.write(spark.createDataFrame([(1, "a1"), (2, "b1")], ["id", "v"]), "t")
+
+    real_link = _os.link
+
+    def race_with(append_df):
+        fired = {"done": False}
+
+        def racing_link(src, dst, *a, **kw):
+            if not fired["done"]:
+                fired["done"] = True
+                cat.write(append_df, "t", mode="append")
+            return real_link(src, dst, *a, **kw)
+
+        return racing_link
+
+    # racing append contains id=2, which the merge matches → conflict
+    monkeypatch.setattr(
+        catmod.os, "link",
+        race_with(spark.createDataFrame([(2, "raced")], ["id", "v"])),
+    )
+    with pytest.raises(CommitConflictError, match="concurrent append"):
+        cat.merge(
+            spark, spark.createDataFrame([(2, "b2")], ["id", "v"]), "t",
+            key="id",
+        )
+    monkeypatch.setattr(catmod.os, "link", real_link)
+    # the losing merge published nothing: raced row + originals intact
+    assert {r["v"] for r in cat.read(spark, "t").collect()} == {
+        "a1", "b1", "raced"
+    }
+
+    # racing append of an UNmatched key: merge retries and both survive
+    monkeypatch.setattr(
+        catmod.os, "link",
+        race_with(spark.createDataFrame([(9, "other")], ["id", "v"])),
+    )
+    cat.merge(
+        spark, spark.createDataFrame([(1, "a2")], ["id", "v"]), "t", key="id"
+    )
+    monkeypatch.setattr(catmod.os, "link", real_link)
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got[1] == "a2" and got[9] == "other"
 
 
 def test_merge_upsert_copy_on_write(spark, cat):

@@ -46,7 +46,7 @@ def _twin_embeddings(spark, df, dim, word_ngrams):
     out = {}
     for k, v in acc.items():
         n = math.sqrt(sum(x * x for x in v))
-        out[k] = [x / n for x in v]
+        out[k] = [x / n for x in v] if n > 0 else None
     return out
 
 
@@ -86,6 +86,27 @@ def test_deterministic_and_occurrence_sensitive(spark):
     assert got["a"] != got["c"]
     cos = sum(x * y for x, y in zip(got["a"], got["c"]))
     assert cos > 0.9
+
+
+def test_zero_norm_embeds_null_not_ansi_error(spark):
+    """Sign-cancellation corner (review-caught): 'w54' and 'w83' hash to the
+    same slot at dim=64 with opposite signs, so at word_ngrams=1 the doc
+    'w54 w83' projects to the all-zero vector. The operator must emit a
+    NULL embedding — before the guard, the x/norm transform raised
+    DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) and aborted the job."""
+    df = spark.createDataFrame(
+        [("zero", "w54 w83"), ("ok", "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_hashed_ngrams(
+            df, key="doc_id", dim=64, word_ngrams=1
+        ).collect()
+    }
+    assert got["zero"] is None
+    assert got["ok"] is not None
+    assert sum(x * x for x in got["ok"]) == pytest.approx(1.0, abs=1e-5)
 
 
 def test_guards(spark):
