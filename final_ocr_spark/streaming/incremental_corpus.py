@@ -113,6 +113,31 @@ KEY_BLOOM_SUBDIR = "_bloom_keys"
 BUCKET_BLOOM_SUBDIR = "_bloom_buckets"
 
 
+def _family_tag(num_hashes: int, bands: int) -> str:
+    """Banding-family stamp carried by each bucket-sidecar partition's
+    sentinel row (``band == -1``). Bucket values and Bloom probe keys are
+    only comparable WITHIN one (num_hashes, bands) family: a store banded
+    at 8 bands probed by a 16-band batch would report 'definitely absent'
+    for nearly everything and silently skip the history join
+    (review-caught). Partitions whose sentinel doesn't match the current
+    family are ignored — ingest degrades to the safe full-scan path (the
+    stored signatures re-band correctly under ANY bands), and the mismatch
+    is surfaced in the per-batch stats."""
+    return f"family:{num_hashes}:{bands}"
+
+
+def _local_path(store_dir: str) -> pathlib.Path | None:
+    """Local-filesystem path for maintenance ops, or None for a remote URI.
+    The READ path (Spark) speaks any Hadoop filesystem, but compaction and
+    crash recovery are pathlib/shutil-based — on hdfs://-style stores they
+    must refuse loudly instead of silently no-opping (see SEAMS.md)."""
+    if store_dir.startswith("file://"):
+        return pathlib.Path(store_dir[len("file://"):])
+    if "://" in store_dir:
+        return None
+    return pathlib.Path(store_dir)
+
+
 def _read_optional(
     spark: SparkSession, path: str, schema: StructType | str
 ) -> DataFrame | None:
@@ -179,6 +204,13 @@ def ingest_batch(
     TOTAL corpus — an undersized filter saturates and degrades gracefully
     to the full-scan path's cost, never to wrong results."""
     spark = batch_df.sparkSession
+    # heal any interrupted compaction BEFORE reading history: a half-swapped
+    # store is missing partitions, and dedup against it would silently admit
+    # duplicates. No-op glob when nothing crashed; skipped for remote URIs
+    # (compaction refuses those, so no trash can exist there).
+    for d in (corpus_dir, sigs_dir):
+        if _local_path(d) is not None:
+            recover_batch_store(d)
     n_raw = batch_df.count()
 
     # deterministic within-batch exact dedup — dropDuplicates keeps an
@@ -236,6 +268,7 @@ def ingest_batch(
         "lsh_bloom_prefilter": False,
         "lsh_history_join_skipped": False,
         "lsh_candidate_rows": None,
+        "sidecar_family_mismatch": False,
     }
 
     hist = _read_optional(spark, sigs_dir, SIG_SCHEMA)
@@ -278,6 +311,17 @@ def ingest_batch(
                     (F.col("batch_id") == int(st["hw_hist"]))
                     & F.col("sig").isNotNull()
                 ).agg(F.max(F.size("sig"))).first()[0]
+                if siglen is None:
+                    # the newest history partition held only NULL sigs
+                    # (a batch of all zero-shingle docs) — it can't vouch
+                    # for the family, and skipping the check here would
+                    # let a num_hashes change corrupt the store with
+                    # mixed-length signatures (review-caught). Rare path:
+                    # fall back to scanning the whole store's sig lengths.
+                    siglen = hist.filter(
+                        (F.col("batch_id") != cur)
+                        & F.col("sig").isNotNull()
+                    ).agg(F.max(F.size("sig"))).first()[0]
             # exclude the CURRENT batch_id partition: a replayed batch
             # (crash between sink write and checkpoint commit) would
             # otherwise match its own first-attempt signatures and drop
@@ -285,9 +329,11 @@ def ingest_batch(
             hist = hist.filter(F.col("batch_id") != cur)
             if has_history:
                 hist_ids = _batch_ids(hist)
-                hist_buckets, key_bloom, bucket_bloom, bloom_meta = (
-                    _load_sidecars(spark, sigs_dir, cur, hist_ids)
+                (hist_buckets, key_bloom, bucket_bloom, bloom_meta,
+                 fam_mismatch) = _load_sidecars(
+                    spark, sigs_dir, cur, hist_ids, num_hashes, bands
                 )
+                stats["sidecar_family_mismatch"] = fam_mismatch
             hist = hist.select("k", "sig")
         else:
             # flat bootstrap store (minhash_sigs output persisted directly)
@@ -402,25 +448,46 @@ def _load_sidecars(
     sigs_dir: str,
     cur_batch_id: int,
     hist_ids: frozenset[int],
-) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, tuple[int, int] | None]:
-    """(hist_buckets, key_bloom, bucket_bloom, bloom_meta) for the history
-    partitions — each only if its sidecar COVERS every history batch_id
-    (an incomplete bucket table or Bloom has false negatives for the
-    uncovered batches and would silently admit duplicates; incomplete ⇒
-    ignored, the full-scan path is the safe fallback). ``bloom_meta`` is
-    returned even without full coverage so the current batch's sidecar
-    writes stay in the store's existing (m_bits, k) family."""
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, tuple[int, int] | None, bool]:
+    """(hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch)
+    for the history partitions — each only if its sidecar COVERS every
+    history batch_id (an incomplete bucket table or Bloom has false
+    negatives for the uncovered batches and would silently admit
+    duplicates; incomplete ⇒ ignored, the full-scan path is the safe
+    fallback). The bucket sidecar must additionally carry the CURRENT
+    banding family in every partition's sentinel row (see
+    :func:`_family_tag`): bucket values from a different (num_hashes,
+    bands) run — or from an old build that didn't stamp the family — are
+    not comparable, so both the bucket table AND the bucket Bloom (whose
+    probe keys are band-derived) are dropped together on mismatch. The
+    key Bloom is family-independent (raw keys) and survives a bands
+    change. ``bloom_meta`` is returned even without full coverage so the
+    current batch's sidecar writes stay in the store's existing
+    (m_bits, k) family."""
     hist_buckets = key_bloom = bucket_bloom = None
     bloom_meta: tuple[int, int] | None = None
+    family_mismatch = False
+    buckets_trusted = False
 
     bk = _read_optional(spark, f"{sigs_dir}/{BUCKETS_SUBDIR}", BUCKET_SCHEMA)
     if bk is not None and "batch_id" in bk.columns:
         bk = bk.filter(F.col("batch_id") != cur_batch_id)
         if _batch_ids(bk) >= hist_ids:
-            # band −1 rows are the visibility sentinels, not real buckets
-            hist_buckets = bk.filter(F.col("band") >= 0).select(
-                "k", "band", "bucket"
-            )
+            fams = {
+                r["k"]
+                for r in bk.filter(F.col("band") == -1)
+                .select("k").distinct().collect()
+            }
+            if fams == {_family_tag(num_hashes, bands)}:
+                buckets_trusted = True
+                # band −1 rows are the visibility sentinels, not buckets
+                hist_buckets = bk.filter(F.col("band") >= 0).select(
+                    "k", "band", "bucket"
+                )
+            else:
+                family_mismatch = True
 
     for subdir, slot in ((KEY_BLOOM_SUBDIR, "key"), (BUCKET_BLOOM_SUBDIR, "bucket")):
         bl = _read_optional(spark, f"{sigs_dir}/{subdir}", BLOOM_SCHEMA)
@@ -442,6 +509,11 @@ def _load_sidecars(
         hist_bl = bl.filter(F.col("batch_id") != cur_batch_id)
         if not (_batch_ids(hist_bl) >= hist_ids):
             continue
+        if slot == "bucket" and not buckets_trusted:
+            # bucket-Bloom probe keys are banding-derived: without a
+            # family-verified bucket sidecar the filter may have false
+            # negatives for the current banding — never trust it alone
+            continue
         merged = (
             hist_bl.groupBy("word_idx", "m_bits", "k")
             .agg(F.bit_or("bits").alias("bits"))
@@ -451,7 +523,7 @@ def _load_sidecars(
             key_bloom = merged
         else:
             bucket_bloom = merged
-    return hist_buckets, key_bloom, bucket_bloom, bloom_meta
+    return hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch
 
 
 def _write_sidecars(
@@ -476,8 +548,12 @@ def _write_sidecars(
     # partition VISIBLE even when no survivor had a signature — an empty
     # parquet write leaves no files, the partition would vanish from the
     # batch_id set, and the coverage check would put ingest on the
-    # full-scan fallback forever
-    sentinel = spark.createDataFrame([("", -1, 0)], BUCKET_SCHEMA)
+    # full-scan fallback forever. Its key carries the banding-family stamp
+    # (_family_tag) that _load_sidecars verifies before trusting bucket
+    # values across runs.
+    sentinel = spark.createDataFrame(
+        [(_family_tag(num_hashes, bands), -1, 0)], BUCKET_SCHEMA
+    )
     buckets.unionByName(sentinel).write.mode("overwrite").parquet(
         f"{sigs_dir}/{BUCKETS_SUBDIR}/batch_id={batch_id}"
     )
@@ -495,6 +571,55 @@ def _write_sidecars(
 
 
 # -- store lifecycle --------------------------------------------------------
+def recover_batch_store(store_dir: str) -> dict:
+    """Crash recovery for an interrupted :func:`compact_batch_store` swap.
+
+    The swap sequence is: originals → ``.compact-trash-<uuid>/`` (a
+    ``TARGET`` marker is written first), then the consolidated tmp dir is
+    renamed to ``batch_id=<target>`` (the publish point), then the trash is
+    deleted. A crash anywhere in that window used to permanently remove
+    history partitions — for the signature store that means silently
+    admitted duplicates forever (review-caught). Recovery decides per trash
+    dir: the consolidated partition is PUBLISHED iff ``batch_id=<target>``
+    exists both in the trash (original moved, which happens last in the
+    rename loop) and at the root (tmp renamed in) — then roll FORWARD
+    (delete trash); otherwise roll BACK (move every trashed partition back;
+    originals win over any half-state). Leftover ``.compact-tmp-*`` dirs
+    are deleted either way. Idempotent; called automatically at the start
+    of every compaction and every :func:`ingest_batch` on local stores."""
+    root = _local_path(store_dir)
+    if root is None:
+        raise NotImplementedError(
+            f"store maintenance is local-filesystem-only (got {store_dir!r})"
+            " — on a real cluster use the table format's own compaction;"
+            " see SEAMS.md"
+        )
+    out = {"rolled_back": 0, "rolled_forward": 0}
+    if not root.is_dir():
+        return out
+    for trash in sorted(root.glob(".compact-trash-*")):
+        marker = trash / "TARGET"
+        target = int(marker.read_text()) if marker.is_file() else None
+        published = (
+            target is not None
+            and (trash / f"batch_id={target}").is_dir()
+            and (root / f"batch_id={target}").is_dir()
+        )
+        if published:
+            shutil.rmtree(trash)
+            out["rolled_forward"] += 1
+        else:
+            for p in sorted(trash.glob("batch_id=*")):
+                dest = root / p.name
+                if not dest.exists():
+                    p.rename(dest)
+            shutil.rmtree(trash)
+            out["rolled_back"] += 1
+    for tmp in root.glob(".compact-tmp-*"):
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def compact_batch_store(
     spark: SparkSession,
     store_dir: str,
@@ -532,7 +657,8 @@ def compact_batch_store(
             "keep_recent must be >= 1 — the newest partition can be "
             "replayed by the stream and must keep its own directory"
         )
-    root = pathlib.Path(store_dir)
+    recover_batch_store(store_dir)  # also refuses non-local URIs loudly
+    root = _local_path(store_dir)
     parts = sorted(
         (int(p.name.split("=", 1)[1]), p)
         for p in root.glob("batch_id=*") if p.is_dir()
@@ -579,8 +705,11 @@ def compact_batch_store(
             f"store compaction row-count mismatch under {store_dir}: "
             f"{n_src} in, {n_new} rewritten — store left untouched"
         )
+    # crash-safe swap (see recover_batch_store): marker first, originals
+    # into the trash in ascending order (target last), tmp rename = publish
     trash = root / f".compact-trash-{uuid.uuid4().hex}"
     trash.mkdir()
+    (trash / "TARGET").write_text(str(target), encoding="utf-8")
     for i, p in old:
         p.rename(trash / p.name)
     tmp.rename(root / f"batch_id={target}")
@@ -615,8 +744,23 @@ def compact_signature_store(
     store's and the coverage check would trust a filter with false
     negatives (⇒ admitted duplicates); deleting keeps coverage visibly
     false and ingest on the safe full-scan path until the sidecars are
-    naturally re-populated by future batches."""
-    root = pathlib.Path(sigs_dir)
+    naturally re-populated by future batches. The same deletion rule
+    applies to a bucket range holding MIXED banding-family sentinels — the
+    merged partition could never be trusted. Sidecar swaps don't need the
+    trash/recovery protocol of the main store: a crash mid-swap loses only
+    sidecar partitions, which the coverage check detects (full-scan
+    fallback), never correctness; leftover tmp dirs are swept here."""
+    root = _local_path(sigs_dir)
+    if root is None:
+        raise NotImplementedError(
+            f"store maintenance is local-filesystem-only (got {sigs_dir!r})"
+            " — on a real cluster use the table format's own compaction;"
+            " see SEAMS.md"
+        )
+    for sub in (BUCKETS_SUBDIR, KEY_BLOOM_SUBDIR, BUCKET_BLOOM_SUBDIR):
+        if (root / sub).is_dir():
+            for tmp in (root / sub).glob(".compact-tmp-*"):
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def _ids(sub: pathlib.Path) -> dict[int, pathlib.Path]:
         return {
@@ -672,6 +816,13 @@ def compact_signature_store(
                 .select("word_idx", "bits", "m_bits", "k")
             )
         else:
+            # mixed banding-family bucket ranges can never be trusted once
+            # merged — delete (safe full-scan fallback), like mixed blooms
+            fams = src.filter(F.col("band") == -1).select("k").distinct()
+            if fams.count() != 1:
+                for i in sorted(in_range):
+                    shutil.rmtree(side[i])
+                continue
             n_src = src.count()
         in_bytes = sum(
             f.stat().st_size

@@ -486,3 +486,131 @@ def test_ingest_zero_sig_batch_keeps_sidecar_coverage(spark, tmp_path):
     )
     assert r["lsh_bloom_prefilter"]  # coverage held across the null-sig batch
     assert r["rows_kept"] == 1
+
+
+def test_ingest_bands_change_degrades_to_full_scan(spark, tmp_path):
+    """Review-caught: bucket values and bucket-Bloom probe keys are only
+    comparable within one (num_hashes, bands) family. A run with a changed
+    --bands must NOT trust the stored sidecars (an 8-band Bloom probed with
+    16-band keys reports 'definitely absent' for nearly everything and
+    would skip the history join, admitting near-dups forever) — it must
+    fall back to the full-scan path, which re-bands the stored signatures
+    correctly, and surface the mismatch in the stats."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)]),
+        0, corpus, sigs, jaccard_threshold=0.7, bands=8,
+    )
+    # same num_hashes (32 → passes the siglen family check), different bands
+    r = ingest_batch(
+        _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
+        1, corpus, sigs, jaccard_threshold=0.7, bands=16,
+    )
+    assert r["sidecar_family_mismatch"]
+    assert not r["lsh_bloom_prefilter"]  # bucket sidecars not trusted
+    assert r["rows_kept"] == 0           # near-dup still caught (full scan)
+    kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
+    assert kept == {"http://x/a", "http://x/b"}
+
+
+def test_num_hashes_check_survives_null_sig_newest_partition(spark, tmp_path):
+    """Review-caught: the num_hashes family check samples the NEWEST history
+    partition; if that partition holds only NULL sigs (a batch of
+    zero-shingle docs) the check must fall back to older partitions instead
+    of silently admitting a mixed-length store."""
+    import pytest
+
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE)]), 0, corpus, sigs,
+    )
+    # newest history partition: only zero-shingle (NULL-sig) docs
+    ingest_batch(
+        _docs_df(spark, [("http://x/short", "too few words")]), 1, corpus, sigs,
+    )
+    with pytest.raises(ValueError, match="32-hash signatures"):
+        ingest_batch(
+            _docs_df(spark, [("http://y/c", _THIRD)]),
+            2, corpus, sigs, num_hashes=64, bands=8,
+        )
+
+
+def test_compaction_crash_rolls_back_and_dedup_survives(spark, tmp_path):
+    """Review-caught: a crash mid-swap (originals moved to the trash dir,
+    consolidated partition not yet published) used to permanently remove
+    history partitions — silently admitted duplicates forever. Recovery
+    must restore the originals, and the very next ingest_batch must run it
+    automatically and still catch a near-dup of the trashed history."""
+    import pathlib
+    import shutil
+
+    from final_ocr_spark.streaming.incremental_corpus import (
+        ingest_batch, recover_batch_store,
+    )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    texts = [_BASE, _OTHER, _THIRD, _FOURTH]
+    for i, t in enumerate(texts):
+        ingest_batch(
+            _docs_df(spark, [(f"http://x/{i}", t)]),
+            i, corpus, sigs, jaccard_threshold=0.7,
+        )
+
+    # simulate the crash state: old partitions {0, 1} fully moved into the
+    # trash (TARGET=1 written), consolidated result never published
+    root = pathlib.Path(sigs)
+    trash = root / ".compact-trash-deadbeef"
+    trash.mkdir()
+    (trash / "TARGET").write_text("1", encoding="utf-8")
+    for i in (0, 1):
+        (root / f"batch_id={i}").rename(trash / f"batch_id={i}")
+    (root / ".compact-tmp-junk").mkdir()  # leftover tmp must be swept
+
+    # next ingest heals the store first, then dedups against ALL history —
+    # including batch 0, which only exists because of the rollback
+    r = ingest_batch(
+        _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
+        4, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r["rows_kept"] == 0
+    assert not list(root.glob(".compact-trash-*"))
+    assert not list(root.glob(".compact-tmp-*"))
+    ids = sorted(
+        int(p.name.split("=")[1]) for p in root.glob("batch_id=*")
+    )
+    assert ids == [0, 1, 2, 3, 4]
+
+    # roll-FORWARD state: consolidated partition IS published (target both
+    # in trash and at root) — recovery must keep the published result and
+    # drop the trash
+    trash2 = root / ".compact-trash-feedface"
+    trash2.mkdir()
+    (trash2 / "TARGET").write_text("0", encoding="utf-8")
+    shutil.copytree(root / "batch_id=0", trash2 / "batch_id=0")
+    st = recover_batch_store(sigs)
+    assert st == {"rolled_back": 0, "rolled_forward": 1}
+    assert not list(root.glob(".compact-trash-*"))
+    assert (root / "batch_id=0").is_dir()
+
+
+def test_store_maintenance_refuses_remote_uris(spark):
+    """pathlib/shutil maintenance must refuse non-local stores loudly, not
+    silently no-op (review-caught) — the read path speaks any Hadoop
+    filesystem, compaction does not (SEAMS.md)."""
+    import pytest
+
+    from final_ocr_spark.streaming.incremental_corpus import (
+        compact_batch_store, compact_signature_store, recover_batch_store,
+    )
+
+    for fn in (recover_batch_store,):
+        with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+            fn("hdfs://nn/sigs")
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        compact_batch_store(spark, "hdfs://nn/sigs")
+    with pytest.raises(NotImplementedError, match="local-filesystem-only"):
+        compact_signature_store(spark, "s3://bucket/sigs")
