@@ -1,0 +1,245 @@
+"""Distributed k-means over document embeddings (Lloyd's algorithm,
+MacQueen 1967 / Lloyd 1982), the clustering layer of the embedding family
+(SemDeDup's first stage clusters before intra-cluster dedup — Abbas et al.
+2023 — and corpus cartography / mixture design both start from "what are
+the k big regions of this corpus?").
+
+Scale shape — the reason this is a broadcast-assign / slim-agg loop and
+not a UDF-side library call:
+
+* **Assign** (per iteration): the k×dim centroid matrix is a driver-side
+  numpy array broadcast inside ONE Arrow-batched pandas UDF; each batch is
+  a single ``X @ C.T`` matmul + argmin. Embeddings never shuffle for the
+  assignment — the UDF rides the cached vector scan. k×dim is capped (see
+  guard) so the closure stays a few MB, always broadcastable.
+* **Update** (per iteration): centroids are rebuilt from a
+  ``posexplode(vec) → groupBy(cluster, pos).sum`` aggregation — slim
+  (cluster, pos, val) rows that partially aggregate map-side, so the
+  shuffle carries ≤ k×dim rows per map partition regardless of corpus
+  size; the driver collects exactly k×dim sums (bounded, like
+  packing.py's O(P)-row collect).
+* **Init**: deterministic — no RNG, no ``Date.now``. ``init='hash'``
+  takes the k smallest-``xxhash64(key, seed)`` documents' vectors
+  (uniform over the corpus, rerun-stable under any partitioning);
+  ``init='kmeanspp'`` (default) runs classic k-means++ driver-side over
+  the ``sample_size`` smallest-hash vectors with a seeded numpy
+  RandomState — the standard "k-means++ on a sample" initialization
+  (the deterministic core of k-means||, Bahmani et al. 2012, without
+  its oversampling rounds).
+
+Convergence: Lloyd's iterations stop at ``tol`` (max centroid L2 shift)
+or ``max_iters``; the final shift is returned so a capped run is
+observably (non-)converged — the same observability contract as
+links.pagerank's ``l1_delta``. Float caveat: cluster sums are
+partition-order floats, so centroids can jitter in the last bits across
+runs; assignments are stable whenever points aren't knife-edge
+equidistant (ties break to the LOWEST cluster id deterministically).
+
+Reference provenance: the reference engine (ocr.py/ocr2.py) has no
+clustering; this operator exists for the LLM-data-pipeline layer
+(SURVEY §2 similarity/semantic family).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+try:  # numpy is part of the pinned environment; guard stays for parity
+    import numpy as np
+except ImportError:  # pragma: no cover
+    np = None
+
+
+def _init_centroids(
+    vec_rows: DataFrame,
+    k: int,
+    dim: int,
+    init: str,
+    sample_size: int,
+    seed: int,
+):
+    """Deterministic initial k×dim centroid matrix (see module docstring).
+    ``vec_rows`` is the cached (k, _v) frame; the hash order makes the
+    sample (and therefore the init) independent of partitioning."""
+    n_take = k if init == "hash" else max(k, sample_size)
+    sample = (
+        vec_rows.select(
+            "k", "_v", F.xxhash64(F.col("k"), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h", "k")  # key tiebreak: hash collisions stay stable
+        .limit(n_take)
+        .collect()
+    )
+    pts = np.asarray([r["_v"] for r in sample], dtype=np.float64)
+    if len(pts) < k:
+        raise ValueError(
+            f"k={k} exceeds the {len(pts)} embeddable documents"
+        )
+    if init == "hash":
+        return pts[:k].copy()
+    # classic k-means++ over the hash-ordered sample, seeded → deterministic
+    rng = np.random.RandomState(seed)
+    centroids = np.empty((k, dim), dtype=np.float64)
+    centroids[0] = pts[rng.randint(len(pts))]
+    d2 = ((pts - centroids[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0.0:  # all remaining points coincide with a centroid
+            centroids[i:] = pts[rng.randint(len(pts), size=k - i)]
+            break
+        centroids[i] = pts[rng.choice(len(pts), p=d2 / tot)]
+        d2 = np.minimum(d2, ((pts - centroids[i]) ** 2).sum(axis=1))
+    return centroids
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    *,
+    key: str = "url",
+    vec_col: str = "embedding",
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    init: str = "kmeanspp",
+    sample_size: int = 4096,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Lloyd's k-means over ``(key, vec_col)``. Returns
+    ``(assignments, centroids, info)``:
+
+    * ``assignments`` — (key, cluster int, dist double): each embeddable
+      doc's cluster and squared L2 distance to its centroid. Docs with a
+      NULL vector are EXCLUDED (no vector, no judgment — the same loud-
+      absence rule as the embedder); callers union them back explicitly.
+    * ``centroids`` — (cluster, centroid array<double>, size long).
+    * ``info`` — {"iters", "shift" (last max centroid L2 move),
+      "converged", "inertia" (sum of squared distances)}.
+
+    Distance is squared Euclidean; on unit-normalized embeddings (the
+    embedder's default) that is equivalent to cosine ordering. Empty
+    clusters keep their previous centroid (documented Lloyd's convention;
+    their ``size`` reports 0)."""
+    if np is None:  # pragma: no cover
+        raise ImportError("kmeans requires numpy")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if init not in ("kmeanspp", "hash"):
+        raise ValueError(f"init must be 'kmeanspp' or 'hash', got {init!r}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+
+    spark = df.sparkSession
+    vec_rows = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .localCheckpoint(eager=False)  # scanned once per iteration
+    )
+    dims = vec_rows.agg(
+        F.min(F.size("_v")).alias("lo"), F.max(F.size("_v")).alias("hi")
+    ).first()
+    if dims["lo"] is None:
+        raise ValueError("no non-null vectors to cluster")
+    if dims["lo"] != dims["hi"]:
+        raise ValueError(
+            f"mixed embedding dims {dims['lo']}..{dims['hi']} — one family "
+            "per clustering run"
+        )
+    dim = int(dims["lo"])
+    if k * dim > (1 << 22):
+        raise ValueError(
+            f"k*dim = {k * dim} exceeds the broadcast-closure cap (2^22 "
+            "doubles ≈ 32 MB) — shrink k or the embedding dim"
+        )
+
+    centroids = _init_centroids(vec_rows, k, dim, init, sample_size, seed)
+
+    def _assigned(cents: "np.ndarray") -> DataFrame:
+        c = cents.copy()  # pin this iteration's matrix into the closure
+        cn2 = (c * c).sum(axis=1)
+
+        @F.pandas_udf(IntegerType())
+        def _argmin(v: pd.Series) -> pd.Series:
+            x = np.asarray(v.tolist(), dtype=np.float64)
+            # |x-c|² = |x|² - 2x·c + |c|²; |x|² is constant per row, so
+            # argmin needs only the matmul term. Ties → lowest cluster id.
+            d = cn2 - 2.0 * (x @ c.T)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return vec_rows.withColumn("_c", _argmin("_v"))
+
+    info = {"iters": 0, "shift": float("inf"), "converged": False}
+    for _ in range(max_iters):
+        info["iters"] += 1
+        assigned = _assigned(centroids)
+        # slim update agg: (cluster, pos, val) rows, map-side combined
+        sums = (
+            assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        counts = np.zeros(k, dtype=np.int64)
+        acc = np.zeros((k, dim), dtype=np.float64)
+        for r in sums:
+            acc[r["_c"], r["_p"]] = r["_s"]
+            counts[r["_c"]] = r["_n"]
+        nz = counts > 0
+        new_c[nz] = acc[nz] / counts[nz, None]
+        info["shift"] = float(
+            np.sqrt(((new_c - centroids) ** 2).sum(axis=1)).max()
+        )
+        centroids = new_c
+        if info["shift"] <= tol:
+            info["converged"] = True
+            break
+
+    # final assignment against the converged centroids, with distances
+    c = centroids
+    cn2 = (c * c).sum(axis=1)
+
+    @F.pandas_udf("struct<c: int, d: double>")
+    def _argmin_d(v: pd.Series) -> pd.DataFrame:
+        x = np.asarray(v.tolist(), dtype=np.float64)
+        d = (x * x).sum(axis=1)[:, None] + cn2 - 2.0 * (x @ c.T)
+        i = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "c": i.astype("int32"),
+                # clamp float cancellation: a true distance is never < 0
+                "d": np.maximum(d[np.arange(len(i)), i], 0.0),
+            }
+        )
+
+    assignments = (
+        vec_rows.withColumn("_cd", _argmin_d("_v"))
+        .select(
+            F.col("k").alias(key),
+            F.col("_cd.c").alias("cluster"),
+            F.col("_cd.d").alias("dist"),
+        )
+        .localCheckpoint(eager=False)  # consumed twice (result + inertia)
+    )
+    info["inertia"] = float(
+        assignments.agg(F.sum("dist")).first()[0] or 0.0
+    )
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assignments.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    centroids_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in centroids[i]], int(sizes.get(i, 0)))
+            for i in range(k)
+        ],
+        "cluster int, centroid array<double>, size long",
+    )
+    return assignments, centroids_df, info
