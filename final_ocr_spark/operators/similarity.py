@@ -522,3 +522,100 @@ def semantic_dedup(
     ).select("key_a", "key_b")
     clusters = dedup_clusters(pairs, algorithm=algorithm)
     return keep_cluster_representatives(emb, clusters, key=id_col)
+
+
+def semantic_dedup_kmeans(
+    emb: DataFrame,
+    k: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    algorithm: str = "jump",
+    max_iters: int = 10,
+    seed: int = 0,
+    keep: str = "least_prototypical",
+) -> DataFrame:
+    """Paper-faithful SemDeDup (Abbas et al. 2023): k-means blocking +
+    within-cluster exact cosine + the paper's representative rule.
+
+    :func:`semantic_dedup` blocks candidates with seeded hyperplane LSH (no
+    trained state, hamming-1 recall bound — the right default for one-shot
+    dedup). This variant is the paper's own construction, now expressible
+    because the engine grew a distributed k-means (operators/cluster.py):
+
+    1. cluster all embeddings with deterministic k-means (k ≈ n/expected
+       cluster size bounds the within-cluster pair work to (n/k)² per
+       cluster — the paper's cost model; candidate pairs can never cross a
+       cluster boundary, which is the recall/cost trade the paper makes);
+    2. within each cluster, exact cosine over (key-only-joined) candidate
+       pairs — vectors rejoin only for candidates, as everywhere else;
+    3. connected components over the ≥threshold pair graph;
+    4. per duplicate group keep the LEAST PROTOTYPICAL member — the paper
+       keeps the example with LOWEST cosine to its cluster centroid
+       ("keeping outliers preserves diversity"); on unit vectors that is
+       the member with the LARGEST squared-L2 ``dist`` from
+       :func:`~final_ocr_spark.operators.cluster.kmeans` (key tiebreak).
+       ``keep="min_key"`` selects the engine's standard deterministic
+       min-key representative instead.
+
+    Rows whose embedding is NULL are kept unconditionally (no vector, no
+    judgment — the embedder's loud-absence contract). Returns the input
+    rows minus dropped members, schema preserved.
+    """
+    if keep not in ("least_prototypical", "min_key"):
+        raise ValueError(
+            f"keep must be 'least_prototypical' or 'min_key', got {keep!r}"
+        )
+    from pyspark.sql import Window
+
+    from final_ocr_spark.operators.cluster import kmeans
+    from final_ocr_spark.operators.dedup import dedup_clusters
+
+    assigns, _, _ = kmeans(
+        emb, k, key=id_col, vec_col=vec_col, max_iters=max_iters, seed=seed
+    )
+    # consumed by the blocking join and the representative pick
+    assigns = assigns.localCheckpoint(eager=False)
+    base = emb.select(
+        F.col(id_col).alias("k"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
+
+    # KEY-ONLY blocking join on the cluster id (same slimness rule as the
+    # LSH variant: vectors rejoin candidates, never ride the blocking join)
+    slim = assigns.select(F.col(id_col).alias("k"), "cluster")
+    cand = (
+        slim.join(slim.select(F.col("k").alias("k2"), "cluster"), "cluster")
+        .filter(F.col("k") < F.col("k2"))
+        .select("k", "k2")
+    )
+    pairs = cand.join(base, "k").join(
+        base.select(F.col("k").alias("k2"), F.col("v").alias("v2")), "k2"
+    )
+    cos = _dot(F.col("v"), F.col("v2")) / (
+        _norm(F.col("v")) * _norm(F.col("v2"))
+    )
+    dup_pairs = pairs.select(
+        F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
+        cos.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold).select("key_a", "key_b")
+
+    groups = dedup_clusters(dup_pairs, algorithm=algorithm)
+    if keep == "min_key":
+        losers = groups.filter(F.col("key") != F.col("cluster_id")).select(
+            F.col("key").alias(id_col)
+        )
+    else:
+        ranked = groups.join(
+            assigns.select(F.col(id_col).alias("key"), "dist"), "key"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("dist").desc(), F.col("key").asc()
+        )
+        losers = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("key").alias(id_col))
+        )
+    return emb.join(losers, id_col, "left_anti")

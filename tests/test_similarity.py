@@ -241,3 +241,83 @@ def test_semantic_dedup_planted_groups(spark):
     # sanity on the plant: dup group members are gone, originals survive
     assert {3, 7}.issubset(kept)
     assert not {9001, 9002, 9003} & kept
+
+
+def test_semantic_dedup_kmeans_paper_semantics(spark):
+    """Paper-faithful SemDeDup variant: k-means blocking, and the survivor
+    of each duplicate group is the LEAST-PROTOTYPICAL member (lowest cosine
+    to its k-means centroid = largest dist), not the min key."""
+    from final_ocr_spark.operators.similarity import semantic_dedup_kmeans
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        # blob A: a dup group of three; a3 is the group's outlier (farthest
+        # from the blob centroid) and must be the survivor
+        ("a1", unit([1.0, 0.0, 0.0, 0.0])),
+        ("a2", unit([0.9995, 0.001, 0.0, 0.0])),
+        ("a3", unit([0.97, 0.05, 0.0, 0.0])),
+        # blob B: a dup pair. solo (below) lands in the SAME k-means
+        # cluster and pulls the centroid toward b2's side, so the
+        # least-prototypical pair member is b1 — prototypicality is
+        # measured against the CLUSTER centroid (all members), not the
+        # dup group's own mean
+        ("b1", unit([0.0, 0.0, 0.0, 1.0])),
+        ("b2", unit([0.0, 0.0, 0.04, 0.998])),
+        # solo in blob B's half-space but below threshold to both b's
+        ("solo", unit([0.0, 0.0, 0.6, 0.8])),
+        # no vector: kept unconditionally
+        ("novec", None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_kmeans(
+            df, k=2, threshold=0.99, max_iters=10, seed=0
+        ).collect()
+    }
+    assert kept == {"a3", "b1", "solo", "novec"}
+
+    # min_key mode: the engine's standard deterministic representative
+    kept_min = {
+        r["vec_id"]
+        for r in semantic_dedup_kmeans(
+            df, k=2, threshold=0.99, max_iters=10, seed=0, keep="min_key"
+        ).collect()
+    }
+    assert kept_min == {"a1", "b1", "solo", "novec"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup_kmeans(df, k=2, keep="random")
+
+
+def test_semantic_dedup_kmeans_matches_lsh_partition_on_blocked_groups(spark):
+    """On well-separated planted groups the kmeans and LSH variants must
+    agree on WHICH docs are duplicates (group membership), differing only
+    in the representative rule."""
+    from final_ocr_spark.operators.similarity import (
+        semantic_dedup, semantic_dedup_kmeans,
+    )
+
+    rng = random.Random(5)
+    rows = [(f"r{i:03d}", [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    rows.append(("z-dup1", [x + 0.0005 for x in rows[10][1]]))
+    rows.append(("z-dup2", [x - 0.0005 for x in rows[10][1]]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    lsh_kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.999).collect()}
+    km_kept = {
+        r["vec_id"]
+        for r in semantic_dedup_kmeans(
+            df, k=4, threshold=0.999, max_iters=10, seed=1, keep="min_key"
+        ).collect()
+    }
+    # both must drop exactly two of the three group members; kmeans can
+    # only MISS a pair if k-means split the planted group across clusters
+    # (not possible here: jitter 5e-4 vs inter-point distances ~5)
+    assert len(lsh_kept) == len(km_kept) == 60  # 62 rows − 2 dropped dups
+    assert lsh_kept == km_kept  # same group → same min-key representative
