@@ -243,3 +243,68 @@ def kmeans(
         "cluster int, centroid array<double>, size long",
     )
     return assignments, centroids_df, info
+
+
+def prune_prototypes(
+    df: DataFrame,
+    assignments: DataFrame,
+    frac: float,
+    *,
+    key: str = "url",
+    mode: str = "approx",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """SSP prototype pruning (Sorscher et al. 2022 "Beyond neural scaling
+    laws"; the second stage of D4, Tirumala et al. 2023): drop the ``frac``
+    MOST PROTOTYPICAL documents of each k-means cluster — the ones closest
+    to their centroid, i.e. the most redundant mass of each semantic
+    region — and keep the informative tail. Composes with
+    :func:`~final_ocr_spark.operators.similarity.semantic_dedup_kmeans`
+    (dedup first, then prune) to form the full D4 recipe.
+
+    ``assignments`` is :func:`kmeans`'s (key, cluster, dist) output. Rows
+    of ``df`` with no assignment row (e.g. NULL embeddings) pass through
+    unpruned — no vector, no judgment.
+
+    Scale shape: ``mode="approx"`` (default) computes ONE per-cluster
+    ``percentile_approx(dist, frac)`` aggregation and broadcasts the ≤k-row
+    cutoff table — no per-cluster sort anywhere, identical plan at any
+    corpus size (the lm.py CCNet-band discipline). Ties at the cutoff are
+    kept (strict ``<`` drops), so the dropped fraction is ≤ frac.
+    ``mode="exact"`` ranks inside each cluster with a window — exact
+    count ``floor(frac·size)`` dropped with deterministic (dist, key)
+    order, at the cost of a per-cluster sort; use it for modest corpora
+    or after a per-cluster cap."""
+    if not 0.0 <= frac < 1.0:
+        raise ValueError(f"frac must be in [0, 1), got {frac}")
+    if mode not in ("approx", "exact"):
+        raise ValueError(f"mode must be 'approx' or 'exact', got {mode!r}")
+    if frac == 0.0:
+        return df
+    a = assignments.select(
+        F.col(key).alias("_k"), F.col("cluster").alias("_c"),
+        F.col("dist").alias("_d"),
+    )
+    if mode == "approx":
+        cuts = a.groupBy("_c").agg(
+            F.percentile_approx("_d", frac, accuracy).alias("_cut")
+        )
+        drops = (
+            a.join(F.broadcast(cuts), "_c")
+            .filter(F.col("_d") < F.col("_cut"))
+            .select(F.col("_k").alias(key))
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_c").orderBy(
+            F.col("_d").asc(), F.col("_k").asc()
+        )
+        sizes = a.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+        drops = (
+            a.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(sizes), "_c")
+            .filter(F.col("_rn") <= F.floor(F.col("_n") * F.lit(float(frac))))
+            .select(F.col("_k").alias(key))
+        )
+    return df.join(drops, key, "left_anti")

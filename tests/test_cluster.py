@@ -143,3 +143,115 @@ def test_update_agg_is_slim_not_vector_shuffle(spark):
     assert "partial_sum" in plan or "partial" in plan.lower()
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert ex and all("_v#" not in l for l in ex), ex
+
+
+def test_prune_prototypes_exact_vs_python_twin(spark):
+    """Exact mode drops floor(frac*size) per cluster in (dist, key) order —
+    recomputed in Python from the same assignments."""
+    from final_ocr_spark.operators.cluster import prune_prototypes
+
+    df, _ = _planted(spark, n_per=20)
+    assigns, _, _ = kmeans(df, 3, max_iters=15, seed=0)
+    rows = assigns.collect()
+
+    pruned = prune_prototypes(df, assigns, 0.25, mode="exact")
+    kept = {r["url"] for r in pruned.collect()}
+
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster"], []).append((r["dist"], r["url"]))
+    want_drop = set()
+    for members in by_c.values():
+        members.sort()
+        want_drop |= {u for _, u in members[: int(len(members) * 0.25)]}
+    assert kept == {r["url"] for r in rows} - want_drop
+    # the dropped ones are the most prototypical (smallest dist) per cluster
+    dists = {r["url"]: r["dist"] for r in rows}
+    for c, members in by_c.items():
+        d_drop = [dists[u] for _, u in members if u in want_drop]
+        d_keep = [dists[u] for _, u in members if u not in want_drop]
+        assert max(d_drop) <= min(d_keep)
+
+
+def test_prune_prototypes_approx_bounds_and_passthrough(spark):
+    from final_ocr_spark.operators.cluster import prune_prototypes
+
+    df, _ = _planted(spark, n_per=30)
+    # an unassigned row (e.g. NULL embedding upstream) must pass through
+    extra = spark.createDataFrame(
+        [("novec", None)], "url string, embedding array<double>"
+    )
+    full = df.unionByName(extra)
+    assigns, _, _ = kmeans(df, 3, max_iters=15, seed=0)
+
+    pruned = prune_prototypes(full, assigns, 0.3, mode="approx")
+    kept = {r["url"] for r in pruned.collect()}
+    assert "novec" in kept
+    n_in, n_kept = 90, len(kept) - 1
+    dropped = n_in - n_kept
+    # approx mode drops AT MOST frac (ties kept), and a sane amount of it
+    assert 0 < dropped <= int(n_in * 0.3)
+
+    # frac=0 is the identity
+    assert prune_prototypes(full, assigns, 0.0).count() == full.count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frac"):
+        prune_prototypes(full, assigns, 1.0)
+    with _pytest.raises(ValueError, match="mode"):
+        prune_prototypes(full, assigns, 0.1, mode="median")
+
+
+def test_d4_composition_dedup_then_prune(spark):
+    """The full D4 recipe (Tirumala et al. 2023): semantic_dedup_kmeans →
+    prune_prototypes composes end-to-end on planted blobs with a planted
+    duplicate pair; the duplicate dies in stage 1, prototypes in stage 2."""
+    from final_ocr_spark.operators.cluster import prune_prototypes
+    from final_ocr_spark.operators.similarity import semantic_dedup_kmeans
+
+    df, _ = _planted(spark, n_per=15)
+    base = {r["url"]: r["embedding"] for r in df.collect()}
+    dup = [(u + "-copy", [x + 1e-4 for x in v]) for u, v in list(base.items())[:2]]
+    full = df.unionByName(
+        spark.createDataFrame(dup, "url string, embedding array<double>")
+    )
+
+    deduped = semantic_dedup_kmeans(
+        full, k=3, threshold=0.999, id_col="url", max_iters=15, seed=0
+    )
+    kept1 = {r["url"] for r in deduped.collect()}
+
+    # ground truth group count: union-find over ALL pairs with cos >= the
+    # threshold (cross-blob pairs can never reach it, so this equals the
+    # operator's within-cluster pairing); the blobs also contain ACCIDENTAL
+    # near-dups at 0.999, so the expected count is computed, not hardcoded
+    vecs = {r["url"]: np.array(r["embedding"]) for r in full.collect()}
+    keys = sorted(vecs)
+    parent = {u: u for u in keys}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, u in enumerate(keys):
+        for v in keys[i + 1:]:
+            a, b = vecs[u], vecs[v]
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            if cos >= 0.999:
+                parent[find(u)] = find(v)
+    n_groups = len({find(u) for u in keys})
+    assert len(kept1) == n_groups
+    # each planted copy's group collapsed to one survivor
+    for u, _ in dup:
+        orig = u[: -len("-copy")]
+        assert len({u, orig} & kept1) <= 1
+
+    assigns, _, _ = kmeans(deduped, 3, max_iters=15, seed=0)
+    sizes = [
+        r["n"]
+        for r in assigns.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    final = prune_prototypes(deduped, assigns, 0.2, mode="exact")
+    assert final.count() == len(kept1) - sum(int(n * 0.2) for n in sizes)
