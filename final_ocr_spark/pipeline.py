@@ -38,7 +38,12 @@ to a training-ready corpus, composed from the engine's tested operators.
                           wholly quoted/mirrored inside another kept doc
       5c. semantic dedup  optional SemDeDup-style embedding-space dedup,
                           text-in via the deterministic hashed-projection
-                          embedder (paraphrase groups lexical dedup misses)
+                          embedder (paraphrase groups lexical dedup misses);
+                          semantic_method picks LSH blocking (default) or
+                          the paper-faithful k-means variant
+      5d. prototype prune optional SSP pruning (drop the frac most-
+                          prototypical docs per k-means cluster) — with
+                          the kmeans 5c this is the full D4 recipe
       6. host cap         at most N docs per host (skew-safe salted cap)
       7. sample           optional deterministic md5 sample (stable across
                           reruns and cluster sizes)
@@ -121,6 +126,11 @@ def corpus_pipeline(
     semantic_threshold: float | None = None,
     semantic_dim: int = 128,
     semantic_bits: int = 12,
+    semantic_method: str = "lsh",
+    semantic_k: int = 64,
+    prototype_prune_frac: float | None = None,
+    prototype_k: int = 64,
+    kmeans_seed: int = 0,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
     quality_score). See module docstring for the stage list; every stage is
@@ -387,8 +397,16 @@ def corpus_pipeline(
     # unconditionally — no vector, no judgment.
     if semantic_threshold is not None:
         from final_ocr_spark.operators.embed import embed_hashed_ngrams
-        from final_ocr_spark.operators.similarity import semantic_dedup
+        from final_ocr_spark.operators.similarity import (
+            semantic_dedup,
+            semantic_dedup_kmeans,
+        )
 
+        if semantic_method not in ("lsh", "kmeans"):
+            raise ValueError(
+                f"semantic_method must be 'lsh' or 'kmeans', got "
+                f"{semantic_method!r}"
+            )
         # consumed twice below (vector join + gramless semi-join) — without
         # the checkpoint the full explode→agg embedding plan runs twice
         emb = embed_hashed_ngrams(
@@ -401,10 +419,38 @@ def corpus_pipeline(
             emb.filter(F.col("embedding").isNull()).select("url"),
             "url", "left_semi",
         )
-        docs = semantic_dedup(
-            with_vec, threshold=semantic_threshold, id_col="url",
-            bits=semantic_bits,
-        ).drop("embedding").unionByName(gramless)
+        if semantic_method == "kmeans":
+            # paper-faithful SemDeDup: k-means blocking, least-prototypical
+            # survivor (semantic_k ≈ corpus/expected-cluster-size)
+            deduped = semantic_dedup_kmeans(
+                with_vec, k=semantic_k, threshold=semantic_threshold,
+                id_col="url", seed=kmeans_seed,
+            )
+        else:
+            deduped = semantic_dedup(
+                with_vec, threshold=semantic_threshold, id_col="url",
+                bits=semantic_bits,
+            )
+        docs = deduped.drop("embedding").unionByName(gramless)
+
+    # 5d. prototype pruning (optional, round 4): drop the frac most-
+    # prototypical docs per k-means cluster (SSP, Sorscher et al. 2022) —
+    # with the kmeans semantic stage above this is the D4 recipe. Runs on
+    # the POST-dedup corpus (its own embedding pass over survivors: the
+    # dedup stage's vectors describe a corpus that no longer exists).
+    if prototype_prune_frac is not None:
+        from final_ocr_spark.operators.cluster import kmeans, prune_prototypes
+        from final_ocr_spark.operators.embed import embed_hashed_ngrams
+
+        emb_p = embed_hashed_ngrams(
+            docs, key="url", text_col="text", dim=semantic_dim
+        ).filter(F.col("embedding").isNotNull())
+        assigns, _, _ = kmeans(
+            emb_p, prototype_k, key="url", seed=kmeans_seed
+        )
+        docs = prune_prototypes(
+            docs, assigns, prototype_prune_frac, key="url"
+        )
 
     # 5b. benchmark decontamination (optional): drop docs sharing an n-gram
     # with the eval set — broadcast semi-join on gram hashes, corpus-side

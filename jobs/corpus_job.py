@@ -125,6 +125,22 @@ def main() -> None:
                          "robots.txt compliance gate before extraction")
     ap.add_argument("--robots-agent", default="*",
                     help="user-agent evaluated against the robots rules")
+    ap.add_argument("--semantic-threshold", type=float, default=None,
+                    help="enable SemDeDup-style embedding-space dedup at "
+                         "this cosine threshold (stage 5c)")
+    ap.add_argument("--semantic-method", choices=["lsh", "kmeans"],
+                    default="lsh",
+                    help="semantic dedup blocking: seeded hyperplane LSH "
+                         "(default) or the paper-faithful k-means variant")
+    ap.add_argument("--semantic-k", type=int, default=64,
+                    help="k for --semantic-method kmeans "
+                         "(~corpus size / expected cluster size)")
+    ap.add_argument("--prototype-prune", type=float, default=None,
+                    help="drop this fraction of the most-prototypical docs "
+                         "per k-means cluster (SSP stage 5d; with "
+                         "--semantic-method kmeans this is the D4 recipe)")
+    ap.add_argument("--prototype-k", type=int, default=64,
+                    help="k for the prototype-pruning clustering")
     args = ap.parse_args()
     if (args.lm_table is None) != (args.lm_max_ppl is None):
         ap.error("--lm-table and --lm-max-ppl must be given together")
@@ -214,6 +230,11 @@ def main() -> None:
         respect_canonical=args.respect_canonical,
         robots=(spark.read.parquet(args.robots) if args.robots else None),
         robots_agent=args.robots_agent,
+        semantic_threshold=args.semantic_threshold,
+        semantic_method=args.semantic_method,
+        semantic_k=args.semantic_k,
+        prototype_prune_frac=args.prototype_prune,
+        prototype_k=args.prototype_k,
     )
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

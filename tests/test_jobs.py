@@ -284,3 +284,29 @@ def test_ingest_job_compact_store(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/corpus/*/*.parquet'"
     ).fetchone()[0]
     assert n == 4
+
+
+def test_corpus_job_kmeans_semantic_and_prune_flags(tmp_path):
+    """--semantic-method kmeans + --prototype-prune drive the D4 stages
+    through the spark-submit entry point end-to-end."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--synthetic", "250",
+         "--output", str(tmp_path / "corpus"),
+         "--min-quality", "0", "--no-gopher", "--no-near-dup",
+         "--semantic-threshold", "0.95",
+         "--semantic-method", "kmeans", "--semantic-k", "6",
+         "--prototype-prune", "0.1", "--prototype-k", "6"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/corpus/*.parquet'"
+    ).fetchone()[0]
+    assert 0 < n <= 250

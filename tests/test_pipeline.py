@@ -493,3 +493,56 @@ def test_corpus_pipeline_semantic_dedup_stage(spark):
         extract_partitions=2, semantic_threshold=0.4, semantic_bits=2,
     ).collect()}
     assert sem == {"https://a.example.com/base", "https://c.example.com/other"}
+
+
+def test_corpus_pipeline_kmeans_semantic_and_prototype_prune(spark):
+    """Stages 5c (semantic_method='kmeans') + 5d: the reordered paraphrase
+    collapses under the paper-faithful k-means SemDeDup, and prototype
+    pruning then drops a bounded fraction of the survivors (never the
+    whole corpus, never more than frac)."""
+    base_words = (
+        "the committee approved the new harbor dredging budget after a "
+        "long public session where residents raised concerns about noise "
+        "schedules and the seasonal closure of the east boat ramp before "
+        "the final vote passed with a clear majority of the members"
+    ).split()
+    rows = [
+        ("https://a.example.com/base", " ".join(base_words)),
+        ("https://b.example.com/reordered", " ".join(reversed(base_words))),
+        ("https://c.example.com/other",
+         "quarterly snowfall totals across the northern observation ridge "
+         "exceeded the historical median while wind crusting limited the "
+         "usable depth reported by the avalanche survey teams this winter"),
+        ("https://d.example.com/third",
+         "orchard workers finished the early apple harvest under clear "
+         "skies stacking crates along the farm road while cider presses "
+         "ran in the barn and wasps gathered near the windfalls"),
+    ]
+    sem = {r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False,
+        extract_partitions=2, semantic_threshold=0.4,
+        semantic_method="kmeans", semantic_k=2,
+    ).collect()}
+    # one of the paraphrase pair died; the kmeans variant keeps the
+    # LEAST-prototypical member (which of a/b that is depends on the
+    # cluster's third member), the two unrelated docs survive
+    assert len(sem) == 3
+    assert len(sem & {"https://a.example.com/base",
+                      "https://b.example.com/reordered"}) == 1
+    assert {"https://c.example.com/other",
+            "https://d.example.com/third"} <= sem
+
+    pruned = {r["url"] for r in corpus_pipeline(
+        _pages(spark, rows), gopher=False, redact=False,
+        extract_partitions=2, semantic_threshold=0.4,
+        semantic_method="kmeans", semantic_k=2,
+        prototype_prune_frac=0.4, prototype_k=2,
+    ).collect()}
+    assert pruned <= sem and len(pruned) >= 2  # drops bounded by frac
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="semantic_method"):
+        corpus_pipeline(
+            _pages(spark, rows), gopher=False, redact=False,
+            semantic_threshold=0.4, semantic_method="centroid",
+        ).collect()
