@@ -119,12 +119,16 @@ def importance_weights(
     word_ngrams: int = 2,
     alpha: float = 1.0,
     weight_col: str = "log_importance",
+    gramless_weight: float | None = 0.0,
 ) -> DataFrame:
     """``raw`` with a ``weight_col`` column: the per-doc log importance
     ratio log p_target(x) − log p_raw(x) over hashed gram occurrences.
-    Docs with NO grams get weight 0.0 (both distributions assign them the
-    same empty product — they are distribution-neutral, kept for the
-    caller to gate separately)."""
+    Docs with NO grams get ``gramless_weight`` (default 0.0 — both
+    distributions assign them the same empty product, so they are
+    distribution-neutral; gate them separately), or are DROPPED when it is
+    None. Note a typical real doc's log ratio is NEGATIVE in expectation
+    (≈ −length·KL(raw‖target)), so 0.0 ranks a gramless doc ABOVE most
+    real ones — which is why :func:`importance_resample` excludes them."""
     lp_t = hashed_gram_logprobs(
         target,
         target_key or key,
@@ -147,9 +151,13 @@ def importance_weights(
         .groupBy("k")
         .agg(F.sum("_w").alias(weight_col))
     )
+    if gramless_weight is None:
+        return raw.join(doc_w.withColumnRenamed("k", key), key)
     return raw.join(
         doc_w.withColumnRenamed("k", key), key, "left"
-    ).withColumn(weight_col, F.coalesce(F.col(weight_col), F.lit(0.0)))
+    ).withColumn(
+        weight_col, F.coalesce(F.col(weight_col), F.lit(float(gramless_weight)))
+    )
 
 
 def importance_resample(
@@ -170,7 +178,13 @@ def importance_resample(
     deterministic under ``salt``. Returns the raw rows plus the
     ``log_importance`` diagnostic column. ``temperature`` > 1 flattens the
     selection toward uniform (DSIR's guard against the selected set
-    collapsing onto near-copies of the target)."""
+    collapsing onto near-copies of the target).
+
+    Gramless docs are EXCLUDED from the candidate set: their neutral
+    weight 0.0 would rank them above almost every real document (real
+    log ratios are negative in expectation), so a corpus with even 1%
+    blank extractions would fill the selection with empty docs
+    (review-caught)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if temperature <= 0:
@@ -178,6 +192,7 @@ def importance_resample(
     weighted = importance_weights(
         raw, target, key, text_col,
         n_features=n_features, word_ngrams=word_ngrams, alpha=alpha,
+        gramless_weight=None,
     )
     scored = weighted.withColumn(
         "_gumbel_key",

@@ -603,9 +603,9 @@ def semantic_dedup_kmeans(
 
     groups = dedup_clusters(dup_pairs, algorithm=algorithm)
     if keep == "min_key":
-        losers = groups.filter(F.col("key") != F.col("cluster_id")).select(
-            F.col("key").alias(id_col)
-        )
+        from final_ocr_spark.operators.dedup import keep_cluster_representatives
+
+        return keep_cluster_representatives(emb, groups, key=id_col)
     else:
         ranked = groups.join(
             assigns.select(F.col(id_col).alias("key"), "dist"), "key"

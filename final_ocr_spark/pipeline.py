@@ -421,11 +421,20 @@ def corpus_pipeline(
         )
         if semantic_method == "kmeans":
             # paper-faithful SemDeDup: k-means blocking, least-prototypical
-            # survivor (semantic_k ≈ corpus/expected-cluster-size)
-            deduped = semantic_dedup_kmeans(
-                with_vec, k=semantic_k, threshold=semantic_threshold,
-                id_col="url", seed=kmeans_seed,
-            )
+            # survivor (semantic_k ≈ corpus/expected-cluster-size). k is
+            # clamped to the embeddable-doc count — a small/heavily-gated
+            # corpus must degrade (fewer clusters), never abort the whole
+            # run at its second-to-last stage (review-caught).
+            with_vec = with_vec.localCheckpoint(eager=False)  # count + dedup
+            n_vec = with_vec.count()
+            if n_vec >= 2:
+                deduped = semantic_dedup_kmeans(
+                    with_vec, k=min(semantic_k, n_vec),
+                    threshold=semantic_threshold,
+                    id_col="url", seed=kmeans_seed,
+                )
+            else:
+                deduped = with_vec  # 0-1 docs: nothing to dedup
         else:
             deduped = semantic_dedup(
                 with_vec, threshold=semantic_threshold, id_col="url",
@@ -444,13 +453,15 @@ def corpus_pipeline(
 
         emb_p = embed_hashed_ngrams(
             docs, key="url", text_col="text", dim=semantic_dim
-        ).filter(F.col("embedding").isNotNull())
-        assigns, _, _ = kmeans(
-            emb_p, prototype_k, key="url", seed=kmeans_seed
-        )
-        docs = prune_prototypes(
-            docs, assigns, prototype_prune_frac, key="url"
-        )
+        ).filter(F.col("embedding").isNotNull()).localCheckpoint(eager=False)
+        n_vec = emb_p.count()  # clamp k; skip the stage on a tiny corpus
+        if n_vec >= 2:
+            assigns, _, _ = kmeans(
+                emb_p, min(prototype_k, n_vec), key="url", seed=kmeans_seed
+            )
+            docs = prune_prototypes(
+                docs, assigns, prototype_prune_frac, key="url"
+            )
 
     # 5b. benchmark decontamination (optional): drop docs sharing an n-gram
     # with the eval set — broadcast semi-join on gram hashes, corpus-side

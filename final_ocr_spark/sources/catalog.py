@@ -746,7 +746,13 @@ class SnapshotCatalog:
     def expire(self, name: str, keep_last: int = 1) -> int:
         """Iceberg-style snapshot expiry: drop all but the last ``keep_last``
         snapshots and delete data files no surviving snapshot references.
-        Returns the number of data files deleted."""
+        Returns the number of data files deleted. Also sweeps orphaned
+        ``.snap-inflight-*`` commit temps (a committer killed between the
+        fsync'd temp write and the link leaves one behind; they are
+        invisible to readers but would otherwise accumulate forever) —
+        expire is a maintenance window, so no commit is in flight."""
+        for tmp in self._manifest_dir(name).glob(".snap-inflight-*.json"):
+            tmp.unlink(missing_ok=True)
         snaps = self.snapshots(name)
         if len(snaps) <= keep_last:
             return 0

@@ -74,6 +74,7 @@ Bloom-positive batches.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
 import uuid
@@ -130,9 +131,17 @@ def _local_path(store_dir: str) -> pathlib.Path | None:
     """Local-filesystem path for maintenance ops, or None for a remote URI.
     The READ path (Spark) speaks any Hadoop filesystem, but compaction and
     crash recovery are pathlib/shutil-based — on hdfs://-style stores they
-    must refuse loudly instead of silently no-opping (see SEAMS.md)."""
-    if store_dir.startswith("file://"):
-        return pathlib.Path(store_dir[len("file://"):])
+    must refuse loudly instead of silently no-opping (see SEAMS.md).
+    Handles both file:// and Hadoop's normalized single-slash file:/ form
+    (what Spark logs and inputFiles print) — treating the latter as a
+    relative path would silently no-op maintenance (review-caught)."""
+    if store_dir.startswith("file:"):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(store_dir)
+        if parsed.netloc not in ("", "localhost"):
+            return None  # file://host/... — a remote mount, not this box
+        return pathlib.Path(parsed.path)
     if "://" in store_dir:
         return None
     return pathlib.Path(store_dir)
@@ -184,6 +193,7 @@ def ingest_batch(
     jaccard_threshold: float = 0.85,
     bloom_m_bits: int = 1 << 20,
     bloom_k: int = 5,
+    repair_sidecars: bool = True,
 ) -> dict:
     """Dedup one micro-batch against itself and the stored corpus, then
     idempotently append survivors (rows + signatures + bucket/Bloom
@@ -202,7 +212,13 @@ def ingest_batch(
     stores; an existing store's parameters are adopted automatically
     (filters only merge within one (m, k) family). Size for the expected
     TOTAL corpus — an undersized filter saturates and degrades gracefully
-    to the full-scan path's cost, never to wrong results."""
+    to the full-scan path's cost, never to wrong results.
+
+    ``repair_sidecars=True`` (default) regenerates missing/stale sidecar
+    partitions from the stored signatures before loading them (see
+    :func:`_repair_sidecars`) — a crash-lost sidecar or a bands change
+    costs one repair pass instead of a permanent full-scan path. Set False
+    to pin the degraded-but-safe behavior (e.g. read-only stores)."""
     spark = batch_df.sparkSession
     # heal any interrupted compaction BEFORE reading history: a half-swapped
     # store is missing partitions, and dedup against it would silently admit
@@ -269,6 +285,7 @@ def ingest_batch(
         "lsh_history_join_skipped": False,
         "lsh_candidate_rows": None,
         "sidecar_family_mismatch": False,
+        "sidecars_repaired": 0,
     }
 
     hist = _read_optional(spark, sigs_dir, SIG_SCHEMA)
@@ -330,10 +347,23 @@ def ingest_batch(
             if has_history:
                 hist_ids = _batch_ids(hist)
                 (hist_buckets, key_bloom, bucket_bloom, bloom_meta,
-                 fam_mismatch) = _load_sidecars(
+                 fam_mismatch, repair_ids) = _load_sidecars(
                     spark, sigs_dir, cur, hist_ids, num_hashes, bands
                 )
                 stats["sidecar_family_mismatch"] = fam_mismatch
+                if repair_ids and repair_sidecars:
+                    # self-heal, then reload: one-time regeneration beats
+                    # a PERMANENT full-scan path (see _load_sidecars)
+                    stats["sidecars_repaired"] = _repair_sidecars(
+                        spark, sigs_dir, repair_ids,
+                        bands=bands, num_hashes=num_hashes,
+                        bloom_meta=bloom_meta or (bloom_m_bits, bloom_k),
+                    )
+                    (hist_buckets, key_bloom, bucket_bloom, bloom_meta,
+                     fam_mismatch, repair_ids) = _load_sidecars(
+                        spark, sigs_dir, cur, hist_ids, num_hashes, bands
+                    )
+                    stats["sidecar_family_mismatch"] = fam_mismatch
             hist = hist.select("k", "sig")
         else:
             # flat bootstrap store (minhash_sigs output persisted directly)
@@ -450,11 +480,14 @@ def _load_sidecars(
     hist_ids: frozenset[int],
     num_hashes: int,
     bands: int,
-) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, tuple[int, int] | None, bool]:
-    """(hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch)
-    for the history partitions — each only if its sidecar COVERS every
-    history batch_id (an incomplete bucket table or Bloom has false
-    negatives for the uncovered batches and would silently admit
+) -> tuple[
+    DataFrame | None, DataFrame | None, DataFrame | None,
+    tuple[int, int] | None, bool, frozenset[int],
+]:
+    """(hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch,
+    repair_ids) for the history partitions — each sidecar is used only if
+    it COVERS every history batch_id (an incomplete bucket table or Bloom
+    has false negatives for the uncovered batches and would silently admit
     duplicates; incomplete ⇒ ignored, the full-scan path is the safe
     fallback). The bucket sidecar must additionally carry the CURRENT
     banding family in every partition's sentinel row (see
@@ -465,33 +498,53 @@ def _load_sidecars(
     key Bloom is family-independent (raw keys) and survives a bands
     change. ``bloom_meta`` is returned even without full coverage so the
     current batch's sidecar writes stay in the store's existing
-    (m_bits, k) family."""
+    (m_bits, k) family.
+
+    ``repair_ids`` is the set of history partitions whose sidecars are
+    missing, family-stale, or partial — everything a
+    :func:`_repair_sidecars` pass must regenerate for the fast path to
+    return. Without repair, one lost sidecar partition would put ingest on
+    the full-scan path FOREVER (the consolidated main partition keeps its
+    id, so coverage could never recover), and the next
+    :func:`compact_signature_store` would keep deleting the newer sidecar
+    partitions for the same reason (review-caught)."""
     hist_buckets = key_bloom = bucket_bloom = None
     bloom_meta: tuple[int, int] | None = None
     family_mismatch = False
     buckets_trusted = False
+    repair_ids: set[int] = set()
 
     bk = _read_optional(spark, f"{sigs_dir}/{BUCKETS_SUBDIR}", BUCKET_SCHEMA)
+    good_ids: set[int] = set()
     if bk is not None and "batch_id" in bk.columns:
         bk = bk.filter(F.col("batch_id") != cur_batch_id)
-        if _batch_ids(bk) >= hist_ids:
-            fams = {
-                r["k"]
-                for r in bk.filter(F.col("band") == -1)
-                .select("k").distinct().collect()
-            }
-            if fams == {_family_tag(num_hashes, bands)}:
-                buckets_trusted = True
-                # band −1 rows are the visibility sentinels, not buckets
-                hist_buckets = bk.filter(F.col("band") >= 0).select(
-                    "k", "band", "bucket"
-                )
-            else:
-                family_mismatch = True
+        # per-partition family sentinels: a partition counts as GOOD only
+        # when every sentinel it holds matches the current banding family
+        # (a compacted partition carries its sources' sentinels)
+        fam_by_id: dict[int, set[str]] = {}
+        for r in (
+            bk.filter(F.col("band") == -1)
+            .select("batch_id", "k").distinct().collect()
+        ):
+            fam_by_id.setdefault(int(r["batch_id"]), set()).add(r["k"])
+        tag = _family_tag(num_hashes, bands)
+        good_ids = {i for i, f in fam_by_id.items() if f == {tag}}
+        if good_ids >= hist_ids:
+            buckets_trusted = True
+            # band −1 rows are the visibility sentinels, not buckets
+            hist_buckets = bk.filter(F.col("band") >= 0).select(
+                "k", "band", "bucket"
+            )
+        elif fam_by_id and not (set(fam_by_id) >= hist_ids):
+            pass  # plain missing partitions — repair below, not a mismatch
+        elif fam_by_id:
+            family_mismatch = True
+    repair_ids |= hist_ids - good_ids
 
     for subdir, slot in ((KEY_BLOOM_SUBDIR, "key"), (BUCKET_BLOOM_SUBDIR, "bucket")):
         bl = _read_optional(spark, f"{sigs_dir}/{subdir}", BLOOM_SCHEMA)
         if bl is None or "batch_id" not in bl.columns:
+            repair_ids |= hist_ids
             continue
         metas = [
             (int(r["m_bits"]), int(r["k"]))
@@ -507,7 +560,9 @@ def _load_sidecars(
         if metas:
             bloom_meta = metas[0]
         hist_bl = bl.filter(F.col("batch_id") != cur_batch_id)
-        if not (_batch_ids(hist_bl) >= hist_ids):
+        bl_ids = _batch_ids(hist_bl)
+        if not (bl_ids >= hist_ids):
+            repair_ids |= hist_ids - bl_ids
             continue
         if slot == "bucket" and not buckets_trusted:
             # bucket-Bloom probe keys are banding-derived: without a
@@ -523,7 +578,40 @@ def _load_sidecars(
             key_bloom = merged
         else:
             bucket_bloom = merged
-    return hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch
+    return (
+        hist_buckets, key_bloom, bucket_bloom, bloom_meta, family_mismatch,
+        frozenset(repair_ids),
+    )
+
+
+def _repair_sidecars(
+    spark: SparkSession,
+    sigs_dir: str,
+    repair_ids: frozenset[int],
+    *,
+    bands: int,
+    num_hashes: int,
+    bloom_meta: tuple[int, int],
+) -> int:
+    """Self-healing: regenerate the sidecars of the given history
+    partitions from their stored signatures. Every sidecar is a
+    DETERMINISTIC function of the (k, sig) partition, so a sidecar lost to
+    a crash, written by an older build, or stamped with a stale banding
+    family is rebuilt in place (idempotent overwrite) — a one-time cost
+    per lost partition, after which the Bloom fast path returns. Returns
+    the number of partitions repaired."""
+    n = 0
+    for i in sorted(repair_ids):
+        part = _read_optional(spark, f"{sigs_dir}/batch_id={i}", SIG_SCHEMA)
+        if part is None:
+            continue
+        part = part.select("k", "sig").localCheckpoint(eager=False)
+        _write_sidecars(
+            spark, part, part.select("k"), sigs_dir, i,
+            bands=bands, num_hashes=num_hashes, bloom_meta=bloom_meta,
+        )
+        n += 1
+    return n
 
 
 def _write_sidecars(
@@ -599,7 +687,13 @@ def recover_batch_store(store_dir: str) -> dict:
         return out
     for trash in sorted(root.glob(".compact-trash-*")):
         marker = trash / "TARGET"
-        target = int(marker.read_text()) if marker.is_file() else None
+        try:
+            # the marker is rename-committed, so "readable" ⇔ "renames may
+            # have started"; an absent/unparseable marker means the crash
+            # hit before any partition moved — rollback is a safe no-op
+            target = int(marker.read_text()) if marker.is_file() else None
+        except (ValueError, OSError):
+            target = None
         published = (
             target is not None
             and (trash / f"batch_id={target}").is_dir()
@@ -706,10 +800,19 @@ def compact_batch_store(
             f"{n_src} in, {n_new} rewritten — store left untouched"
         )
     # crash-safe swap (see recover_batch_store): marker first, originals
-    # into the trash in ascending order (target last), tmp rename = publish
+    # into the trash in ascending order (target last), tmp rename = publish.
+    # The marker is written atomically (temp + fsync + rename) so recovery
+    # can rely on "marker readable ⇔ renames may have happened"; a torn
+    # marker after power loss would otherwise wedge every later recovery
+    # call (review-caught).
     trash = root / f".compact-trash-{uuid.uuid4().hex}"
     trash.mkdir()
-    (trash / "TARGET").write_text(str(target), encoding="utf-8")
+    mtmp = trash / ".TARGET.tmp"
+    with open(mtmp, "w", encoding="utf-8") as f:
+        f.write(str(target))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, trash / "TARGET")
     for i, p in old:
         p.rename(trash / p.name)
     tmp.rename(root / f"batch_id={target}")

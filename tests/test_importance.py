@@ -96,12 +96,20 @@ def test_resample_matches_gumbel_topk_twin(spark, frames):
     got = [r["doc_id"] for r in sel.collect()]
     assert len(got) == 3 and len(set(got)) == 3
 
+    # gramless docs (r6) are excluded from the candidate set: weight 0.0
+    # would outrank real docs, whose log ratios are negative in expectation
     w = _twin_weights(spark, raw, target)
     scored = sorted(
-        ((w.get(d, 0.0) + _py_gumbel(d, "s1"), d) for d, _ in _RAW),
+        ((w[d] + _py_gumbel(d, "s1"), d) for d, _ in _RAW if d in w),
         key=lambda t: (-t[0], t[1]),
     )
     assert got == [d for _, d in scored[:3]]
+
+    # even selecting "everything", the gramless doc never appears
+    all_sel = {r["doc_id"] for r in importance_resample(
+        raw, target, len(_RAW), key="doc_id", n_features=_NF, salt="s1"
+    ).collect()}
+    assert all_sel == {d for d, _ in _RAW} - {"r6"}
 
     # deterministic under the same salt, different under another
     again = [r["doc_id"] for r in importance_resample(

@@ -439,9 +439,9 @@ def test_ingest_exact_text_spam_across_keys(spark, tmp_path):
 
 
 def test_ingest_sidecar_fallback_on_missing_coverage(spark, tmp_path):
-    """A store written without sidecars (older build, or a sidecar lost to
-    a partial crash) must put ingest on the safe full-scan path — and still
-    dedup correctly."""
+    """With repair disabled, a store written without sidecars (older build,
+    or a sidecar lost to a partial crash) must put ingest on the safe
+    full-scan path — and still dedup correctly."""
     import shutil
 
     from final_ocr_spark.streaming.incremental_corpus import (
@@ -457,12 +457,79 @@ def test_ingest_sidecar_fallback_on_missing_coverage(spark, tmp_path):
         shutil.rmtree(f"{sigs}/{sub}")
     r = ingest_batch(
         _docs_df(spark, [("http://y/a-again", _BASE[:-12]), ("http://y/c", _THIRD)]),
-        1, corpus, sigs, jaccard_threshold=0.7,
+        1, corpus, sigs, jaccard_threshold=0.7, repair_sidecars=False,
     )
     assert not r["lsh_bloom_prefilter"] and not r["exact_bloom_prefilter"]
     assert r["rows_kept"] == 1  # near-dup still dropped on the fallback path
     kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
     assert kept == {"http://x/a", "http://y/c"}
+
+
+def test_ingest_sidecar_self_heals_lost_partitions(spark, tmp_path):
+    """Review-caught: a lost sidecar partition used to put ingest on the
+    full-scan path FOREVER (the consolidated main partition keeps its id,
+    so coverage could never recover) and made the next compaction delete
+    newer sidecar partitions in a destructive loop. Default ingest now
+    regenerates the missing partitions from the stored signatures — one
+    repair pass, then the Bloom fast path returns — and a post-repair
+    compaction keeps its sidecars."""
+    import shutil
+
+    from final_ocr_spark.streaming.incremental_corpus import (
+        BUCKETS_SUBDIR, compact_signature_store, ingest_batch,
+    )
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    texts = [_BASE, _OTHER, _THIRD]
+    for i, t in enumerate(texts):
+        ingest_batch(
+            _docs_df(spark, [(f"http://x/{i}", t)]),
+            i, corpus, sigs, jaccard_threshold=0.7,
+        )
+    # lose ONE bucket-sidecar partition (partial crash)
+    shutil.rmtree(f"{sigs}/{BUCKETS_SUBDIR}/batch_id=1")
+
+    r = ingest_batch(
+        _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
+        3, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r["sidecars_repaired"] >= 1
+    assert r["lsh_bloom_prefilter"]  # fast path RESTORED, same batch
+    assert r["rows_kept"] == 0       # near-dup of batch-0 still caught
+
+    # post-repair compaction must keep coverage (no destructive loop)
+    st = compact_signature_store(spark, sigs, keep_recent=2, min_partitions=2)
+    assert st["compacted"]
+    r2 = ingest_batch(
+        _docs_df(spark, [("http://z/new", _FOURTH)]),
+        4, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r2["sidecars_repaired"] == 0
+    assert r2["lsh_bloom_prefilter"]
+    assert r2["rows_kept"] == 1
+
+
+def test_ingest_bands_change_self_heals_to_new_family(spark, tmp_path):
+    """A bands change regenerates the bucket sidecars under the NEW family
+    (one repair pass) and keeps the fast path — while still catching the
+    cross-corpus near-dup through correctly re-banded buckets."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    ingest_batch(
+        _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)]),
+        0, corpus, sigs, jaccard_threshold=0.7, bands=8,
+    )
+    r = ingest_batch(
+        _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
+        1, corpus, sigs, jaccard_threshold=0.7, bands=16,
+    )
+    assert r["sidecars_repaired"] >= 1
+    assert r["lsh_bloom_prefilter"]      # fast path under the new family
+    assert not r["sidecar_family_mismatch"]  # healed before loading
+    assert r["rows_kept"] == 0
+    kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
+    assert kept == {"http://x/a", "http://x/b"}
 
 
 def test_ingest_zero_sig_batch_keeps_sidecar_coverage(spark, tmp_path):
@@ -503,10 +570,12 @@ def test_ingest_bands_change_degrades_to_full_scan(spark, tmp_path):
         _docs_df(spark, [("http://x/a", _BASE), ("http://x/b", _OTHER)]),
         0, corpus, sigs, jaccard_threshold=0.7, bands=8,
     )
-    # same num_hashes (32 → passes the siglen family check), different bands
+    # same num_hashes (32 → passes the siglen family check), different bands;
+    # repair disabled to pin the degraded-but-safe path
     r = ingest_batch(
         _docs_df(spark, [("http://z/a-again", _BASE[:-12])]),
         1, corpus, sigs, jaccard_threshold=0.7, bands=16,
+        repair_sidecars=False,
     )
     assert r["sidecar_family_mismatch"]
     assert not r["lsh_bloom_prefilter"]  # bucket sidecars not trusted
