@@ -13,9 +13,16 @@ to a training-ready corpus, composed from the engine's tested operators.
       1. extract          mapInPandas main-content extraction, per-row
                           quarantine, latest-wins url dedup on the
                           EXTRACTED rows (~4× smaller than html)
-      2. quality gate     Gopher repetition checks + quality score +
-                          optional C4 line cleaning — scan-local Column
-                          exprs, zero extra shuffle
+      1c. language gate   optional lang_allow filter — declared lang column
+                          for free, or re-detected from the extracted text
+                          (one Arrow batch stage) with lang_detect=True
+      1d. C4 line clean   optional Raffel et al. 2020 §2.2 line rules +
+                          doc gates (lorem-ipsum / '{' / min kept lines),
+                          rewriting text before any scoring or hashing
+      2. quality gate     Gopher repetition checks + quality score —
+                          scan-local Column exprs, zero extra shuffle
+      2a. wordlist gate   optional flagged-token-ratio blocklist filter
+                          (caller-supplied policy list) — scan-local
       3. PII redaction    email/IP/phone masking — scan-local
       4. exact dedup      fingerprint group-by (one shuffle of 8-byte keys)
       4a. host chrome     optional per-host frequent-line removal (nav/
@@ -105,6 +112,12 @@ def corpus_pipeline(
     cluster_algorithm: str = "jump",
     mime_gate: bool = False,
     fix_mojibake: bool = False,
+    lang_allow: tuple[str, ...] | list[str] | None = None,
+    lang_detect: bool = False,
+    c4_line_clean: bool = False,
+    c4_min_lines: int = 3,
+    flagged_wordlist: list[str] | None = None,
+    flagged_max_ratio: float = 0.01,
     normalize_form: str | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
     url_patterns: tuple[str, ...] = (),
@@ -199,11 +212,64 @@ def corpus_pipeline(
 
         docs = docs.withColumn("text", repair_mojibake("text"))
 
+    # 1c. language gate (optional): keep only lang_allow languages. With
+    # lang_detect=True the verdict comes from the n-gram heuristic over the
+    # EXTRACTED text (crawl-declared lang headers are wrong often enough
+    # that C4/CCNet/FineWeb all re-detect) and overwrites the lang column;
+    # otherwise the existing column gates for free inside the scan. Runs
+    # before the text-rewrite stages so every downstream gate and every
+    # hash sees only in-scope docs.
+    if lang_allow is not None:
+        allow = sorted({str(lang) for lang in lang_allow})
+        if not allow:
+            raise ValueError("lang_allow must be non-empty when set")
+        if lang_detect:
+            from final_ocr_spark.operators.text_stats import detect_lang_udf
+
+            docs = docs.withColumn("lang", detect_lang_udf()(F.col("text")))
+        docs = docs.filter(F.col("lang").isin(*allow))
+
+    # 1d. C4 line cleaning (optional, Raffel et al. 2020 §2.2): drop lines
+    # lacking terminal punctuation / under 5 words / mentioning
+    # 'javascript', then the doc gates (>= c4_min_lines kept lines, no
+    # 'lorem ipsum', no '{'). Rewrites text BEFORE quality scoring and
+    # every hashing stage. Both the verdict and the rewrite derive from the
+    # PRE-rewrite text (one withColumns — doc_keep on cleaned text would
+    # double-apply the line rules). Scan-local Column work.
+    # Assumes line-structured text: the HTML extractor emits one line per
+    # kept block, so html corpora work as published; text-PASSTHROUGH rows
+    # collapse newlines at extraction (pinned byte-identity behavior), so a
+    # pre-collapsed corpus sees ONE line per doc and needs c4_min_lines=1.
+    if c4_line_clean:
+        from final_ocr_spark.operators.repetition import c4_features
+
+        feats = c4_features(F.col("text"), min_lines=c4_min_lines)
+        docs = (
+            docs.withColumns(
+                {"_c4_keep": feats["doc_keep"], "text": feats["clean_text"]}
+            )
+            .filter(F.col("_c4_keep"))
+            .drop("_c4_keep")
+        )
+
     # 2. quality gate (scan-local)
     docs = docs.withColumn("quality_score", quality_score(F.col("text")))
     docs = docs.filter(F.col("quality_score") >= F.lit(min_quality))
     if gopher:
         docs = docs.filter(gopher_repetition_keep(F.col("text")))
+
+    # 2a. wordlist gate (optional, scan-local): drop docs whose
+    # flagged-token ratio exceeds flagged_max_ratio — the C4 "bad words" /
+    # UT1-blocklist signal. The list is caller-supplied policy, never baked
+    # in; the audit ratio is not kept here (use wordlist_gate directly for
+    # that).
+    if flagged_wordlist is not None:
+        from final_ocr_spark.operators.text_stats import wordlist_gate
+
+        docs = wordlist_gate(
+            docs, flagged_wordlist, text_col="text",
+            max_ratio=flagged_max_ratio,
+        )
 
     # 2b. model quality gate (optional): score with a trained hashed-n-gram
     # linear model (operators/classify.py) and keep score >= threshold.
