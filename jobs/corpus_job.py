@@ -29,8 +29,13 @@ sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
-def main() -> None:
+def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default=None,
+                    help="start from a published-recipe preset (c4, gopher, "
+                         "ccnet, refinedweb, fineweb, dolma, d4 — see "
+                         "final_ocr_spark.presets); explicitly-passed flags "
+                         "override the preset, unset flags keep its values")
     ap.add_argument("--input", help="pages parquet path")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
@@ -141,9 +146,47 @@ def main() -> None:
                          "--semantic-method kmeans this is the D4 recipe)")
     ap.add_argument("--prototype-k", type=int, default=64,
                     help="k for the prototype-pruning clustering")
+    ap.add_argument("--lang-allow", default=None, metavar="LANGS",
+                    help="comma-separated language codes to keep "
+                         "(e.g. 'en' or 'en,fr')")
+    ap.add_argument("--lang-detect", action="store_true",
+                    help="re-detect language from the extracted text "
+                         "(n-gram heuristic) instead of trusting the "
+                         "declared lang column")
+    ap.add_argument("--c4-line-clean", action="store_true",
+                    help="C4 line rules + doc gates (Raffel et al. 2020 "
+                         "§2.2) before quality scoring")
+    ap.add_argument("--c4-min-lines", type=int, default=3,
+                    help="C4 doc gate: minimum kept lines (use 1 for "
+                         "pre-collapsed text-passthrough corpora)")
+    ap.add_argument("--flagged-wordlist", default=None, metavar="FILE",
+                    help="file with one flagged token per line; drops docs "
+                         "whose flagged-token ratio exceeds "
+                         "--flagged-max-ratio (policy list is yours, never "
+                         "baked in)")
+    ap.add_argument("--flagged-max-ratio", type=float, default=0.01)
+    return ap
+
+
+def main() -> None:
+    ap = _build_parser()
     args = ap.parse_args()
+    # Which flags did the user actually type? A second parse with every
+    # default suppressed leaves only explicitly-provided dests — that is
+    # the set allowed to override a --preset (argparse cannot distinguish
+    # "passed the default value" from "not passed" in one parse).
+    aux = _build_parser()
+    for action in aux._actions:
+        action.default = argparse.SUPPRESS
+    provided = set(vars(aux.parse_args()))
     if (args.lm_table is None) != (args.lm_max_ppl is None):
         ap.error("--lm-table and --lm-max-ppl must be given together")
+    if args.preset:
+        from final_ocr_spark.presets import PRESETS
+
+        if args.preset not in PRESETS:
+            ap.error(f"unknown --preset {args.preset!r}; "
+                     f"available: {sorted(PRESETS)}")
 
     from final_ocr_spark.session import get_spark
 
@@ -194,48 +237,90 @@ def main() -> None:
     from final_ocr_spark.operators.urlfilter import DEFAULT_URL_PATTERNS
     from final_ocr_spark.pipeline import corpus_pipeline
 
-    corpus = corpus_pipeline(
-        pages,
-        blocked_domains=blocked,
-        url_patterns=DEFAULT_URL_PATTERNS if args.url_patterns else (),
-        host_boilerplate_ratio=args.host_boilerplate,
-        paragraph_dedup_min_chars=args.paragraph_dedup,
-        sentence_dedup_min_chars=args.sentence_dedup,
-        mime_gate=args.mime_gate,
-        fix_mojibake=args.fix_mojibake,
-        span_dedup_gram_n=args.span_dedup,
-        min_quality=args.min_quality,
-        gopher=not args.no_gopher,
-        redact=not args.no_redact,
-        near_dup=not args.no_near_dup,
-        jaccard_threshold=args.jaccard,
-        host_cap=args.host_cap,
-        sample_rate=args.sample_rate,
-        sample_salt=args.sample_salt,
-        extract_partitions=args.partitions,
-        cluster_algorithm=args.cluster_algorithm,
-        containment_threshold=args.containment,
-        classifier_weights=(
-            spark.read.parquet(args.classifier_weights)
-            if args.classifier_weights
-            else None
-        ),
-        classifier_threshold=args.classifier_threshold,
-        classifier_n_features=args.classifier_features,
-        lm_table=(
-            spark.read.parquet(args.lm_table) if args.lm_table else None
-        ),
-        lm_max_ppl=args.lm_max_ppl,
-        drop_noindex=args.drop_noindex,
-        respect_canonical=args.respect_canonical,
-        robots=(spark.read.parquet(args.robots) if args.robots else None),
-        robots_agent=args.robots_agent,
-        semantic_threshold=args.semantic_threshold,
-        semantic_method=args.semantic_method,
-        semantic_k=args.semantic_k,
-        prototype_prune_frac=args.prototype_prune,
-        prototype_k=args.prototype_k,
-    )
+    # (CLI dest, pipeline kwarg, value thunk) — thunks defer parquet reads
+    # and file loads until the kwarg is actually selected.
+    cli_kwargs = [
+        ("blocked_domains", "blocked_domains", lambda: blocked),
+        ("url_patterns", "url_patterns",
+         lambda: DEFAULT_URL_PATTERNS if args.url_patterns else ()),
+        ("host_boilerplate", "host_boilerplate_ratio",
+         lambda: args.host_boilerplate),
+        ("paragraph_dedup", "paragraph_dedup_min_chars",
+         lambda: args.paragraph_dedup),
+        ("sentence_dedup", "sentence_dedup_min_chars",
+         lambda: args.sentence_dedup),
+        ("mime_gate", "mime_gate", lambda: args.mime_gate),
+        ("fix_mojibake", "fix_mojibake", lambda: args.fix_mojibake),
+        ("span_dedup", "span_dedup_gram_n", lambda: args.span_dedup),
+        ("min_quality", "min_quality", lambda: args.min_quality),
+        ("no_gopher", "gopher", lambda: not args.no_gopher),
+        ("no_redact", "redact", lambda: not args.no_redact),
+        ("no_near_dup", "near_dup", lambda: not args.no_near_dup),
+        ("jaccard", "jaccard_threshold", lambda: args.jaccard),
+        ("host_cap", "host_cap", lambda: args.host_cap),
+        ("sample_rate", "sample_rate", lambda: args.sample_rate),
+        ("sample_salt", "sample_salt", lambda: args.sample_salt),
+        ("partitions", "extract_partitions", lambda: args.partitions),
+        ("cluster_algorithm", "cluster_algorithm",
+         lambda: args.cluster_algorithm),
+        ("containment", "containment_threshold", lambda: args.containment),
+        ("classifier_weights", "classifier_weights",
+         lambda: (spark.read.parquet(args.classifier_weights)
+                  if args.classifier_weights else None)),
+        ("classifier_threshold", "classifier_threshold",
+         lambda: args.classifier_threshold),
+        ("classifier_features", "classifier_n_features",
+         lambda: args.classifier_features),
+        ("lm_table", "lm_table",
+         lambda: (spark.read.parquet(args.lm_table)
+                  if args.lm_table else None)),
+        ("lm_max_ppl", "lm_max_ppl", lambda: args.lm_max_ppl),
+        ("drop_noindex", "drop_noindex", lambda: args.drop_noindex),
+        ("respect_canonical", "respect_canonical",
+         lambda: args.respect_canonical),
+        ("robots", "robots",
+         lambda: (spark.read.parquet(args.robots)
+                  if args.robots else None)),
+        ("robots_agent", "robots_agent", lambda: args.robots_agent),
+        ("semantic_threshold", "semantic_threshold",
+         lambda: args.semantic_threshold),
+        ("semantic_method", "semantic_method",
+         lambda: args.semantic_method),
+        ("semantic_k", "semantic_k", lambda: args.semantic_k),
+        ("prototype_prune", "prototype_prune_frac",
+         lambda: args.prototype_prune),
+        ("prototype_k", "prototype_k", lambda: args.prototype_k),
+        ("lang_allow", "lang_allow",
+         lambda: (tuple(s.strip() for s in args.lang_allow.split(",")
+                        if s.strip())
+                  if args.lang_allow else None)),
+        ("lang_detect", "lang_detect", lambda: args.lang_detect),
+        ("c4_line_clean", "c4_line_clean", lambda: args.c4_line_clean),
+        ("c4_min_lines", "c4_min_lines", lambda: args.c4_min_lines),
+        ("flagged_wordlist", "flagged_wordlist",
+         lambda: ([ln.strip() for ln in
+                   pathlib.Path(args.flagged_wordlist)
+                   .read_text().splitlines() if ln.strip()]
+                  if args.flagged_wordlist else None)),
+        ("flagged_max_ratio", "flagged_max_ratio",
+         lambda: args.flagged_max_ratio),
+    ]
+    if args.preset:
+        from final_ocr_spark.presets import PRESETS, preset_kwargs
+
+        overrides = {
+            kwarg: thunk() for dest, kwarg, thunk in cli_kwargs
+            if dest in provided
+        }
+        kwargs = preset_kwargs(args.preset, **overrides)
+        print(f"preset {args.preset}: {PRESETS[args.preset]['cite']}")
+        print(f"preset notes: {PRESETS[args.preset]['notes']}")
+        if overrides:
+            print(f"preset overrides from CLI: {sorted(overrides)}")
+    else:
+        kwargs = {kwarg: thunk() for _, kwarg, thunk in cli_kwargs}
+
+    corpus = corpus_pipeline(pages, **kwargs)
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"corpus written: {args.output} rows={n}")

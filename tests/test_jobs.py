@@ -310,3 +310,46 @@ def test_corpus_job_kmeans_semantic_and_prune_flags(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/corpus/*.parquet'"
     ).fetchone()[0]
     assert 0 < n <= 250
+
+
+def test_corpus_job_preset_with_cli_override(tmp_path):
+    """--preset gopher runs the published-recipe kwarg bundle through the
+    job entry point, and an explicitly-typed flag (--no-near-dup, whose
+    value CONTRADICTS the preset's near_dup=True) wins the merge — while
+    untyped flags (e.g. --min-quality) keep the preset's values."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--preset", "gopher",
+         "--synthetic", "250",
+         "--output", str(tmp_path / "corpus"),
+         "--no-near-dup"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "preset gopher: Rae et al. 2021" in out.stdout
+    assert "preset overrides from CLI: ['near_dup']" in out.stdout
+
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/corpus/*.parquet'"
+    ).fetchone()[0]
+    assert 0 < n <= 250
+
+
+def test_corpus_job_unknown_preset_fails_fast():
+    """An unknown --preset errors at argparse time, before any Spark
+    session starts."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--preset", "nope", "--synthetic", "10", "--output", "/tmp/x"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 2
+    assert "unknown --preset" in out.stderr
