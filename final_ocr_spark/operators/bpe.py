@@ -246,3 +246,114 @@ def bpe_token_count(text_col, merges, *, lowercase: bool = True) -> Column:
     sequence-length number for packing/budgeting (whitespace counts
     undercount multilingual/rare text badly)."""
     return F.array_size(bpe_encode(text_col, merges, lowercase=lowercase))
+
+
+def bpe_vocab(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    specials: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus-derived token→id table ``(token string, id int)``.
+
+    ``specials`` get ids ``0..len(specials)-1`` in the order given; every
+    BPE piece the corpus actually produces follows, dense ids in token
+    sort order (deterministic — no hash involved). The BPE piece set is
+    CLOSED: at most |observed alphabet| + |merges| symbols regardless of
+    corpus size, so the distinct aggregation shrinks the corpus to a
+    dictionary-sized table and the single-task ``row_number`` sort that
+    assigns ids is the same justified O(vocab) driver-adjacent work as the
+    train_bpe merge loop (PLANS.md justified-collect shape).
+    """
+    from pyspark.sql.window import Window
+
+    dup = [s for s in specials if specials.count(s) > 1]
+    if dup:
+        raise ValueError(f"duplicate specials: {sorted(set(dup))}")
+    toks = (
+        corpus.select(
+            F.explode(
+                bpe_encode(F.col(text_col), merges, lowercase=lowercase)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))  # partial/final agg, then tiny
+        .select("token")
+    )
+    spark = corpus.sparkSession
+    if specials:
+        sp = spark.createDataFrame(
+            [(s, i) for i, s in enumerate(specials)], "token string, id int"
+        )
+        toks = toks.join(sp.select("token"), "token", "left_anti")
+    ranked = toks.withColumn(
+        "id",
+        (
+            F.row_number().over(Window.orderBy("token"))
+            + F.lit(len(specials) - 1)
+        ).cast("int"),
+    )
+    return sp.unionByName(ranked) if specials else ranked
+
+
+def bpe_encode_ids(
+    text_col,
+    merges: list[tuple[str, str]] | DataFrame,
+    vocab: DataFrame | dict[str, int],
+    *,
+    lowercase: bool = True,
+    unk_id: int | None = None,
+) -> Column:
+    """Column: text → ``array<int>`` of vocabulary ids (the training-ready
+    form of :func:`bpe_encode`). ``vocab`` is a (token, id) table from
+    :func:`bpe_vocab` — dictionary-sized by construction, shipped to
+    workers as a plain broadcast dict. Pieces outside the vocabulary map
+    to ``unk_id``; with ``unk_id=None`` an unknown piece raises in the
+    task (strict mode — right when encoding the same corpus the vocab came
+    from, where an unknown means a pipeline bug, not new data)."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    if isinstance(vocab, DataFrame):
+        vocab = {r["token"]: r["id"] for r in vocab.collect()}
+    vmap = dict(vocab)
+
+    @pandas_udf("array<int>")
+    def _enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            ids = memo.get(w)
+            if ids is None:
+                ids = []
+                for piece in encode_word(w, ranks):
+                    i = vmap.get(piece, unk_id)
+                    if i is None:
+                        raise ValueError(
+                            f"BPE piece {piece!r} not in vocab and no "
+                            f"unk_id set"
+                        )
+                    ids.append(i)
+                memo[w] = ids
+            return ids
+
+        def one(v):
+            if v is None:
+                return None
+            if lowercase:
+                v = v.lower()
+            out: list[int] = []
+            for w in pre_tokenize(v):
+                out.extend(word_ids(w))
+            return out
+
+        for s in it:
+            yield s.map(one)
+
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return _enc(col)

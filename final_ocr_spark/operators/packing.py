@@ -110,3 +110,156 @@ def pack_sequences(
         )
         .drop("_last_tok")
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    order_col: str,
+    ids_col: str,
+    budget: int,
+    *,
+    eos_id: int | None = None,
+    pad_id: int | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Materialize the packing layout: token-id arrays → the actual
+    fixed-length training chunks. Returns one row per chunk:
+
+    * ``chunk_id`` — dense global chunk index,
+    * ``input_ids`` — exactly ``budget`` ids (documents concatenated in
+      ``order_col`` order, GPT-style: documents span chunk boundaries),
+    * ``n_tokens`` — real (pre-padding) token count in the chunk,
+    * ``n_docs`` — documents contributing ≥1 token to the chunk.
+
+    ``eos_id`` appends a document separator to every document before
+    packing (the standard causal-LM layout). The final short chunk is
+    dropped by default (``drop_last``), or right-padded when ``pad_id``
+    is given.
+
+    Scale shape: layout comes from :func:`pack_sequences` (two-pass global
+    prefix sum — no one-task world sort); each document then explodes into
+    exactly the ≤ ``n_chunks`` slices it contributes (slice bounds are pure
+    long arithmetic, ``F.slice`` on the already-loaded array), and ONE
+    groupBy(chunk_id) shuffle carries each token id exactly once — the
+    unavoidable materialization shuffle. Per-chunk reassembly sorts ≤
+    (docs-per-chunk + 2) segments; the HOF lambda is an O(segments) pass,
+    within the interpreted-HOF budget (PLANS.md). ``order_col`` must be
+    unique (inherited from global_prefix_sum determinism)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql.types import ArrayType
+
+    dt = df.schema[ids_col].dataType
+    if not isinstance(dt, ArrayType):
+        raise TypeError(f"{ids_col} must be array<integral>, got {dt}")
+    elem = dt.elementType
+
+    # empty/null docs vanish BEFORE the separator: a doc with no tokens
+    # must not contribute a lone eos to the stream
+    d = df.filter(
+        F.col(ids_col).isNotNull() & (F.size(ids_col) > 0)
+    )
+    ids = F.col(ids_col)
+    if eos_id is not None:
+        ids = F.concat(ids, F.array(F.lit(eos_id).cast(elem)))
+    d = d.select(F.col(order_col).alias("_k"), ids.alias("_ids"))
+    d = d.withColumn("_n_tok", F.size("_ids").cast("long"))
+    d = pack_sequences(d, "_k", "_n_tok", budget)
+
+    b = F.lit(int(budget)).cast("long")
+    seg = d.select(
+        "_ids", "offset", "_n_tok",
+        F.explode(
+            F.sequence(
+                F.col("chunk_id"),
+                F.col("chunk_id") + F.col("n_chunks") - F.lit(1).cast("long"),
+            )
+        ).alias("_cid"),
+    )
+    start_g = F.greatest(F.col("offset"), F.col("_cid") * b)
+    end_g = F.least(F.col("offset") + F.col("_n_tok"), (F.col("_cid") + 1) * b)
+    seg = seg.select(
+        "_cid",
+        start_g.alias("_sg"),
+        F.slice(
+            F.col("_ids"),
+            (start_g - F.col("offset") + 1).cast("int"),
+            (end_g - start_g).cast("int"),
+        ).alias("_seg"),
+    )
+    chunks = (
+        seg.groupBy(F.col("_cid").alias("chunk_id"))
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(
+                            F.col("_sg").alias("s"),
+                            F.col("_seg").alias("seg"),
+                        ))
+                    ),
+                    lambda x: x["seg"],
+                )
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("input_ids"))
+    )
+    if pad_id is not None:
+        chunks = chunks.withColumn(
+            "input_ids",
+            F.when(
+                F.col("n_tokens") < budget,
+                F.concat(
+                    F.col("input_ids"),
+                    F.array_repeat(
+                        F.lit(pad_id).cast(elem),
+                        (F.lit(budget) - F.col("n_tokens")).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.col("input_ids")),
+        )
+    elif drop_last:
+        chunks = chunks.filter(F.col("n_tokens") == budget)
+    return chunks.select("chunk_id", "input_ids", "n_tokens", "n_docs")
+
+
+def tokenize_and_pack(
+    corpus: DataFrame,
+    merges,
+    budget: int,
+    *,
+    text_col: str = "text",
+    order_col: str = "url",
+    lowercase: bool = True,
+    pad: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Text corpus → (training chunks, vocab): the full tokenize-and-pack
+    tail of a training-data pipeline in one call. Builds a corpus-derived
+    vocabulary with specials ``<pad>=0, <eos>=1, <unk>=2`` (fixed by
+    construction — no driver lookup), BPE-encodes to ids (Arrow-batched,
+    per-word memo), and packs with ``<eos>`` separating documents.
+    ``pad=True`` pads the final chunk with ``<pad>`` instead of dropping
+    it. The corpus is read twice (vocab agg + encode) — cache upstream if
+    it is expensive to recompute."""
+    from final_ocr_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    if isinstance(merges, DataFrame):  # one collect, not one per consumer
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    vocab = bpe_vocab(
+        corpus, merges, text_col, lowercase=lowercase,
+        specials=("<pad>", "<eos>", "<unk>"),
+    )
+    d = corpus.select(
+        F.col(order_col),
+        bpe_encode_ids(
+            F.col(text_col), merges, vocab, lowercase=lowercase, unk_id=2
+        ).alias("input_ids"),
+    )
+    chunks = pack_chunks(
+        d, order_col, "input_ids", budget,
+        eos_id=1, pad_id=0 if pad else None,
+    )
+    return chunks, vocab
