@@ -128,6 +128,16 @@ def embed_hashed_ngrams(
                 F.transform("_dense", lambda x: x / F.col("_norm")),
             ).alias("_dense"),
         )
+    else:
+        # the zero-vector → NULL contract is unconditional (docstring):
+        # an unnormalized sign-cancelled doc still has no direction, and
+        # downstream cosine would divide by its zero norm (ANSI abort)
+        dense = dense.select(
+            "k",
+            F.when(
+                F.exists("_dense", lambda x: x != 0), F.col("_dense")
+            ).alias("_dense"),
+        )
     emb = dense.select(
         F.col("k").alias(key),
         F.col("_dense").cast("array<float>").alias(out_col),

@@ -16,7 +16,9 @@ nothing scales super-linearly in corpus size):
    = Σ over the doc's gram occurrences of ``(logp_t − logp_r)[bucket]`` —
    a broadcast join of the merged weight table onto slim (doc, bucket)
    rows, then one per-doc sum (map-side combined). Identical plan shape to
-   ``score_ngram_linear``; the raw corpus is touched exactly once.
+   ``score_ngram_linear``; the raw corpus is TOKENIZED exactly once — the
+   materialized (doc, bucket) rows feed both the raw distribution and the
+   per-doc sums (the final weight join re-reads raw rows, not grams).
 3. **Gumbel top-k resample**: keep the ``n`` docs maximizing
    ``log w_i + g_i`` with ``g_i`` standard Gumbel noise — the Gumbel-max
    trick makes this EXACTLY sampling without replacement proportional to
@@ -51,18 +53,15 @@ _U_BITS = 52
 
 def _gumbel(key_col: Column, salt: str) -> Column:
     """Deterministic standard-Gumbel noise g = −log(−log(u)),
-    u = md5-uniform(salt ‖ key). Pure Column expression (conv parses the
-    13-char hex prefix), identical across engines with md5 + conv."""
+    u = md5-uniform(salt ‖ key) — the hex prefix comes from the ONE
+    oracle-critical md5 recipe (sampling.md5_hex_bucket; a second inline
+    copy of those bytes could silently drift). Pure Column expression
+    (conv parses the 13-char hex prefix), identical across engines with
+    md5 + conv."""
+    from final_ocr_spark.operators.sampling import md5_hex_bucket
+
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), key_col.cast("string")).cast("binary")),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
+        F.conv(md5_hex_bucket(key_col, salt, 13), 16, 10).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(1 << _U_BITS))
     return -F.log(-F.log(u))
@@ -84,12 +83,20 @@ def hashed_gram_logprobs(
     aggregation over the corpus."""
     if word_ngrams not in (1, 2):
         raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
-    spark = df.sparkSession
-    counts = (
-        _gram_bucket_rows(df, key, text_col, n_features, word_ngrams)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    grams = _gram_bucket_rows(df, key, text_col, n_features, word_ngrams)
+    return _logprobs_from_gram_rows(
+        df.sparkSession, grams, n_features=n_features, alpha=alpha
     )
+
+
+def _logprobs_from_gram_rows(
+    spark, grams: DataFrame, *, n_features: int, alpha: float
+) -> DataFrame:
+    """hashed_gram_logprobs over pre-computed (k, b) gram-bucket rows —
+    lets importance_weights tokenize the raw corpus ONCE and derive both
+    its distribution and the per-doc sums from the same materialized
+    rows."""
+    counts = grams.groupBy("b").agg(F.count(F.lit(1)).alias("_n"))
     total = counts.agg(F.sum("_n").alias("_t"))
     full = spark.range(n_features).select(F.col("id").alias("b"))
     a = F.lit(float(alpha))
@@ -137,16 +144,21 @@ def importance_weights(
         word_ngrams=word_ngrams,
         alpha=alpha,
     ).select("b", F.col("logp").alias("_lt"))
-    lp_r = hashed_gram_logprobs(
-        raw, key, text_col,
-        n_features=n_features, word_ngrams=word_ngrams, alpha=alpha,
+    # tokenize/hash the raw corpus ONCE: the same materialized (k, b) rows
+    # feed both the raw distribution and the per-doc sums (without the
+    # barrier the dominant stage — tokenizing every raw doc — ran twice)
+    raw_grams = _gram_bucket_rows(
+        raw, key, text_col, n_features, word_ngrams
+    ).localCheckpoint(eager=False)
+    lp_r = _logprobs_from_gram_rows(
+        raw.sparkSession, raw_grams, n_features=n_features, alpha=alpha
     ).select("b", F.col("logp").alias("_lr"))
     # merged (b, logratio) table: ≤ n_features rows, broadcastable
     ratio = lp_t.join(lp_r, "b").select(
         "b", (F.col("_lt") - F.col("_lr")).alias("_w")
     )
     doc_w = (
-        _gram_bucket_rows(raw, key, text_col, n_features, word_ngrams)
+        raw_grams
         .join(F.broadcast(ratio), "b")
         .groupBy("k")
         .agg(F.sum("_w").alias(weight_col))

@@ -248,14 +248,22 @@ def tokenize_and_pack(
         merges = [
             (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
         ]
-    vocab = bpe_vocab(
+    # collect the dictionary-sized vocab ONCE and hand back a rebuilt local
+    # DataFrame: encode needs the dict anyway, and returning the original
+    # lazy plan would re-run the corpus-wide encode+agg every time the
+    # caller consumes the vocab (a third full-corpus pass)
+    vrows = bpe_vocab(
         corpus, merges, text_col, lowercase=lowercase,
         specials=("<pad>", "<eos>", "<unk>"),
+    ).collect()
+    vdict = {r["token"]: r["id"] for r in vrows}
+    vocab = corpus.sparkSession.createDataFrame(
+        sorted(vdict.items(), key=lambda kv: kv[1]), "token string, id int"
     )
     d = corpus.select(
         F.col(order_col),
         bpe_encode_ids(
-            F.col(text_col), merges, vocab, lowercase=lowercase, unk_id=2
+            F.col(text_col), merges, vdict, lowercase=lowercase, unk_id=2
         ).alias("input_ids"),
     )
     chunks = pack_chunks(

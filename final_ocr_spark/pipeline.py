@@ -140,9 +140,10 @@ def corpus_pipeline(
     semantic_dim: int = 128,
     semantic_bits: int = 12,
     semantic_method: str = "lsh",
-    semantic_k: int = 64,
+    semantic_k: int | None = None,
     prototype_prune_frac: float | None = None,
-    prototype_k: int = 64,
+    prototype_k: int | None = None,
+    semantic_cluster_size: int = 1024,
     kmeans_seed: int = 0,
 ) -> DataFrame:
     """Raw pages → training-ready corpus (url, warc_ts, text, lang, host,
@@ -219,14 +220,18 @@ def corpus_pipeline(
     # otherwise the existing column gates for free inside the scan. Runs
     # before the text-rewrite stages so every downstream gate and every
     # hash sees only in-scope docs.
+    # lang_detect stands alone: with no lang_allow it still re-detects and
+    # overwrites the lang column (the output corpus carries corrected
+    # labels) — silently ignoring the flag would change corpus composition
+    # vs the caller's intent without a trace (review-caught).
+    if lang_detect:
+        from final_ocr_spark.operators.text_stats import detect_lang_udf
+
+        docs = docs.withColumn("lang", detect_lang_udf()(F.col("text")))
     if lang_allow is not None:
         allow = sorted({str(lang) for lang in lang_allow})
         if not allow:
             raise ValueError("lang_allow must be non-empty when set")
-        if lang_detect:
-            from final_ocr_spark.operators.text_stats import detect_lang_udf
-
-            docs = docs.withColumn("lang", detect_lang_udf()(F.col("text")))
         docs = docs.filter(F.col("lang").isin(*allow))
 
     # 1d. C4 line cleaning (optional, Raffel et al. 2020 §2.2): drop lines
@@ -461,6 +466,11 @@ def corpus_pipeline(
     # agg (≤dim rows/doc shuffle), blocking explodes keys only, vectors
     # rejoin survivors. The rare gramless doc (NULL embedding) is kept
     # unconditionally — no vector, no judgment.
+    if semantic_threshold is not None or prototype_prune_frac is not None:
+        # 5c/5d each consume `docs` 3-4× (two scans inside the embedder +
+        # vector/gramless joins) — without a barrier EVERY consumer re-runs
+        # the full upstream pipeline (the consumed-≥2× pitfall)
+        docs = docs.localCheckpoint(eager=False)
     if semantic_threshold is not None:
         from final_ocr_spark.operators.embed import embed_hashed_ngrams
         from final_ocr_spark.operators.similarity import (
@@ -493,9 +503,14 @@ def corpus_pipeline(
             # run at its second-to-last stage (review-caught).
             with_vec = with_vec.localCheckpoint(eager=False)  # count + dedup
             n_vec = with_vec.count()
+            # k defaults to corpus/semantic_cluster_size (the paper's
+            # k ≈ n/expected-cluster-size): a CONSTANT k makes the
+            # within-cluster self-join O((n/k)²·k) — quadratic in corpus
+            # size — while n-proportional k keeps it linear (review-caught)
+            k = semantic_k or max(1, n_vec // semantic_cluster_size)
             if n_vec >= 2:
                 deduped = semantic_dedup_kmeans(
-                    with_vec, k=min(semantic_k, n_vec),
+                    with_vec, k=min(k, n_vec),
                     threshold=semantic_threshold,
                     id_col="url", seed=kmeans_seed,
                 )
@@ -507,6 +522,9 @@ def corpus_pipeline(
                 bits=semantic_bits,
             )
         docs = deduped.drop("embedding").unionByName(gramless)
+        if prototype_prune_frac is not None:
+            # 5d scans the post-dedup corpus 3× — re-barrier it
+            docs = docs.localCheckpoint(eager=False)
 
     # 5d. prototype pruning (optional, round 4): drop the frac most-
     # prototypical docs per k-means cluster (SSP, Sorscher et al. 2022) —
@@ -521,9 +539,10 @@ def corpus_pipeline(
             docs, key="url", text_col="text", dim=semantic_dim
         ).filter(F.col("embedding").isNotNull()).localCheckpoint(eager=False)
         n_vec = emb_p.count()  # clamp k; skip the stage on a tiny corpus
+        k = prototype_k or max(1, n_vec // semantic_cluster_size)
         if n_vec >= 2:
             assigns, _, _ = kmeans(
-                emb_p, min(prototype_k, n_vec), key="url", seed=kmeans_seed
+                emb_p, min(k, n_vec), key="url", seed=kmeans_seed
             )
             docs = prune_prototypes(
                 docs, assigns, prototype_prune_frac, key="url"

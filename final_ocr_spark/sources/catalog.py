@@ -743,16 +743,34 @@ class SnapshotCatalog:
         finally:
             os.close(lfd)
 
-    def expire(self, name: str, keep_last: int = 1) -> int:
+    def expire(
+        self,
+        name: str,
+        keep_last: int = 1,
+        *,
+        inflight_grace_seconds: float = 3600.0,
+    ) -> int:
         """Iceberg-style snapshot expiry: drop all but the last ``keep_last``
         snapshots and delete data files no surviving snapshot references.
         Returns the number of data files deleted. Also sweeps orphaned
         ``.snap-inflight-*`` commit temps (a committer killed between the
         fsync'd temp write and the link leaves one behind; they are
         invisible to readers but would otherwise accumulate forever) —
-        expire is a maintenance window, so no commit is in flight."""
+        but ONLY ones older than ``inflight_grace_seconds``: commits are
+        explicitly concurrent-safe, and unlinking a LIVE committer's temp
+        between its fsync and its link would crash that commit mid-protocol
+        with FileNotFoundError (review-caught; the window is milliseconds,
+        so an hour-old temp is a dead committer, Iceberg's own
+        orphan-cleanup retention shape). Dropping data files still assumes
+        no reader is mid-query on an expired snapshot — time-travel readers
+        of dropped snapshots fail after expiry, exactly as in Iceberg."""
+        now = time.time()
         for tmp in self._manifest_dir(name).glob(".snap-inflight-*.json"):
-            tmp.unlink(missing_ok=True)
+            try:
+                if now - tmp.stat().st_mtime >= inflight_grace_seconds:
+                    tmp.unlink(missing_ok=True)
+            except FileNotFoundError:
+                pass  # the committer finished and removed it — fine
         snaps = self.snapshots(name)
         if len(snaps) <= keep_last:
             return 0

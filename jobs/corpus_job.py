@@ -41,9 +41,16 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=50.0)
-    ap.add_argument("--no-gopher", action="store_true")
-    ap.add_argument("--no-redact", action="store_true")
-    ap.add_argument("--no-near-dup", action="store_true")
+    # BooleanOptionalAction emits BOTH --x and --no-x, so every boolean
+    # stage can be explicitly forced either way over a --preset (a bare
+    # store_true can only assert, making "preset minus one stage"
+    # inexpressible — review-caught); --no-gopher etc. keep working
+    ap.add_argument("--gopher", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--redact", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--near-dup", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--jaccard", type=float, default=0.85)
     ap.add_argument("--host-cap", type=int, default=None)
     ap.add_argument("--sample-rate", type=float, default=None)
@@ -58,17 +65,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--blocked-domains", default=None,
                     help="file with one registered domain per line, filtered "
                          "before extraction (broadcast anti-join)")
-    ap.add_argument("--url-patterns", action="store_true",
+    ap.add_argument("--url-patterns", action=argparse.BooleanOptionalAction, default=False,
                     help="enable the pinned default URL hygiene patterns")
     ap.add_argument("--sentence-dedup", type=int, default=None,
                     metavar="MIN_CHARS",
                     help="corpus-level repeated-sentence removal for "
                          "sentences of at least MIN_CHARS chars "
                          "(syndicated ledes)")
-    ap.add_argument("--mime-gate", action="store_true",
+    ap.add_argument("--mime-gate", action=argparse.BooleanOptionalAction, default=False,
                     help="drop media/archive payloads by magic bytes "
                          "before extraction")
-    ap.add_argument("--fix-mojibake", action="store_true",
+    ap.add_argument("--fix-mojibake", action=argparse.BooleanOptionalAction, default=False,
                     help="repair UTF-8-as-cp1252/latin-1 mis-decoded text "
                          "before the quality gates")
     ap.add_argument("--paragraph-dedup", type=int, default=None,
@@ -119,10 +126,10 @@ def _build_parser() -> argparse.ArgumentParser:
                          "lm.train_bigram_lm; enables the perplexity gate")
     ap.add_argument("--lm-max-ppl", type=float, default=None,
                     help="keep docs with lm_ppl <= this (requires --lm-table)")
-    ap.add_argument("--drop-noindex", action="store_true",
+    ap.add_argument("--drop-noindex", action=argparse.BooleanOptionalAction, default=False,
                     help="drop pages whose head metadata says robots noindex "
                          "(cheap prescan before full extraction)")
-    ap.add_argument("--respect-canonical", action="store_true",
+    ap.add_argument("--respect-canonical", action=argparse.BooleanOptionalAction, default=False,
                     help="also drop pages declaring a canonical url "
                          "different from their own")
     ap.add_argument("--robots", default=None,
@@ -137,23 +144,28 @@ def _build_parser() -> argparse.ArgumentParser:
                     default="lsh",
                     help="semantic dedup blocking: seeded hyperplane LSH "
                          "(default) or the paper-faithful k-means variant")
-    ap.add_argument("--semantic-k", type=int, default=64,
-                    help="k for --semantic-method kmeans "
-                         "(~corpus size / expected cluster size)")
+    ap.add_argument("--semantic-k", type=int, default=None,
+                    help="k for --semantic-method kmeans (default: corpus "
+                         "size / --semantic-cluster-size, the scale-safe "
+                         "n-proportional choice)")
     ap.add_argument("--prototype-prune", type=float, default=None,
                     help="drop this fraction of the most-prototypical docs "
                          "per k-means cluster (SSP stage 5d; with "
                          "--semantic-method kmeans this is the D4 recipe)")
-    ap.add_argument("--prototype-k", type=int, default=64,
-                    help="k for the prototype-pruning clustering")
+    ap.add_argument("--prototype-k", type=int, default=None,
+                    help="k for the prototype-pruning clustering "
+                         "(default: corpus size / --semantic-cluster-size)")
+    ap.add_argument("--semantic-cluster-size", type=int, default=1024,
+                    help="expected docs per cluster used to derive the "
+                         "kmeans k defaults")
     ap.add_argument("--lang-allow", default=None, metavar="LANGS",
                     help="comma-separated language codes to keep "
                          "(e.g. 'en' or 'en,fr')")
-    ap.add_argument("--lang-detect", action="store_true",
+    ap.add_argument("--lang-detect", action=argparse.BooleanOptionalAction, default=False,
                     help="re-detect language from the extracted text "
                          "(n-gram heuristic) instead of trusting the "
                          "declared lang column")
-    ap.add_argument("--c4-line-clean", action="store_true",
+    ap.add_argument("--c4-line-clean", action=argparse.BooleanOptionalAction, default=False,
                     help="C4 line rules + doc gates (Raffel et al. 2020 "
                          "§2.2) before quality scoring")
     ap.add_argument("--c4-min-lines", type=int, default=3,
@@ -253,9 +265,9 @@ def main() -> None:
         ("fix_mojibake", "fix_mojibake", lambda: args.fix_mojibake),
         ("span_dedup", "span_dedup_gram_n", lambda: args.span_dedup),
         ("min_quality", "min_quality", lambda: args.min_quality),
-        ("no_gopher", "gopher", lambda: not args.no_gopher),
-        ("no_redact", "redact", lambda: not args.no_redact),
-        ("no_near_dup", "near_dup", lambda: not args.no_near_dup),
+        ("gopher", "gopher", lambda: args.gopher),
+        ("redact", "redact", lambda: args.redact),
+        ("near_dup", "near_dup", lambda: args.near_dup),
         ("jaccard", "jaccard_threshold", lambda: args.jaccard),
         ("host_cap", "host_cap", lambda: args.host_cap),
         ("sample_rate", "sample_rate", lambda: args.sample_rate),
@@ -290,6 +302,8 @@ def main() -> None:
         ("prototype_prune", "prototype_prune_frac",
          lambda: args.prototype_prune),
         ("prototype_k", "prototype_k", lambda: args.prototype_k),
+        ("semantic_cluster_size", "semantic_cluster_size",
+         lambda: args.semantic_cluster_size),
         ("lang_allow", "lang_allow",
          lambda: (tuple(s.strip() for s in args.lang_allow.split(",")
                         if s.strip())

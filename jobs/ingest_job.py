@@ -85,6 +85,20 @@ def main() -> None:
                      "and no --schema (extraction fixes the shape)")
     elif args.quarantine:
         ap.error("--quarantine requires --warc")
+    if args.compact_store:
+        # refuse remote URIs BEFORE the (potentially hours-long) stream
+        # drains: compact_* raise NotImplementedError on non-local stores,
+        # and discovering that only after awaitTermination wastes the whole
+        # run and skips the final row-count print (review-caught)
+        from final_ocr_spark.streaming.incremental_corpus import _local_path
+
+        for label, d in (("--sigs", args.sigs), ("--corpus", args.corpus)):
+            if _local_path(d) is None:
+                ap.error(
+                    f"--compact-store needs a local-filesystem {label} "
+                    f"(got {d!r}); run compaction on the store host or "
+                    f"drop the flag"
+                )
 
     from final_ocr_spark.session import get_spark
     from final_ocr_spark.streaming.incremental_corpus import (

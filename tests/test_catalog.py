@@ -510,3 +510,24 @@ def test_compact_materializes_evolved_schema(spark, cat):
     assert st["compacted"]
     by = {r["url"]: r["n"] for r in cat.read(spark, "t").collect()}
     assert by == {"u1": None, "u2": 3}
+
+
+def test_expire_inflight_grace(spark, cat):
+    """expire sweeps only STALE .snap-inflight-* commit temps: a fresh temp
+    (a live concurrent committer between fsync and link) survives; a
+    backdated one (dead committer) is removed (review-caught: an
+    unconditional sweep could crash a live commit mid-protocol)."""
+    import os
+
+    df = spark.range(3).selectExpr("id", "cast(id as string) v")
+    cat.write(df, "t")
+    md = cat._manifest_dir("t")
+    fresh = md / ".snap-inflight-fresh.json"
+    stale = md / ".snap-inflight-stale.json"
+    fresh.write_text("{}")
+    stale.write_text("{}")
+    old = 1_000_000_000  # 2001 — far past any grace window
+    os.utime(stale, (old, old))
+    cat.expire("t", keep_last=1)
+    assert fresh.exists(), "live committer's temp must survive expire"
+    assert not stale.exists(), "dead committer's temp must be swept"

@@ -164,3 +164,23 @@ def test_text_to_semantic_dedup_end_to_end(spark):
     ]
     assert gen, "explode node missing from plan"
     assert all("embedding#" not in l for l in gen), gen
+
+
+def test_zero_vector_null_without_normalize(spark):
+    """The zero-vector → NULL contract is unconditional: with
+    normalize=False the sign-cancelled doc must ALSO embed as NULL (a raw
+    zero vector has no direction; downstream cosine divides by its norm —
+    review-caught: the NULL-ing used to live only in the normalize
+    branch)."""
+    df = spark.createDataFrame(
+        [("zero", "w54 w83"), ("ok", "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_hashed_ngrams(
+            df, key="doc_id", dim=64, word_ngrams=1, normalize=False
+        ).collect()
+    }
+    assert got["zero"] is None
+    assert got["ok"] is not None and any(x != 0 for x in got["ok"])

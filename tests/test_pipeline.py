@@ -546,3 +546,23 @@ def test_corpus_pipeline_kmeans_semantic_and_prototype_prune(spark):
             _pages(spark, rows), gopher=False, redact=False,
             semantic_threshold=0.4, semantic_method="centroid",
         ).collect()
+
+
+def test_lang_detect_standalone_overwrites_lang(spark):
+    """lang_detect=True with NO lang_allow must still re-detect and
+    overwrite the declared lang column (review-caught: the detection used
+    to live inside the lang_allow block, so --lang-detect alone was
+    silently ignored)."""
+    rows = [
+        ("https://a.example.com/en",
+         "the house stands near the river and the children walk to the "
+         "school along the old road every morning with their friends"),
+    ]
+    data = [(url, TS, None, text, "zz") for url, text in rows]  # wrong label
+    pages = spark.createDataFrame(data, PAGES_SCHEMA)
+    out = corpus_pipeline(
+        pages, min_quality=0.0, gopher=False, redact=False, near_dup=False,
+        lang_detect=True,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["lang"] == "en"  # re-detected, declared 'zz' overwritten
