@@ -1,0 +1,117 @@
+"""Production entry point: corpus → training-ready packed chunks.
+
+Trains a BPE tokenizer over the corpus (or reuses a previously-trained
+merges table), encodes every document to vocabulary ids, and packs them
+into fixed-length chunks GPT-style (documents concatenated in key order,
+<eos>-separated, spanning chunk boundaries) — the final step between a
+cleaned web corpus (jobs/corpus_job.py output) and a training job.
+
+Outputs under --output:
+    chunks/   (chunk_id, input_ids array<int>, n_tokens, n_docs)
+    vocab/    (token, id) — specials <pad>=0 <eos>=1 <unk>=2 first
+    merges/   (rank, left, right) — reusable via --merges-input
+
+Example (cluster):
+    python jobs/package.py   # builds dist/final_ocr_spark.zip
+    spark-submit \\
+        --py-files dist/final_ocr_spark.zip \\
+        jobs/pack_job.py \\
+        --input /data/corpus --output /data/packed --budget 2048
+
+Local smoke:
+    python jobs/pack_job.py --synthetic 300 --output /tmp/packed_demo \\
+        --budget 256 --n-merges 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+
+_REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+# the driver's sys.path does NOT reach executor Python workers; PYTHONPATH
+# does (inherited by the worker processes Spark forks). Without it the job
+# only works when launched from the repo root or with --py-files.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="corpus parquet path (url, text, ...)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate + extract N synthetic pages instead of "
+                         "--input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, default=2048,
+                    help="tokens per training chunk")
+    ap.add_argument("--order-col", default="url",
+                    help="unique column fixing the global document order")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--n-merges", type=int, default=8000,
+                    help="BPE merges to train (ignored with --merges-input)")
+    ap.add_argument("--merges-input", default=None,
+                    help="reuse a previously-trained (rank, left, right) "
+                         "merges parquet instead of training")
+    ap.add_argument("--pad", action="store_true",
+                    help="pad the final short chunk with <pad> instead of "
+                         "dropping it")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    if args.budget < 2:
+        ap.error("--budget must be >= 2")
+
+    from final_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="final-ocr-spark-pack")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from final_ocr_spark.operators.extract_pages import extract_pages
+        from final_ocr_spark.sources.synthetic_pages import gen_pages
+
+        corpus = (
+            extract_pages(gen_pages(spark, args.synthetic, seed=args.seed))
+            .filter("error is null")
+            .selectExpr(f"{args.order_col}", "extracted_text as text")
+        )
+    elif args.input:
+        corpus = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    from final_ocr_spark.operators.bpe import train_bpe
+    from final_ocr_spark.operators.packing import tokenize_and_pack
+
+    # the corpus is scanned by the vocab pass AND the encode pass —
+    # materialize once so tokenization cost is paid per pass, not per
+    # upstream-pipeline re-execution
+    corpus = corpus.localCheckpoint(eager=False)
+
+    if args.merges_input:
+        merges = spark.read.parquet(args.merges_input)
+    else:
+        merges = train_bpe(
+            corpus, text_col=args.text_col, n_merges=args.n_merges
+        )
+
+    chunks, vocab = tokenize_and_pack(
+        corpus, merges, args.budget,
+        text_col=args.text_col, order_col=args.order_col, pad=args.pad,
+    )
+    out = args.output.rstrip("/")
+    chunks.write.mode("overwrite").parquet(f"{out}/chunks")
+    vocab.write.mode("overwrite").parquet(f"{out}/vocab")
+    merges.write.mode("overwrite").parquet(f"{out}/merges")
+
+    n = spark.read.parquet(f"{out}/chunks").count()
+    v = spark.read.parquet(f"{out}/vocab").count()
+    print(f"chunks written: {out}/chunks rows={n} budget={args.budget}")
+    print(f"vocab written: {out}/vocab tokens={v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

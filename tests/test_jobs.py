@@ -353,3 +353,36 @@ def test_corpus_job_unknown_preset_fails_fast():
     )
     assert out.returncode == 2
     assert "unknown --preset" in out.stderr
+
+
+def test_pack_job_smoke(tmp_path):
+    """pack_job end-to-end: synthetic corpus → BPE train → packed chunks +
+    vocab + merges parquet, all chunks exactly --budget long (--pad)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/pack_job.py",
+         "--synthetic", "200", "--output", str(tmp_path / "packed"),
+         "--budget", "128", "--n-merges", "120", "--pad"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "chunks written" in out.stdout and "vocab written" in out.stdout
+
+    import duckdb
+
+    bad = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/packed/chunks/*.parquet' "
+        f"WHERE len(input_ids) != 128"
+    ).fetchone()[0]
+    assert bad == 0
+    specials = duckdb.sql(
+        f"SELECT token FROM '{tmp_path}/packed/vocab/*.parquet' "
+        f"WHERE id < 3 ORDER BY id"
+    ).fetchall()
+    assert [t for (t,) in specials] == ["<pad>", "<eos>", "<unk>"]
+    n_merges = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/packed/merges/*.parquet'"
+    ).fetchone()[0]
+    assert 0 < n_merges <= 120
