@@ -199,3 +199,22 @@ def test_aqe_skew_join_splits_hot_host(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pack_chunks_single_data_exchange(spark):
+    """pack_chunks' PLANS.md claim: token ids cross exactly ONE
+    hashpartitioning exchange (the chunk groupBy, with partial
+    collect_list map-side), and the prefix-sum offsets arrive by broadcast
+    join — never a second data shuffle. (The prefix sum's range exchange
+    sits behind its localCheckpoint, outside this plan.)"""
+    from final_ocr_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 7 + 1))) for i in range(50)],
+        "k long, ids array<int>",
+    )
+    plan = _plan(pack_chunks(df, "k", "ids", 16))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan          # offsets join, tiny side
+    assert "partial_collect_list" in plan       # map-side combine
+    assert "Exchange rangepartitioning" not in plan
