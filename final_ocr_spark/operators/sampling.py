@@ -1,7 +1,14 @@
 """Deterministic corpus sampling and per-group caps for training-data
 pipelines.
 
-Two operators every Common-Crawl-scale pipeline needs:
+The deterministic-selection family every Common-Crawl-scale pipeline
+needs — all keyed on md5(salt ‖ key) so decisions are pure functions of the
+row, stable under reruns/resume/repartitioning, and engine-exact for
+oracles. Besides the two below: :func:`mixture_sample` (domain/language
+reweighting), :func:`deterministic_split` (disjoint-exhaustive named
+train/val/test partition, scan-local CASE over the bucket), and
+:func:`shuffle_order` (a 64-bit reproducible sort key for the pre-training
+global shuffle — range-partition + sort within, never RNG state).
 
 * :func:`deterministic_sample` — reproducible Bernoulli sampling keyed on a
   stable column: the keep decision is a pure function of (salt, key), so
@@ -194,3 +201,66 @@ def mixture_sample(
         .drop("_rate", "_thr")
     )
     return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """df + ``split_col``: a named train/val/test-style partition of the
+    corpus, keyed on md5(salt ‖ key) — reproducible across reruns, resumes,
+    and cluster sizes, and DISJOINT/exhaustive by construction (each row
+    lands in exactly one split). Fractions must sum to 1 within the
+    16-bit bucket resolution; each split's share is exact to 1/65536.
+
+    Scale shape: one scan-local Column expression (a chained CASE over the
+    hex bucket) — no shuffle, no RNG state, pushed to the scan like
+    deterministic_sample. Split names are assigned in SORTED name order so
+    the (name → bucket range) mapping is itself deterministic, independent
+    of dict insertion order.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, frac in fractions.items():
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], "
+                             f"got {frac}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    # cumulative integer bucket boundaries in sorted-name order; the last
+    # boundary is forced to the full range so float rounding can never
+    # leave a row unassigned
+    names = sorted(fractions)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        bounds.append((name, int(round(acc * _RESOLUTION))))
+    bounds[-1] = (bounds[-1][0], _RESOLUTION)
+    bucket = F.conv(md5_hex_bucket(F.col(key), salt, 4), 16, 10).cast("int")
+    expr = F.lit(bounds[-1][0])
+    for name, hi in reversed(bounds[:-1]):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def shuffle_order(key_col, salt: str = "") -> Column:
+    """A deterministic pseudo-random sort key for TRAINING-ORDER shuffling:
+    sort (or range-write) by this column and the corpus comes out in a
+    reproducible, key-derived random order — the standard pre-training
+    "global shuffle" without RNG state, stable under reruns and
+    repartitioning. 16 hex chars = 64 bits, collision-free in practice;
+    ties (astronomically rare) break by the key itself downstream.
+
+    Scale note: consumers should `repartitionByRange` on this column and
+    sort WITHIN partitions (one range exchange; each output file is a
+    contiguous slice of the shuffled order) — a global orderBy collapses
+    to the same range exchange + per-partition sort under Spark's
+    TakeOrdered-free sort planner, but being explicit keeps the intent
+    visible."""
+    col = key_col if isinstance(key_col, Column) else F.col(key_col)
+    return md5_hex_bucket(col, salt, 16)

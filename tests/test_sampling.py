@@ -170,3 +170,69 @@ def test_mixture_sample_zero_size_group_dropped_and_ansi_safe(spark):
         assert 0 < capped.filter(F.col("lang") == "en").count() <= 100
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_deterministic_split_matches_python_twin_and_is_exhaustive(spark):
+    """deterministic_split == the hashlib twin per key; splits are disjoint
+    and exhaustive; shares approach the fractions; the plan is scan-local
+    (no Exchange)."""
+    import hashlib
+
+    from final_ocr_spark.operators.sampling import deterministic_split
+
+    keys = [f"https://x{i}.example/{i}" for i in range(4000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["url"]).repartition(7)
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = deterministic_split(df, "url", fracs, salt="s1")
+
+    # twin: cumulative bounds in sorted-name order over the 16-bit bucket
+    names = sorted(fracs)
+    bounds, acc = [], 0.0
+    for n in names:
+        acc += fracs[n]
+        bounds.append((n, int(round(acc * (1 << 16)))))
+    bounds[-1] = (bounds[-1][0], 1 << 16)
+
+    def twin(k):
+        b = int(hashlib.md5(("s1" + k).encode()).hexdigest()[:4], 16)
+        for n, hi in bounds:
+            if b < hi:
+                return n
+        raise AssertionError("unassigned")
+
+    got = {r["url"]: r["split"] for r in out.collect()}
+    assert len(got) == len(keys)                      # exhaustive
+    assert got == {k: twin(k) for k in keys}          # engine-exact
+    shares = {n: sum(1 for v in got.values() if v == n) / len(keys)
+              for n in names}
+    assert abs(shares["train"] - 0.8) < 0.03
+    assert abs(shares["val"] - 0.1) < 0.02
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(df, "url", {"a": 0.5, "b": 0.4})
+
+
+def test_shuffle_order_deterministic_and_uniform(spark):
+    """shuffle_order: same (key, salt) → same sort key across sessions and
+    partitionings; different salts give a different order; ordering by it
+    is a reproducible permutation."""
+    from final_ocr_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame(
+        [(f"doc{i:04d}",) for i in range(500)], ["url"]
+    )
+    a = [r["url"] for r in
+         df.orderBy(shuffle_order("url", "epoch1"), "url").collect()]
+    b = [r["url"] for r in
+         df.repartition(13)
+           .orderBy(shuffle_order("url", "epoch1"), "url").collect()]
+    c = [r["url"] for r in
+         df.orderBy(shuffle_order("url", "epoch2"), "url").collect()]
+    assert a == b                       # partitioning-independent
+    assert sorted(a) == sorted(c)       # same rows...
+    assert a != c                       # ...different epoch order
+    assert a != sorted(a)               # actually shuffled
