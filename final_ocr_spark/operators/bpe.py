@@ -357,3 +357,50 @@ def bpe_encode_ids(
 
     col = text_col if isinstance(text_col, Column) else F.col(text_col)
     return _enc(col)
+
+
+def bpe_decode(tokens_col) -> Column:
+    """Column: array of BPE pieces → the pre-tokenized text (words joined
+    with single spaces). Exact inverse of :func:`bpe_encode` up to the
+    canonical pre-tokenization (lowercasing and digit/punct-run spacing are
+    one-way — decode returns the pre-tokenizer's view, the round-trip
+    contract the module docstring pins). Pure codegen: join pieces, turn
+    each end-of-word sentinel into a space, trim the trailing one."""
+    col = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    return F.trim(
+        F.regexp_replace(
+            F.array_join(col, ""), F.lit(_EOW), F.lit(" ")
+        )
+    )
+
+
+def bpe_decode_ids(ids_col, vocab: DataFrame | dict[str, int]) -> Column:
+    """Column: array<int> of vocabulary ids → pre-tokenized text (the
+    inverse of :func:`bpe_encode_ids`). The dictionary-sized vocab ships as
+    a broadcast id→token dict; special tokens (ids whose token starts with
+    '<' and ends with '>') are dropped from the text — decoding a PACKED
+    chunk yields its documents' text with <eos>/<pad> removed."""
+    if isinstance(vocab, DataFrame):
+        vocab = {r["token"]: r["id"] for r in vocab.collect()}
+    inv = {i: t for t, i in vocab.items()}
+
+    @pandas_udf("string")
+    def _dec(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(ids):
+            if ids is None:
+                return None
+            pieces = []
+            for i in ids:
+                t = inv.get(int(i))
+                if t is None:
+                    raise ValueError(f"id {i} not in vocab")
+                if t.startswith("<") and t.endswith(">") and t != _EOW:
+                    continue  # special token, not text
+                pieces.append(t)
+            return "".join(pieces).replace(_EOW, " ").strip()
+
+        for s in it:
+            yield s.map(one)
+
+    col = ids_col if isinstance(ids_col, Column) else F.col(ids_col)
+    return _dec(col)

@@ -58,6 +58,12 @@ def main() -> None:
     ap.add_argument("--pad", action="store_true",
                     help="pad the final short chunk with <pad> instead of "
                          "dropping it")
+    ap.add_argument("--shuffle-salt", default=None,
+                    help="write chunks in a reproducible pseudo-random "
+                         "order keyed on this salt (the pre-training "
+                         "global shuffle; each output file is a contiguous "
+                         "slice of the shuffled order) — omit for "
+                         "chunk_id order")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
     if args.budget < 2:
@@ -102,6 +108,15 @@ def main() -> None:
         text_col=args.text_col, order_col=args.order_col, pad=args.pad,
     )
     out = args.output.rstrip("/")
+    if args.shuffle_salt is not None:
+        from final_ocr_spark.operators.sampling import shuffle_order
+
+        key = shuffle_order("chunk_id", args.shuffle_salt)
+        n_out = chunks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        chunks = (
+            chunks.repartitionByRange(int(n_out), key)
+            .sortWithinPartitions(key)
+        )
     chunks.write.mode("overwrite").parquet(f"{out}/chunks")
     vocab.write.mode("overwrite").parquet(f"{out}/vocab")
     merges.write.mode("overwrite").parquet(f"{out}/merges")

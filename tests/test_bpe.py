@@ -160,3 +160,42 @@ def word_frequencies_cap_helper(corpus):
     from final_ocr_spark.operators.bpe import word_frequencies
 
     return word_frequencies(corpus, "text", max_words=2)
+
+
+def test_bpe_decode_round_trip(spark):
+    """decode(encode(text)) == the canonical pre-tokenized view (lowercased,
+    digit/punct runs spaced) — for ASCII, digits/punct, and non-ASCII; the
+    ids variant round-trips through the vocab and drops specials."""
+    from pyspark.sql import functions as F
+
+    from final_ocr_spark.operators.bpe import (
+        bpe_decode, bpe_decode_ids, bpe_encode, bpe_encode_ids, bpe_vocab,
+        pre_tokenize, train_bpe,
+    )
+
+    texts = [
+        "The river bank, and the DATA bank merge here 42 times!",
+        "café naïve — 3.14 żółć",
+        "plain words only",
+    ]
+    corpus = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges = train_bpe(corpus, n_merges=40)
+    got = corpus.select(
+        "text", bpe_decode(bpe_encode("text", merges)).alias("rt")
+    ).collect()
+    for r in got:
+        assert r["rt"] == " ".join(pre_tokenize(r["text"].lower()))
+
+    vocab = bpe_vocab(corpus, merges, specials=("<pad>", "<eos>", "<unk>"))
+    ids_rt = corpus.select(
+        "text",
+        bpe_decode_ids(
+            F.concat(  # planted specials must vanish from the decode
+                bpe_encode_ids("text", merges, vocab, unk_id=2),
+                F.array(F.lit(1), F.lit(0)),
+            ),
+            vocab,
+        ).alias("rt"),
+    ).collect()
+    for r in ids_rt:
+        assert r["rt"] == " ".join(pre_tokenize(r["text"].lower()))

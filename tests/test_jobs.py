@@ -386,3 +386,36 @@ def test_pack_job_smoke(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/packed/merges/*.parquet'"
     ).fetchone()[0]
     assert 0 < n_merges <= 120
+
+
+def test_pack_job_shuffle_salt_reproducible(tmp_path):
+    """--shuffle-salt writes chunks in a salt-keyed pseudo-random order:
+    two runs with the same salt produce the same file-order; the order
+    differs from plain chunk_id order."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    def run(outdir, extra):
+        out = subprocess.run(
+            [sys.executable, "jobs/pack_job.py",
+             "--synthetic", "150", "--output", str(outdir),
+             "--budget", "64", "--n-merges", "80", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        # ordinal part files read one at a time: pyarrow preserves the
+        # written row order (a parallel SQL scan does not)
+        cids = []
+        for f in sorted((outdir / "chunks").glob("part-*.parquet")):
+            cids.extend(pq.read_table(f, columns=["chunk_id"])
+                        .column("chunk_id").to_pylist())
+        return cids
+
+    a = run(tmp_path / "s1", ["--shuffle-salt", "ep0"])
+    b = run(tmp_path / "s2", ["--shuffle-salt", "ep0"])
+    c = run(tmp_path / "plain", [])
+    assert a == b                   # reproducible across runs
+    assert sorted(a) != a           # actually shuffled
+    assert a != c
