@@ -72,3 +72,83 @@ def decontaminate(
         bench_key=bench_key, bench_text_col=bench_text_col, n=n,
     ).select(key)
     return df.join(hits, key, "left_anti")
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    bench_key: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-BENCHMARK-document audit of train/eval overlap — the report an
+    eval owner reads before trusting scores, where :func:`decontaminate`
+    is the removal. One row per benchmark doc:
+
+    * ``n_grams`` — its distinct word n-grams,
+    * ``n_grams_hit`` — how many also occur in the corpus,
+    * ``hit_ratio`` — the fraction (0.0 for a clean doc),
+    * ``n_corpus_docs`` — distinct corpus docs sharing ≥1 gram with it.
+
+    Every benchmark doc appears, including untouched ones (gramless docs —
+    shorter than n words — show n_grams=0): an absent row reads as
+    "clean", which must never be the silent consequence of a join miss.
+
+    Scale shape: the corpus reduces to DISTINCT (corpus-doc, gram) rows on
+    its own scan; the benchmark gram set broadcasts to tag them
+    (corpus-side rows never shuffle untagged — only the tagged survivors,
+    ≤ |bench grams| × docs-per-gram, reach the two bounded aggregations).
+    """
+    bench_grams = shingle_hash_rows(
+        benchmark, key=bench_key, text_col=bench_text_col, shingle_k=n
+    ).distinct()
+    # per-bench-doc gram counts: bounded by the (tiny) benchmark itself
+    totals = bench_grams.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    corpus_grams = shingle_hash_rows(
+        df, key=key, text_col=text_col, shingle_k=n
+    ).distinct()
+    tagged = corpus_grams.join(
+        F.broadcast(bench_grams.select("h").distinct()), "h", "left_semi"
+    )
+    # (gram → bench docs) fan-out happens on the already-tiny tagged side
+    per_bench = (
+        tagged.join(
+            F.broadcast(bench_grams.withColumnRenamed("k", "_bk")), "h"
+        )
+        .groupBy("_bk")
+        .agg(
+            F.count_distinct("h").alias("n_grams_hit"),
+            F.count_distinct("k").alias("n_corpus_docs"),
+        )
+    )
+    report = (
+        totals.join(per_bench, totals["k"] == per_bench["_bk"], "left")
+        .select(
+            F.col("k").alias(bench_key),
+            "n_grams",
+            F.coalesce("n_grams_hit", F.lit(0)).alias("n_grams_hit"),
+            (
+                F.coalesce("n_grams_hit", F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ).alias("hit_ratio"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        )
+    )
+    # gramless benchmark docs (< n words): present with zero counts
+    gramless = (
+        benchmark.select(F.col(bench_key)).distinct()
+        .join(totals.select(F.col("k").alias(bench_key)), bench_key,
+              "left_anti")
+        .select(
+            bench_key,
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_grams_hit"),
+            F.lit(0.0).alias("hit_ratio"),
+            F.lit(0).cast("long").alias("n_corpus_docs"),
+        )
+    )
+    return report.unionByName(gramless)
