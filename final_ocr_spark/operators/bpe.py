@@ -374,15 +374,24 @@ def bpe_decode(tokens_col) -> Column:
     )
 
 
-def bpe_decode_ids(ids_col, vocab: DataFrame | dict[str, int]) -> Column:
+def bpe_decode_ids(
+    ids_col,
+    vocab: DataFrame | dict[str, int],
+    *,
+    specials: tuple[str, ...] = ("<pad>", "<eos>", "<unk>"),
+) -> Column:
     """Column: array<int> of vocabulary ids → pre-tokenized text (the
     inverse of :func:`bpe_encode_ids`). The dictionary-sized vocab ships as
-    a broadcast id→token dict; special tokens (ids whose token starts with
-    '<' and ends with '>') are dropped from the text — decoding a PACKED
-    chunk yields its documents' text with <eos>/<pad> removed."""
+    a broadcast id→token dict; ``specials`` names the EXACT special tokens
+    to drop (defaults match :func:`bpe_vocab`'s in tokenize_and_pack), so
+    decoding a packed chunk yields its documents' text with <eos>/<pad>
+    removed. Exact-match only — a shape heuristic like startswith('<')
+    would silently delete legitimate merged punctuation pieces such as
+    '<</w>' from corpora where '<' is a frequent word (review-caught)."""
     if isinstance(vocab, DataFrame):
         vocab = {r["token"]: r["id"] for r in vocab.collect()}
     inv = {i: t for t, i in vocab.items()}
+    special_ids = {vocab[s] for s in specials if s in vocab}
 
     @pandas_udf("string")
     def _dec(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -391,11 +400,12 @@ def bpe_decode_ids(ids_col, vocab: DataFrame | dict[str, int]) -> Column:
                 return None
             pieces = []
             for i in ids:
-                t = inv.get(int(i))
+                i = int(i)
+                if i in special_ids:
+                    continue  # special token, not text
+                t = inv.get(i)
                 if t is None:
                     raise ValueError(f"id {i} not in vocab")
-                if t.startswith("<") and t.endswith(">") and t != _EOW:
-                    continue  # special token, not text
                 pieces.append(t)
             return "".join(pieces).replace(_EOW, " ").strip()
 

@@ -101,9 +101,11 @@ def contamination_report(
     (corpus-side rows never shuffle untagged — only the tagged survivors,
     ≤ |bench grams| × docs-per-gram, reach the two bounded aggregations).
     """
+    # consumed 3× below (totals, h-set, per-bench join) — materialize once
+    # or every consumer re-runs the benchmark shingle explode+window
     bench_grams = shingle_hash_rows(
         benchmark, key=bench_key, text_col=bench_text_col, shingle_k=n
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     # per-bench-doc gram counts: bounded by the (tiny) benchmark itself
     totals = bench_grams.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_grams")

@@ -245,6 +245,12 @@ def deterministic_split(
     expr = F.lit(bounds[-1][0])
     for name, hi in reversed(bounds[:-1]):
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    # null keys get a NULL split, never a silent assignment: a null bucket
+    # makes every `when` condition falsy and would otherwise dump ALL
+    # unkeyed rows into the lexicographically-last split name, silently
+    # inflating that split (review-caught). NULL is loud — any
+    # filter("split = ...") excludes them and the gap is countable.
+    expr = F.when(F.col(key).isNotNull(), expr)
     return df.withColumn(split_col, expr)
 
 

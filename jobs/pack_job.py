@@ -68,6 +68,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.budget < 2:
         ap.error("--budget must be >= 2")
+    if not args.synthetic and not args.input:
+        # pure-argparse check — fail before a JVM boots
+        ap.error("one of --input / --synthetic is required")
 
     from final_ocr_spark.session import get_spark
 
@@ -81,12 +84,12 @@ def main() -> None:
         corpus = (
             extract_pages(gen_pages(spark, args.synthetic, seed=args.seed))
             .filter("error is null")
-            .selectExpr(f"{args.order_col}", "extracted_text as text")
+            .selectExpr(
+                f"{args.order_col}", f"extracted_text as {args.text_col}"
+            )
         )
-    elif args.input:
-        corpus = spark.read.parquet(args.input)
     else:
-        ap.error("one of --input / --synthetic is required")
+        corpus = spark.read.parquet(args.input)
 
     from final_ocr_spark.operators.bpe import train_bpe
     from final_ocr_spark.operators.packing import tokenize_and_pack
@@ -119,7 +122,13 @@ def main() -> None:
         )
     chunks.write.mode("overwrite").parquet(f"{out}/chunks")
     vocab.write.mode("overwrite").parquet(f"{out}/vocab")
-    merges.write.mode("overwrite").parquet(f"{out}/merges")
+    if args.merges_input:
+        # never rewrite merges we only read: with --merges-input pointing at
+        # a previous run's {output}/merges (the natural reuse workflow) an
+        # overwrite would target the very path being lazily read
+        print(f"merges reused from: {args.merges_input} (not rewritten)")
+    else:
+        merges.write.mode("overwrite").parquet(f"{out}/merges")
 
     n = spark.read.parquet(f"{out}/chunks").count()
     v = spark.read.parquet(f"{out}/vocab").count()

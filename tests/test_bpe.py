@@ -199,3 +199,33 @@ def test_bpe_decode_round_trip(spark):
     ).collect()
     for r in ids_rt:
         assert r["rt"] == " ".join(pre_tokenize(r["text"].lower()))
+
+
+def test_decode_ids_keeps_merged_punctuation_pieces(spark):
+    """Special-token dropping is exact-match on the named specials, never a
+    shape heuristic: a corpus where '<' is a frequent standalone word
+    produces merged pieces like '<</w>' which must SURVIVE decode
+    (review-caught: startswith('<')/endswith('>') deleted them)."""
+    from pyspark.sql import functions as F
+
+    from final_ocr_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids, bpe_vocab, pre_tokenize, train_bpe,
+    )
+
+    texts = [f"value a < b and c < d in row {i}" for i in range(10)]
+    corpus = spark.createDataFrame([(t,) for t in texts], ["text"])
+    merges = train_bpe(corpus, n_merges=30)
+    vocab = bpe_vocab(corpus, merges, specials=("<pad>", "<eos>", "<unk>"))
+    got = corpus.select(
+        "text",
+        bpe_decode_ids(
+            F.concat(
+                bpe_encode_ids("text", merges, vocab, unk_id=2),
+                F.array(F.lit(1)),  # planted <eos> still vanishes
+            ),
+            vocab,
+        ).alias("rt"),
+    ).collect()
+    for r in got:
+        assert r["rt"] == " ".join(pre_tokenize(r["text"].lower()))
+        assert "<" in r["rt"]

@@ -419,3 +419,36 @@ def test_pack_job_shuffle_salt_reproducible(tmp_path):
     assert a == b                   # reproducible across runs
     assert sorted(a) != a           # actually shuffled
     assert a != c
+
+
+def test_pack_job_merges_reuse_no_self_overwrite(tmp_path):
+    """Run 2 reuses run 1's merges via --merges-input pointing INTO run 1's
+    own output — must not self-overwrite the path being read (review-caught)
+    — and --synthetic honors a non-default --text-col."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    outdir = tmp_path / "packed"
+    base = [sys.executable, "jobs/pack_job.py", "--synthetic", "120",
+            "--budget", "64", "--n-merges", "60", "--text-col", "body"]
+    r1 = subprocess.run(
+        [*base, "--output", str(outdir)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    before = duckdb.sql(
+        f"SELECT * FROM '{outdir}/merges/*.parquet' ORDER BY rank"
+    ).fetchall()
+    r2 = subprocess.run(
+        [*base, "--output", str(outdir),
+         "--merges-input", str(outdir / "merges")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    assert "merges reused from" in r2.stdout
+    after = duckdb.sql(
+        f"SELECT * FROM '{outdir}/merges/*.parquet' ORDER BY rank"
+    ).fetchall()
+    assert after == before  # untouched, still readable

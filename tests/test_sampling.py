@@ -236,3 +236,20 @@ def test_shuffle_order_deterministic_and_uniform(spark):
     assert sorted(a) == sorted(c)       # same rows...
     assert a != c                       # ...different epoch order
     assert a != sorted(a)               # actually shuffled
+
+
+def test_deterministic_split_null_keys_get_null_split(spark):
+    """Null keys must land in a NULL split, not silently pile into the
+    lexicographically-last split name (review-caught)."""
+    from final_ocr_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame(
+        [("k1",), ("k2",), (None,), (None,)], ["url"]
+    )
+    rows = deterministic_split(
+        df, "url", {"train": 0.9, "val": 0.1}
+    ).collect()
+    by_key = {r["url"]: r["split"] for r in rows if r["url"] is not None}
+    nulls = [r["split"] for r in rows if r["url"] is None]
+    assert all(v in ("train", "val") for v in by_key.values())
+    assert nulls == [None, None]
