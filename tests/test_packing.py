@@ -162,3 +162,37 @@ def test_tokenize_and_pack_end_to_end(spark):
         assert r["n_tokens"] == 32
     tail = rows[-1]
     assert tail["input_ids"][tail["n_tokens"]:] == [0] * (32 - tail["n_tokens"])
+
+
+def test_pack_chunks_fuzz_against_twin(spark):
+    """Property fuzz: random doc-length profiles × budgets × tail modes all
+    match the pure-Python twin (seeded stdlib random — one spark session,
+    many profiles; hypothesis's per-example model fits poorly with a shared
+    JVM fixture)."""
+    import random
+
+    from final_ocr_spark.operators.packing import pack_chunks
+
+    rng = random.Random(20260818)
+    for trial in range(6):
+        budget = rng.choice([3, 7, 16, 64])
+        docs = [
+            (k, [rng.randrange(1000) for _ in range(rng.choice(
+                [0, 1, budget - 1, budget, budget + 1, budget * 3,
+                 rng.randrange(1, 2 * budget + 1)]))])
+            for k in range(rng.randrange(1, 60))
+        ]
+        kwargs, py_kwargs = rng.choice([
+            (dict(), dict()),
+            (dict(eos_id=-7), dict(eos=-7)),
+            (dict(pad_id=-1), dict(pad=-1)),
+            (dict(drop_last=False), dict(drop_last=False)),
+            (dict(eos_id=-7, pad_id=-1), dict(eos=-7, pad=-1)),
+        ])
+        df = spark.createDataFrame(docs, "k long, ids array<int>") \
+                  .repartition(rng.choice([1, 3, 8]))
+        got = {r["chunk_id"]: (r["input_ids"], r["n_tokens"])
+               for r in pack_chunks(df, "k", "ids", budget, **kwargs)
+               .collect()}
+        assert got == _py_pack(docs, budget, **py_kwargs), (trial, budget,
+                                                            kwargs)
