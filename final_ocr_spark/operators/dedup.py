@@ -969,12 +969,39 @@ def _dedup_clusters_star(
 
 def keep_cluster_representatives(
     df: DataFrame, clusters: DataFrame, key: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Drop every clustered document except its representative (the min-key
-    member). Documents in no cluster pass through — this is the final
-    "dedup by near-dup cluster" filter of a training-data pipeline."""
-    losers = clusters.filter(F.col("key") != F.col("cluster_id")).select(
-        F.col("key").alias(key)
+    """Drop every clustered document except its representative. Documents in
+    no cluster pass through — this is the final "dedup by near-dup cluster"
+    filter of a training-data pipeline.
+
+    ``quality_col=None`` keeps the min-key member (cluster_id == its own
+    key), the cheapest rule: losers come straight off the cluster table, no
+    corpus access at all. With ``quality_col`` the representative is the
+    highest-quality member instead (ties → smallest key) — the production
+    rule when near-dup clusters mix a clean original with truncated/mangled
+    copies and min-key would keep an arbitrary one.
+
+    Scale shape of the quality path: only a slim (key, quality) projection
+    of the corpus joins the cluster table (cluster members are a small
+    fraction of 10^12 docs; the join shuffles 2 columns, never text), then
+    ONE window partitioned by cluster_id over member rows only. Members
+    missing from ``df`` (stale cluster table) simply can't win or lose. A
+    NULL quality ranks last."""
+    if quality_col is None:
+        losers = clusters.filter(F.col("key") != F.col("cluster_id")).select(
+            F.col("key").alias(key)
+        )
+        return df.join(losers, key, "left_anti")
+    slim = df.select(F.col(key).alias("key"), F.col(quality_col).alias("_q"))
+    members = clusters.select("key", "cluster_id").join(slim, "key")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("key").asc()
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("key").alias(key))
     )
     return df.join(losers, key, "left_anti")
 

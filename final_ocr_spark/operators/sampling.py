@@ -5,7 +5,9 @@ The deterministic-selection family every Common-Crawl-scale pipeline
 needs — all keyed on md5(salt ‖ key) so decisions are pure functions of the
 row, stable under reruns/resume/repartitioning, and engine-exact for
 oracles. Besides the two below: :func:`mixture_sample` (domain/language
-reweighting), :func:`deterministic_split` (disjoint-exhaustive named
+reweighting), :func:`temperature_mixture` (XLM/mT5-style alpha-sampling —
+the reweighting with corpus-derived weights), :func:`deterministic_split`
+(disjoint-exhaustive named
 train/val/test partition, scan-local CASE over the bucket), and
 :func:`shuffle_order` (a 64-bit reproducible sort key for the pre-training
 global shuffle — range-partition + sort within, never RNG state).
@@ -168,6 +170,16 @@ def mixture_sample(
         .join(F.broadcast(wdf), group)  # inner: weight-0 groups drop here
         .filter((F.col("_share") > 0) & (F.col("_actual") > 0))
     )
+    return _apply_mixture_budget(df, group, key, stats, budget, salt)
+
+
+def _apply_mixture_budget(
+    df: DataFrame, group: str, key: str, stats: DataFrame,
+    budget: int | None, salt: str,
+) -> DataFrame:
+    """Shared tail of :func:`mixture_sample` / :func:`temperature_mixture`:
+    turn a (group, _share, _actual) stats frame (positive rows only) into
+    per-group keep rates and apply the md5 keep rule."""
     if budget is None:
         # largest pure-down-sampling budget: min over groups of actual/share
         # — computed as a 1-row aggregate cross-joined back (no driver
@@ -201,6 +213,53 @@ def mixture_sample(
         .drop("_rate", "_thr")
     )
     return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group: str,
+    key: str,
+    *,
+    alpha: float = 0.3,
+    budget: int | None = None,
+    size_col: str | None = None,
+    salt: str = "temperature",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the XLM/mT5 multilingual
+    alpha-sampling rule): group ``g``'s output share is proportional to
+    ``(its observed corpus share) ** alpha``, flattening the head so
+    low-resource languages/domains aren't drowned by the biggest one.
+    ``alpha=1`` keeps natural proportions (every row kept when
+    ``budget=None``); ``alpha=0`` targets uniform shares; the common
+    published settings are 0.3 (mT5) / 0.5-0.7 (XLM-R).
+
+    Unlike :func:`mixture_sample`, the weights are COMPUTED from the corpus
+    itself — no dict to supply — so the whole thing stays one declarative
+    plan: a per-group size aggregate (map-side partial on slim rows), a
+    1-row normalization aggregate cross-joined back (driver-free, the same
+    pattern as the auto-budget), then the shared md5 keep rule. The corpus
+    text never shuffles. Rows with a NULL ``group`` are dropped (they can't
+    carry a share; same contract as mixture_sample's weight-0 groups).
+
+    ``budget``/``size_col``/determinism semantics are exactly
+    :func:`mixture_sample`'s.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    size = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+    sizes = (
+        df.filter(F.col(group).isNotNull())
+        .groupBy(group)
+        .agg(size.cast("double").alias("_actual"))
+        .filter(F.col("_actual") > 0)
+        .withColumn("_pow", F.pow(F.col("_actual"), F.lit(float(alpha))))
+    )
+    tot = sizes.agg(F.sum("_pow").alias("_tot"))
+    stats = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(group, (F.col("_pow") / F.col("_tot")).alias("_share"), "_actual")
+    )
+    return _apply_mixture_budget(df, group, key, stats, budget, salt)
 
 
 def deterministic_split(

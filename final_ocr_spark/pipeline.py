@@ -100,6 +100,7 @@ def corpus_pipeline(
     gopher: bool = True,
     redact: bool = True,
     near_dup: bool = True,
+    neardup_keep_best: bool = False,
     jaccard_threshold: float = 0.85,
     minhash_hashes: int = 32,
     minhash_bands: int = 8,
@@ -440,7 +441,13 @@ def corpus_pipeline(
         # star = large-star/small-star, the edge-only-state form for
         # path-shaped/huge graphs — see dedup_clusters
         clusters = dedup_clusters(verified, algorithm=cluster_algorithm)
-        docs = keep_cluster_representatives(docs, clusters, key="url")
+        # keep-best: survivors are the highest-quality cluster member
+        # instead of the arbitrary min-key one — costs one slim
+        # (key, quality) join + a window over member rows only
+        docs = keep_cluster_representatives(
+            docs, clusters, key="url",
+            quality_col="quality_score" if neardup_keep_best else None,
+        )
 
     # 5b'. containment dedup (optional): drop docs (nearly) wholly contained
     # in another surviving doc — quoted articles / mirrors-with-chrome that

@@ -328,3 +328,31 @@ def test_incremental_near_dups(spark, corpus):
     got = {(r["new_key"], r["hist_key"]) for r in pairs.collect()}
     assert (100, 1) in got
     assert all(nk != 101 for nk, _ in got)
+
+
+def test_keep_cluster_representatives_quality_keep_best(spark):
+    """quality_col keeps the highest-quality member per cluster (ties →
+    smallest key), not the min-key one; unclustered docs pass through;
+    members missing from the corpus neither win nor lose; NULL quality
+    ranks last."""
+    from final_ocr_spark.operators.dedup import (
+        dedup_clusters, keep_cluster_representatives)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 21)], ["key_a", "key_b"])
+    clusters = dedup_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", 99.0), (5, "u", 1.0),
+         (7, "d", None), (9, "e", 2.0), (21, "f", 3.0)],
+        "doc_id int, text string, q double")
+    # cluster {1,2,3}: best q=99 tie between 2 and 3 → 2; cluster {7,9}:
+    # NULL q loses → 9; cluster {20,21}: 20 absent from docs → 21 wins;
+    # 5 unclustered
+    kept = sorted(r["doc_id"] for r in keep_cluster_representatives(
+        docs, clusters, key="doc_id", quality_col="q").collect())
+    assert kept == [2, 5, 9, 21]
+    # default rule unchanged: min-key member survives — including dropping
+    # 21 whose min-key representative 20 isn't even in the corpus
+    kept_min = sorted(r["doc_id"] for r in keep_cluster_representatives(
+        docs, clusters, key="doc_id").collect())
+    assert kept_min == [1, 5, 7]

@@ -253,3 +253,97 @@ def test_deterministic_split_null_keys_get_null_split(spark):
     nulls = [r["split"] for r in rows if r["url"] is None]
     assert all(v in ("train", "val") for v in by_key.values())
     assert nulls == [None, None]
+
+
+def test_temperature_mixture_alpha1_keeps_all_and_drops_null_group(spark):
+    """alpha=1 is natural proportions: with the auto budget every non-null
+    row survives (rate 1 everywhere); NULL-group rows are dropped."""
+    from final_ocr_spark.operators.sampling import temperature_mixture
+
+    df = _mix_corpus(spark, {"en": 400, "de": 100}).unionByName(
+        spark.createDataFrame(
+            [("x-1", None, 10), ("x-2", None, 10)],
+            "doc_id string, lang string, tokens int",
+        )
+    )
+    out = temperature_mixture(df, "lang", "doc_id", alpha=1.0)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == sorted(
+        f"{g}-{i}" for g, n in (("en", 400), ("de", 100)) for i in range(n)
+    )
+
+
+def test_temperature_mixture_matches_python_twin(spark):
+    """Differential vs a pure-Python twin at alpha=0.5: sqrt is IEEE
+    correctly-rounded in both engines, so shares/rates/thresholds are
+    bit-identical and the kept set must match exactly. Also pinned stable
+    under repartitioning."""
+    import hashlib
+    import math
+
+    from final_ocr_spark.operators.sampling import temperature_mixture
+
+    sizes = {"en": 1200, "de": 300, "fr": 80}
+    df = _mix_corpus(spark, sizes)
+    out = temperature_mixture(df, "lang", "doc_id", alpha=0.5, salt="t1")
+    got = sorted(r["doc_id"] for r in out.collect())
+    got2 = sorted(
+        r["doc_id"]
+        for r in temperature_mixture(
+            df.repartition(13), "lang", "doc_id", alpha=0.5, salt="t1"
+        ).collect()
+    )
+    assert got == got2
+
+    pw = {g: math.sqrt(float(n)) for g, n in sizes.items()}
+    tot = sum(pw[g] for g in sizes)  # summation order: small group count,
+    share = {g: pw[g] / tot for g in sizes}
+    budget = min(float(n) / share[g] for g, n in sizes.items())
+    want = []
+    for g, n in sizes.items():
+        rate = min(1.0, share[g] * budget / float(n))
+        thr = round(rate * 65536)  # banker's — matches F.bround
+        for i in range(n):
+            k = f"{g}-{i}"
+            h = int(hashlib.md5(("t1" + k).encode()).hexdigest()[:4], 16)
+            if thr >= 65536 or h < thr:
+                want.append(k)
+    assert got == sorted(want)
+    # sanity: the flattening actually happened — fr keeps all, en thinned
+    by = {}
+    for k in got:
+        by[k.split("-")[0]] = by.get(k.split("-")[0], 0) + 1
+    assert by["fr"] == 80
+    assert by["en"] < 1200
+
+
+def test_temperature_mixture_alpha0_uniform_and_validation(spark):
+    """alpha=0 targets uniform shares: the smallest group binds the auto
+    budget and keeps everything; bigger groups thin toward its size.
+    Token-weighted mode and the alpha validation are exercised too."""
+    import pytest
+
+    from final_ocr_spark.operators.sampling import temperature_mixture
+
+    df = _mix_corpus(spark)  # en 4000 / de 1000 / fr 500
+    out = temperature_mixture(df, "lang", "doc_id", alpha=0.0)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["fr"] == 500
+    for lang in ("en", "de"):
+        assert abs(counts[lang] - 500) < 90, counts
+
+    toks = temperature_mixture(
+        df, "lang", "doc_id", alpha=0.0, budget=9000, size_col="tokens"
+    )
+    agg = {
+        r["lang"]: r["t"]
+        for r in toks.groupBy("lang").agg(F.sum("tokens").alias("t")).collect()
+    }
+    for lang in ("en", "de", "fr"):  # 3000 tokens each, binomial tolerance
+        assert abs(agg[lang] - 3000) < 700, agg
+
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "lang", "doc_id", alpha=-0.1)
