@@ -107,6 +107,8 @@ def corpus_pipeline(
     host_cap: int | None = None,
     sample_rate: float | None = None,
     sample_salt: str = "corpus",
+    temperature_alpha: float | None = None,
+    temperature_group: str = "lang",
     benchmark: DataFrame | None = None,
     benchmark_ngram: int = 13,
     extract_partitions: int | None = None,
@@ -577,5 +579,25 @@ def corpus_pipeline(
     # 7. deterministic sample
     if sample_rate is not None:
         docs = deterministic_sample(docs, "url", sample_rate, salt=sample_salt)
+
+    # 8. temperature reweighting (optional): XLM/mT5 alpha-sampling over
+    # the (detected) language — flattens the head so low-resource
+    # languages aren't drowned. Runs LAST: the shares it targets should
+    # describe the corpus that actually ships. NULL langs group as 'und'
+    # rather than inheriting temperature_mixture's drop-null contract —
+    # a pipeline user losing every undetected-lang doc to a reweighting
+    # stage would be a silent data loss, not a mixture choice.
+    if temperature_alpha is not None:
+        from final_ocr_spark.operators.sampling import temperature_mixture
+
+        docs = (
+            temperature_mixture(
+                docs.withColumn(
+                    "_tgroup", F.coalesce(F.col(temperature_group), F.lit("und"))
+                ),
+                "_tgroup", "url", alpha=temperature_alpha, salt=sample_salt,
+            )
+            .drop("_tgroup")
+        )
 
     return docs

@@ -51,10 +51,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     default=True)
     ap.add_argument("--near-dup", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--neardup-keep-best", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="near-dup survivors are the highest-quality cluster "
+                         "member instead of the min-key one")
     ap.add_argument("--jaccard", type=float, default=0.85)
     ap.add_argument("--host-cap", type=int, default=None)
     ap.add_argument("--sample-rate", type=float, default=None)
     ap.add_argument("--sample-salt", default="corpus")
+    ap.add_argument("--temperature-alpha", type=float, default=None,
+                    help="XLM/mT5 alpha-sampling over --temperature-group as "
+                         "the final stage: group share ∝ (corpus share)^alpha "
+                         "(0=uniform target, 1=keep natural shares)")
+    ap.add_argument("--temperature-group", default="lang",
+                    help="column the temperature reweighting groups on "
+                         "(default lang; NULLs group as 'und')")
     ap.add_argument("--cluster-algorithm", choices=["jump", "star"],
                     default="jump",
                     help="near-dup connected components: jump = min-label+"
@@ -268,10 +279,16 @@ def main() -> None:
         ("gopher", "gopher", lambda: args.gopher),
         ("redact", "redact", lambda: args.redact),
         ("near_dup", "near_dup", lambda: args.near_dup),
+        ("neardup_keep_best", "neardup_keep_best",
+         lambda: args.neardup_keep_best),
         ("jaccard", "jaccard_threshold", lambda: args.jaccard),
         ("host_cap", "host_cap", lambda: args.host_cap),
         ("sample_rate", "sample_rate", lambda: args.sample_rate),
         ("sample_salt", "sample_salt", lambda: args.sample_salt),
+        ("temperature_alpha", "temperature_alpha",
+         lambda: args.temperature_alpha),
+        ("temperature_group", "temperature_group",
+         lambda: args.temperature_group),
         ("partitions", "extract_partitions", lambda: args.partitions),
         ("cluster_algorithm", "cluster_algorithm",
          lambda: args.cluster_algorithm),

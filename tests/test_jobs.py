@@ -452,3 +452,31 @@ def test_pack_job_merges_reuse_no_self_overwrite(tmp_path):
         f"SELECT * FROM '{outdir}/merges/*.parquet' ORDER BY rank"
     ).fetchall()
     assert after == before  # untouched, still readable
+
+
+def test_corpus_job_temperature_and_keep_best_flags(tmp_path):
+    """--temperature-alpha + --neardup-keep-best drive the new stage 8 and
+    the quality-representative rule through the spark-submit entry."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--synthetic", "300",
+         "--output", str(tmp_path / "corpus"),
+         "--min-quality", "0", "--no-gopher",
+         "--neardup-keep-best",
+         "--temperature-alpha", "0.3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+
+    import duckdb
+
+    langs = duckdb.sql(
+        f"SELECT count(DISTINCT lang) , count(*) FROM "
+        f"'{tmp_path}/corpus/*.parquet'"
+    ).fetchone()
+    assert langs[1] > 0
+    # the reweighting is a strict down-sample of a multi-lang corpus
+    assert langs[0] >= 2

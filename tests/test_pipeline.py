@@ -566,3 +566,33 @@ def test_lang_detect_standalone_overwrites_lang(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["lang"] == "en"  # re-detected, declared 'zz' overwritten
+
+
+def test_corpus_pipeline_temperature_stage_flattens_langs(spark):
+    """temperature_alpha runs as the final stage over lang: the small
+    language binds the uniform budget and keeps everything, the big one
+    thins toward its size. (A NULL lang can't reach stage 8 from the
+    extraction path — extraction detects one — so the coalesce-to-'und'
+    guard is belt-and-braces for pre-extracted inputs; the operator-level
+    NULL contract is pinned in test_sampling.)"""
+    from final_ocr_spark.schema import PAGES_SCHEMA
+
+    data = [(f"https://en{i}.example.com/p", TS, None,
+             GOOD + f" en tail {i} " + " ".join(f"w{i}x{j}" for j in range(30)),
+             "en") for i in range(40)]
+    data += [(f"https://de{i}.example.com/p", TS, None,
+              GOOD + f" de tail {i} " + " ".join(f"v{i}y{j}" for j in range(30)),
+              "de") for i in range(5)]
+    pages = spark.createDataFrame(data, PAGES_SCHEMA)
+    base = dict(near_dup=False, gopher=False, redact=False, min_quality=0.0)
+    out = corpus_pipeline(pages, temperature_alpha=0.0, **base)
+    rows_out = out.collect()
+    counts: dict = {}
+    for r in rows_out:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    # uniform target, budget = min(40/0.5, 5/0.5) = 10: de (rate 1) keeps
+    # all 5, en thins at rate 0.125
+    assert counts.get("de", 0) == 5
+    assert 0 < counts.get("en", 0) < 40
+    # _tgroup never leaks into the output schema
+    assert "_tgroup" not in out.columns
