@@ -121,6 +121,7 @@ def pack_chunks(
     eos_id: int | None = None,
     pad_id: int | None = None,
     drop_last: bool = True,
+    provenance: bool = False,
 ) -> DataFrame:
     """Materialize the packing layout: token-id arrays → the actual
     fixed-length training chunks. Returns one row per chunk:
@@ -135,6 +136,16 @@ def pack_chunks(
     packing (the standard causal-LM layout). The final short chunk is
     dropped by default (``drop_last``), or right-padded when ``pad_id``
     is given.
+
+    ``provenance=True`` adds a ``docs`` column —
+    ``array<struct<start,end,key>>`` sorted by start: per contributing
+    document, its half-open [start, end) token span inside ``input_ids``
+    (including the doc's trailing eos; padding belongs to no span; a doc
+    spanning chunk boundaries appears in every chunk it touches). This is
+    the governance/takedown map: given opt-out keys,
+    :func:`chunk_taint` finds every affected chunk without re-packing.
+    Costs the doc key riding the one materialization shuffle — OFF by
+    default so the hot path stays key-free.
 
     Scale shape: layout comes from :func:`pack_sequences` (two-pass global
     prefix sum — no one-task world sort); each document then explodes into
@@ -168,7 +179,7 @@ def pack_chunks(
 
     b = F.lit(int(budget)).cast("long")
     seg = d.select(
-        "_ids", "offset", "_n_tok",
+        "_k", "_ids", "offset", "_n_tok",
         F.explode(
             F.sequence(
                 F.col("chunk_id"),
@@ -180,29 +191,45 @@ def pack_chunks(
     end_g = F.least(F.col("offset") + F.col("_n_tok"), (F.col("_cid") + 1) * b)
     seg = seg.select(
         "_cid",
+        *(["_k"] if provenance else []),
         start_g.alias("_sg"),
+        # chunk-local start: pure long arithmetic, computed BEFORE the
+        # shuffle so the agg side never needs the grouping key inside a
+        # lambda
+        (start_g - F.col("_cid") * b).cast("int").alias("_sl"),
         F.slice(
             F.col("_ids"),
             (start_g - F.col("offset") + 1).cast("int"),
             (end_g - start_g).cast("int"),
         ).alias("_seg"),
     )
+    aggs = [
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(
+                        F.col("_sg").alias("s"),
+                        F.col("_seg").alias("seg"),
+                    ))
+                ),
+                lambda x: x["seg"],
+            )
+        ).alias("input_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ]
+    if provenance:
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    F.col("_sl").alias("start"),
+                    (F.col("_sl") + F.size("_seg")).alias("end"),
+                    F.col("_k").alias("key"),
+                ))
+            ).alias("docs")
+        )
     chunks = (
         seg.groupBy(F.col("_cid").alias("chunk_id"))
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(
-                            F.col("_sg").alias("s"),
-                            F.col("_seg").alias("seg"),
-                        ))
-                    ),
-                    lambda x: x["seg"],
-                )
-            ).alias("input_ids"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+        .agg(*aggs)
         .withColumn("n_tokens", F.size("input_ids"))
     )
     if pad_id is not None:
@@ -221,7 +248,38 @@ def pack_chunks(
         )
     elif drop_last:
         chunks = chunks.filter(F.col("n_tokens") == budget)
-    return chunks.select("chunk_id", "input_ids", "n_tokens", "n_docs")
+    cols = ["chunk_id", "input_ids", "n_tokens", "n_docs"]
+    if provenance:
+        cols.append("docs")
+    return chunks.select(*cols)
+
+
+def chunk_taint(chunks: DataFrame, keys: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Opt-out/takedown audit over provenance-enabled chunks: which
+    ``chunk_id``s contain ≥1 token from any of the given document keys?
+    ``chunks`` must come from :func:`pack_chunks` with ``provenance=True``;
+    ``keys`` is a one-column frame (or name its column via ``key_col``).
+
+    Scale shape: the provenance explode emits one slim (chunk_id, key) row
+    per contributing doc×chunk (≈ docs-per-chunk rows per chunk, token
+    arrays never touched — column pruning drops ``input_ids`` at the
+    scan); the takedown list is broadcast (opt-out sets are small by
+    nature) and probed with a left-semi, then a distinct on the ~matching
+    chunk ids only. Re-packing the corpus minus the tainted docs is the
+    caller's choice; this is the audit step that says what must be
+    retired."""
+    if "docs" not in chunks.columns:
+        raise ValueError("chunks has no 'docs' column — pack with provenance=True")
+    kc = key_col or keys.columns[0]
+    member = chunks.select(
+        "chunk_id", F.explode(F.col("docs.key")).alias("_key")
+    )
+    wanted = keys.select(F.col(kc).alias("_key"))
+    return (
+        member.join(F.broadcast(wanted), "_key", "left_semi")
+        .select("chunk_id")
+        .distinct()
+    )
 
 
 def tokenize_and_pack(
@@ -233,6 +291,7 @@ def tokenize_and_pack(
     order_col: str = "url",
     lowercase: bool = True,
     pad: bool = False,
+    provenance: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Text corpus → (training chunks, vocab): the full tokenize-and-pack
     tail of a training-data pipeline in one call. Builds a corpus-derived
@@ -268,6 +327,6 @@ def tokenize_and_pack(
     )
     chunks = pack_chunks(
         d, order_col, "input_ids", budget,
-        eos_id=1, pad_id=0 if pad else None,
+        eos_id=1, pad_id=0 if pad else None, provenance=provenance,
     )
     return chunks, vocab

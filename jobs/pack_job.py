@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--pad", action="store_true",
                     help="pad the final short chunk with <pad> instead of "
                          "dropping it")
+    ap.add_argument("--provenance", action="store_true",
+                    help="add a docs column to every chunk: per contributing "
+                         "document its [start,end) token span and key — the "
+                         "opt-out/takedown audit map (chunk_taint)")
     ap.add_argument("--shuffle-salt", default=None,
                     help="write chunks in a reproducible pseudo-random "
                          "order keyed on this salt (the pre-training "
@@ -109,6 +113,7 @@ def main() -> None:
     chunks, vocab = tokenize_and_pack(
         corpus, merges, args.budget,
         text_col=args.text_col, order_col=args.order_col, pad=args.pad,
+        provenance=args.provenance,
     )
     out = args.output.rstrip("/")
     if args.shuffle_salt is not None:

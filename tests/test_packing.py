@@ -196,3 +196,64 @@ def test_pack_chunks_fuzz_against_twin(spark):
                .collect()}
         assert got == _py_pack(docs, budget, **py_kwargs), (trial, budget,
                                                             kwargs)
+
+
+def test_pack_chunks_provenance_spans_tile_and_match_source(spark):
+    """provenance=True: each chunk's docs spans tile [0, n_tokens) exactly
+    (sorted, disjoint, gap-free), every span's ids equal the source doc's
+    (eos-appended) slice, and a boundary-spanning doc appears in every
+    chunk it touches. chunk_taint maps opt-out keys to affected chunks."""
+    from final_ocr_spark.operators.packing import chunk_taint, pack_chunks
+
+    docs = [(0, list(range(3))), (1, list(range(100, 117))), (2, [7, 8])]
+    df = spark.createDataFrame(docs, "k long, ids array<int>")
+    rows = {r["chunk_id"]: r for r in pack_chunks(
+        df, "k", "ids", 5, eos_id=999, drop_last=False, provenance=True,
+    ).collect()}
+    # eos-appended stream: doc0=4, doc1=18, doc2=3 tokens → 25 → 5 chunks
+    src = {k: ids + [999] for k, ids in docs}
+    seen_chunks_by_key: dict = {}
+    consumed = {k: 0 for k in src}
+    for cid in sorted(rows):
+        r = rows[cid]
+        spans = [(d["start"], d["end"], d["key"]) for d in r["docs"]]
+        assert spans == sorted(spans)
+        # tile [0, n_tokens) with no gaps/overlap
+        pos = 0
+        for s, e, k in spans:
+            assert s == pos and e > s
+            got_ids = r["input_ids"][s:e]
+            want = src[k][consumed[k]:consumed[k] + (e - s)]
+            assert got_ids == want, (cid, k)
+            consumed[k] += e - s
+            seen_chunks_by_key.setdefault(k, []).append(cid)
+            pos = e
+        assert pos == r["n_tokens"]
+        assert r["n_docs"] == len(spans)
+    assert all(consumed[k] == len(src[k]) for k in src)  # nothing lost
+    assert seen_chunks_by_key[1] == [0, 1, 2, 3, 4]  # spans all 5 chunks
+
+    taint = chunk_taint(
+        rows_df := spark.createDataFrame(list(rows.values())),
+        spark.createDataFrame([(2,)], "k long"),
+    )
+    assert sorted(r["chunk_id"] for r in taint.collect()) == \
+        sorted(set(seen_chunks_by_key[2]))
+    # no provenance → loud refusal
+    import pytest
+
+    plain = pack_chunks(df, "k", "ids", 5, drop_last=False)
+    with pytest.raises(ValueError):
+        chunk_taint(plain, spark.createDataFrame([(2,)], "k long"))
+
+
+def test_pack_chunks_provenance_with_padding(spark):
+    """Padding belongs to no span: the padded tail chunk's spans stop at
+    n_tokens, not at the budget."""
+    from final_ocr_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame([(0, [1, 2, 3])], "k long, ids array<int>")
+    r = pack_chunks(df, "k", "ids", 8, pad_id=0, provenance=True).collect()[0]
+    assert r["input_ids"] == [1, 2, 3, 0, 0, 0, 0, 0]
+    assert r["n_tokens"] == 3
+    assert [(d["start"], d["end"], d["key"]) for d in r["docs"]] == [(0, 3, 0)]
