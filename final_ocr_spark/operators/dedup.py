@@ -987,13 +987,21 @@ def keep_cluster_representatives(
     fraction of 10^12 docs; the join shuffles 2 columns, never text), then
     ONE window partitioned by cluster_id over member rows only. Members
     missing from ``df`` (stale cluster table) simply can't win or lose. A
-    NULL quality ranks last."""
+    NULL quality ranks last. ``df`` MAY carry duplicate rows per key
+    (recrawls): the slim projection aggregates max quality per key first,
+    so a duplicate of the winning member can't rank _rn=2 and push the
+    winner's own key into the loser set (which would left-anti-delete the
+    whole cluster)."""
     if quality_col is None:
         losers = clusters.filter(F.col("key") != F.col("cluster_id")).select(
             F.col("key").alias(key)
         )
         return df.join(losers, key, "left_anti")
-    slim = df.select(F.col(key).alias("key"), F.col(quality_col).alias("_q"))
+    slim = (
+        df.select(F.col(key).alias("key"), F.col(quality_col).alias("_q"))
+        .groupBy("key")
+        .agg(F.max("_q").alias("_q"))
+    )
     members = clusters.select("key", "cluster_id").join(slim, "key")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_q").desc_nulls_last(), F.col("key").asc()

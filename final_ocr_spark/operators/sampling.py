@@ -37,8 +37,11 @@ these are the corpus-hygiene generalizations its pipeline needs at
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _RESOLUTION = 1 << 16  # sampling granularity: 1/65536
 
@@ -234,12 +237,18 @@ def temperature_mixture(
     published settings are 0.3 (mT5) / 0.5-0.7 (XLM-R).
 
     Unlike :func:`mixture_sample`, the weights are COMPUTED from the corpus
-    itself — no dict to supply — so the whole thing stays one declarative
-    plan: a per-group size aggregate (map-side partial on slim rows), a
-    1-row normalization aggregate cross-joined back (driver-free, the same
-    pattern as the auto-budget), then the shared md5 keep rule. The corpus
-    text never shuffles. Rows with a NULL ``group`` are dropped (they can't
-    carry a share; same contract as mixture_sample's weight-0 groups).
+    itself — no dict to supply: ONE per-group size aggregate (map-side
+    partial on slim rows) is collected — bounded at O(#groups), the same
+    languages/domains cardinality mixture_sample already requires the
+    caller to hold as a dict — and the shares are normalized DRIVER-SIDE
+    with ``math.fsum`` over name-sorted groups. Normalizing with a
+    distributed double ``sum`` instead would make the total (and so the
+    keep thresholds) depend on partition merge order, breaking this
+    module's bit-stable rerun/resume/repartition contract; fsum is exactly
+    rounded, so the result is independent of iteration order and
+    reproducible against a pure-Python twin. The corpus text never
+    shuffles. Rows with a NULL ``group`` are dropped (they can't carry a
+    share; same contract as mixture_sample's weight-0 groups).
 
     ``budget``/``size_col``/determinism semantics are exactly
     :func:`mixture_sample`'s.
@@ -247,17 +256,24 @@ def temperature_mixture(
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
     size = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
-    sizes = (
+    size_rows = (
         df.filter(F.col(group).isNotNull())
         .groupBy(group)
         .agg(size.cast("double").alias("_actual"))
         .filter(F.col("_actual") > 0)
-        .withColumn("_pow", F.pow(F.col("_actual"), F.lit(float(alpha))))
+        .collect()
     )
-    tot = sizes.agg(F.sum("_pow").alias("_tot"))
-    stats = (
-        sizes.crossJoin(F.broadcast(tot))
-        .select(group, (F.col("_pow") / F.col("_tot")).alias("_share"), "_actual")
+    actual = {r[group]: float(r["_actual"]) for r in size_rows}
+    pw = {g: a ** float(alpha) for g, a in actual.items()}
+    tot = math.fsum(pw[g] for g in sorted(pw, key=str))
+    spark = df.sparkSession
+    schema = T.StructType([
+        T.StructField(group, df.schema[group].dataType),
+        T.StructField("_share", T.DoubleType()),
+        T.StructField("_actual", T.DoubleType()),
+    ])
+    stats = spark.createDataFrame(
+        [(g, pw[g] / tot, actual[g]) for g in actual] if actual else [], schema
     )
     return _apply_mixture_budget(df, group, key, stats, budget, salt)
 

@@ -586,7 +586,12 @@ def corpus_pipeline(
     # describe the corpus that actually ships. NULL langs group as 'und'
     # rather than inheriting temperature_mixture's drop-null contract —
     # a pipeline user losing every undetected-lang doc to a reweighting
-    # stage would be a silent data loss, not a mixture choice.
+    # stage would be a silent data loss, not a mixture choice. The salt is
+    # DERIVED from sample_salt, never equal to it: stage 7 and this stage
+    # both filter on md5(salt ‖ url), so sharing the salt would correlate
+    # the two keep decisions perfectly (stage-7 survivors all have bucket
+    # < its threshold) and the alpha-mixture shares would silently never
+    # be achieved when both flags are set.
     if temperature_alpha is not None:
         from final_ocr_spark.operators.sampling import temperature_mixture
 
@@ -595,7 +600,8 @@ def corpus_pipeline(
                 docs.withColumn(
                     "_tgroup", F.coalesce(F.col(temperature_group), F.lit("und"))
                 ),
-                "_tgroup", "url", alpha=temperature_alpha, salt=sample_salt,
+                "_tgroup", "url", alpha=temperature_alpha,
+                salt=sample_salt + "|temperature",
             )
             .drop("_tgroup")
         )

@@ -356,3 +356,27 @@ def test_keep_cluster_representatives_quality_keep_best(spark):
     kept_min = sorted(r["doc_id"] for r in keep_cluster_representatives(
         docs, clusters, key="doc_id").collect())
     assert kept_min == [1, 5, 7]
+
+
+def test_keep_cluster_representatives_quality_duplicate_key_rows(spark):
+    """A corpus with duplicate rows for the winning key (recrawl not yet
+    key-deduped) must still keep that cluster's representative: without the
+    per-key max-quality pre-aggregate, the winner's duplicate row ranks
+    _rn=2, lands its own key in the loser set, and the left-anti deletes
+    the whole cluster."""
+    from final_ocr_spark.operators.dedup import (
+        dedup_clusters, keep_cluster_representatives)
+
+    clusters = dedup_clusters(
+        spark.createDataFrame([(1, 2), (2, 3)], ["key_a", "key_b"]))
+    docs = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (2, "b-recrawl", 50.0),
+         (3, "c", 20.0)],
+        "doc_id int, text string, q double")
+    kept = sorted((r["doc_id"], r["text"]) for r in
+                  keep_cluster_representatives(
+                      docs, clusters, key="doc_id", quality_col="q"
+                  ).collect())
+    # key 2 wins on its best row's quality; BOTH of its rows survive
+    # (same contract as the min-key path: filtering is by key)
+    assert kept == [(2, "b"), (2, "b-recrawl")]

@@ -596,3 +596,50 @@ def test_corpus_pipeline_temperature_stage_flattens_langs(spark):
     assert 0 < counts.get("en", 0) < 40
     # _tgroup never leaks into the output schema
     assert "_tgroup" not in out.columns
+
+
+def test_corpus_pipeline_sample_and_temperature_salts_independent(spark):
+    """sample_rate and temperature_alpha together: the temperature stage
+    must hash with a salt DERIVED from sample_salt (salt + '|temperature'),
+    not sample_salt itself — sharing the salt correlates the two md5 keep
+    rules perfectly (every stage-7 survivor has bucket < thr7), so the
+    alpha shares would silently never be achieved. Pinned with an exact
+    Python twin of both stages."""
+    import hashlib
+
+    from final_ocr_spark.schema import PAGES_SCHEMA
+
+    urls = [f"https://en{i}.example.com/p" for i in range(200)]
+    urls += [f"https://de{i}.example.com/p" for i in range(25)]
+    data = [(u, TS, None,
+             GOOD + " tail " + " ".join(f"{u[8:10]}{i}w{j}" for j in range(30)),
+             u[8:10]) for i, u in enumerate(urls)]
+    pages = spark.createDataFrame(data, PAGES_SCHEMA)
+    out = corpus_pipeline(
+        pages, near_dup=False, gopher=False, redact=False, min_quality=0.0,
+        sample_rate=0.5, sample_salt="s4", temperature_alpha=0.0,
+    )
+    got = sorted(r["url"] for r in out.collect())
+
+    def bucket(salt, key):
+        return int(hashlib.md5((salt + key).encode()).hexdigest()[:4], 16)
+
+    # stage 7 twin: md5('s4' ‖ url) < round(0.5 * 65536)
+    surv = [u for u in urls if bucket("s4", u) < 32768]
+    actual = {"en": sum(u.startswith("https://en") for u in surv),
+              "de": sum(u.startswith("https://de") for u in surv)}
+    # stage 8 twin at alpha=0: uniform shares, budget = 2 * min group
+    budget = min(actual[g] / 0.5 for g in actual)
+    want = []
+    for u in surv:
+        g = "en" if u.startswith("https://en") else "de"
+        thr = round(min(1.0, 0.5 * budget / actual[g]) * 65536)
+        if thr >= 65536 or bucket("s4|temperature", u) < thr:
+            want.append(u)
+    assert got == sorted(want)
+    # and the mixture actually lands near-uniform (the correlated-salt bug
+    # made the big group keep ~2x its target)
+    kept = {"en": sum(u.startswith("https://en") for u in got),
+            "de": sum(u.startswith("https://de") for u in got)}
+    assert kept["de"] == actual["de"]  # binding group keeps everything
+    assert kept["en"] <= round(1.35 * kept["de"])

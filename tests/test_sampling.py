@@ -295,8 +295,11 @@ def test_temperature_mixture_matches_python_twin(spark):
     )
     assert got == got2
 
-    pw = {g: math.sqrt(float(n)) for g, n in sizes.items()}
-    tot = sum(pw[g] for g in sizes)  # summation order: small group count,
+    pw = {g: float(n) ** 0.5 for g, n in sizes.items()}
+    tot = math.fsum(pw[g] for g in sorted(pw))  # exactly-rounded — the
+    # operator normalizes driver-side with fsum so the total is
+    # order-independent (a distributed double sum would be partition-
+    # order-dependent and break the bit-stable rerun contract)
     share = {g: pw[g] / tot for g in sizes}
     budget = min(float(n) / share[g] for g, n in sizes.items())
     want = []
