@@ -17,7 +17,12 @@ real Iceberg catalog drops in by config on a real cluster:
   data files are immutable and the HEAD pointer flips atomically
   (write-temp + rename);
 * old snapshots keep working until explicitly expired (``expire`` drops
-  unreferenced files), mirroring Iceberg's snapshot expiry.
+  unreferenced files), mirroring Iceberg's snapshot expiry;
+* every data-file entry carries per-column min/max/null-count bounds read
+  from its parquet footer at commit time, and ``read(where=...)`` prunes
+  files those bounds prove irrelevant before Spark ever plans a task —
+  Iceberg's manifest-level data skipping (see datafilter.py; pair with
+  ``write(cluster_by=[...])`` for tight per-file ranges).
 
 Like Iceberg, a torn write is invisible: data files land first, the snapshot
 JSON second, the HEAD flip last — a crash anywhere leaves HEAD on the old
@@ -37,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from final_ocr_spark.sources import datafilter
+
 MANIFEST_DIR = "_manifest"
 HEAD_FILE = "HEAD"
 
@@ -49,6 +56,27 @@ _WIDEN_CHAINS = (
     ["tinyint", "smallint", "int", "bigint"],
     ["float", "double"],
 )
+
+
+def _new_file_entries(data_dir: pathlib.Path, data_rel: str,
+                      written: DataFrame) -> list[dict]:
+    """Manifest entries for freshly landed data files: path, size, row
+    count, and per-column min/max/null bounds read from each parquet
+    FOOTER (datafilter.collect_file_stats). The loop is O(new files per
+    commit) on the driver — the same order as the st_size probe it sits
+    beside; a real Iceberg writer receives these bounds from the file
+    writer callback instead of re-opening footers."""
+    entries = []
+    for p in sorted(written.inputFiles()):
+        name = pathlib.Path(p).name
+        local = data_dir / name
+        entry = {"path": f"{data_rel}/{name}", "bytes": local.stat().st_size}
+        try:
+            entry.update(datafilter.collect_file_stats(str(local)))
+        except Exception:
+            pass  # stats are advisory: a footer oddity must never fail a commit
+        entries.append(entry)
+    return entries
 
 
 def _schema_of(schema_str: str) -> StructType:
@@ -155,33 +183,90 @@ class SnapshotCatalog:
 
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, name: str,
-             snapshot_id: int | None = None) -> DataFrame:
-        """``spark.read.table`` analog; ``snapshot_id`` = time travel."""
+             snapshot_id: int | None = None,
+             where: str | None = None) -> DataFrame:
+        """``spark.read.table`` analog; ``snapshot_id`` = time travel.
+
+        ``where`` is a SQL predicate applied to the result — and, first,
+        used to SKIP whole data files whose manifest min/max/null bounds
+        prove no row can match (Iceberg's manifest pruning; see
+        datafilter.py). Pruning is advisory: the same predicate always runs
+        as a ``filter`` afterwards, so results are identical to a full
+        scan + filter, only cheaper — on a clustered table the scan opens
+        ~selectivity × files instead of all of them."""
+        snap = self._resolve_snapshot(name, snapshot_id)
+        entries = snap["files"]
+        if where is not None:
+            entries = self._prune(spark, snap, where)
+        files = [str(self.table_dir(name) / f["path"]) for f in entries]
+        if not files:
+            df = spark.createDataFrame([], snap["schema"])
+        else:
+            # pin the snapshot's schema: files written before a column was
+            # added read it as null, and files written before a widen upcast
+            # at scan (both handled by the parquet vectorized reader) — old
+            # snapshots keep reading under the schema they were committed with
+            df = spark.read.schema(_schema_of(snap["schema"])).parquet(*files)
+        return df if where is None else df.filter(where)
+
+    def _resolve_snapshot(self, name: str, snapshot_id: int | None) -> dict:
         if snapshot_id is None:
             snap = self.current_snapshot(name)
             if snap is None:
                 raise FileNotFoundError(f"no such table: {name!r}")
-        else:
-            by_id = {s["snapshot_id"]: s for s in self.snapshots(name)}
-            if snapshot_id not in by_id:
-                raise FileNotFoundError(f"table {name!r} has no snapshot {snapshot_id}")
-            snap = by_id[snapshot_id]
-        files = [str(self.table_dir(name) / f["path"]) for f in snap["files"]]
-        if not files:
-            return spark.createDataFrame([], snap["schema"])
-        # pin the snapshot's schema: files written before a column was added
-        # read it as null, and files written before a widen upcast at scan
-        # (both handled by the parquet vectorized reader) — old snapshots
-        # keep reading under the schema they were committed with
-        return spark.read.schema(_schema_of(snap["schema"])).parquet(*files)
+            return snap
+        by_id = {s["snapshot_id"]: s for s in self.snapshots(name)}
+        if snapshot_id not in by_id:
+            raise FileNotFoundError(f"table {name!r} has no snapshot {snapshot_id}")
+        return by_id[snapshot_id]
+
+    def _prune(self, spark: SparkSession, snap: dict, where: str) -> list[dict]:
+        conjuncts = datafilter.parse_conjuncts(where)
+        if not conjuncts:
+            return snap["files"]
+        families = datafilter.schema_families(_schema_of(snap["schema"]))
+        ts_utc = spark.conf.get("spark.sql.session.timeZone", "") in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+        return [f for f in snap["files"]
+                if datafilter.file_may_match(f, conjuncts, families, ts_utc)]
+
+    def plan_files(self, spark: SparkSession, name: str,
+                   where: str | None = None,
+                   snapshot_id: int | None = None) -> dict:
+        """Scan-planning report (observability + tests): how many of the
+        snapshot's files a ``read(where=...)`` would open."""
+        snap = self._resolve_snapshot(name, snapshot_id)
+        kept = snap["files"] if where is None else self._prune(spark, snap, where)
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "files_total": len(snap["files"]),
+            "files_scanned": len(kept),
+            "files_skipped": len(snap["files"]) - len(kept),
+            "bytes_scanned": sum(f["bytes"] for f in kept),
+        }
 
     # -- write ------------------------------------------------------------
-    def write(self, df: DataFrame, name: str, mode: str = "append") -> dict:
+    def write(self, df: DataFrame, name: str, mode: str = "append",
+              cluster_by: list[str] | None = None,
+              cluster_files: int | None = None) -> dict:
         """``df.writeTo(name).append()/overwrite()`` analog. Returns the new
         snapshot dict. Data files are immutable; a new snapshot + atomic HEAD
-        flip publishes them."""
+        flip publishes them.
+
+        ``cluster_by`` range-partitions + sorts the batch on the given
+        columns before writing (Iceberg's write-ordered/sorted table
+        analog) so each data file covers a NARROW value range — that
+        tightness is what makes the manifest min/max bounds selective and
+        ``read(where=...)`` able to skip files. One extra shuffle at write
+        time buys every future selective scan. ``cluster_files`` pins the
+        output file count (else ``spark.sql.shuffle.partitions``/AQE decide
+        — at real scale AQE's coalescing to the target partition size is
+        exactly right; pin it only when you need a specific layout)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if cluster_by:
+            args = ([cluster_files] if cluster_files else []) + list(cluster_by)
+            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         tdir = self.table_dir(name)
         md = self._manifest_dir(name)
         md.mkdir(parents=True, exist_ok=True)
@@ -192,11 +277,7 @@ class SnapshotCatalog:
         df.write.mode("overwrite").parquet(str(data_dir))
         spark = df.sparkSession
         written = spark.read.parquet(str(data_dir))
-        new_files = [
-            {"path": f"{data_rel}/{pathlib.Path(p).name}",
-             "bytes": (data_dir / pathlib.Path(p).name).stat().st_size}
-            for p in sorted(written.inputFiles())
-        ]
+        new_files = _new_file_entries(data_dir, data_rel, written)
         row_count = written.count()  # parquet-footer-only
 
         # 2. commit: the snapshot is BUILT inside the CAS loop so a racing
@@ -300,11 +381,7 @@ class SnapshotCatalog:
         src.repartition(n_out).write.mode("overwrite").parquet(str(data_dir))
 
         written = spark.read.parquet(str(data_dir))
-        new_files = [
-            {"path": f"{data_rel}/{pathlib.Path(p).name}",
-             "bytes": (data_dir / pathlib.Path(p).name).stat().st_size}
-            for p in sorted(written.inputFiles())
-        ]
+        new_files = _new_file_entries(data_dir, data_rel, written)
         # safety gate before publishing: the rewrite must carry every row
         # (parquet-footer counts — no data scan)
         n_src, n_out_rows = src.count(), written.count()
@@ -421,11 +498,7 @@ class SnapshotCatalog:
                 data_dir = tdir / data_rel
                 out.write.mode("overwrite").parquet(str(data_dir))
                 written = spark.read.parquet(str(data_dir))
-                new_files = [
-                    {"path": f"{data_rel}/{pathlib.Path(p).name}",
-                     "bytes": (data_dir / pathlib.Path(p).name).stat().st_size}
-                    for p in sorted(written.inputFiles())
-                ]
+                new_files = _new_file_entries(data_dir, data_rel, written)
                 rows_added = written.count()
 
         touched_set = set(touched_rel)
