@@ -267,6 +267,7 @@ class SnapshotCatalog:
         if cluster_by:
             args = ([cluster_files] if cluster_files else []) + list(cluster_by)
             df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
+        cluster_by = list(cluster_by) if cluster_by else None
         tdir = self.table_dir(name)
         md = self._manifest_dir(name)
         md.mkdir(parents=True, exist_ok=True)
@@ -299,6 +300,16 @@ class SnapshotCatalog:
             else:
                 base_files = []
                 schema = df.schema.simpleString()
+            # declared table sort order (Iceberg write-order analog): a
+            # clustered write sets it; an unclustered append inherits the
+            # declaration (its own files are simply unsorted — per-file
+            # stats stay ground truth); overwrite without cluster_by clears
+            if cluster_by:
+                sort_order = cluster_by
+            elif parent and mode == "append":
+                sort_order = parent.get("sort_order")
+            else:
+                sort_order = None
             return {
                 "snapshot_id": sid,
                 "parent_id": parent["snapshot_id"] if parent else None,
@@ -307,6 +318,7 @@ class SnapshotCatalog:
                 "app_id": spark.sparkContext.applicationId,
                 "schema": schema,
                 "row_count_added": row_count,
+                "sort_order": sort_order,
                 "files": base_files + new_files,
             }
 
@@ -378,7 +390,17 @@ class SnapshotCatalog:
         )
         data_rel = f"data/{uuid.uuid4().hex}"
         data_dir = tdir / data_rel
-        src.repartition(n_out).write.mode("overwrite").parquet(str(data_dir))
+        # honour the table's declared sort order: a plain repartition would
+        # interleave every value range across the rewritten files, silently
+        # widening their min/max bounds and defeating read(where=...) data
+        # skipping right after the maintenance job that was supposed to
+        # IMPROVE scans (Iceberg's rewrite keeps sort order the same way)
+        order = snap.get("sort_order")
+        packed = (
+            src.repartitionByRange(n_out, *order).sortWithinPartitions(*order)
+            if order else src.repartition(n_out)
+        )
+        packed.write.mode("overwrite").parquet(str(data_dir))
 
         written = spark.read.parquet(str(data_dir))
         new_files = _new_file_entries(data_dir, data_rel, written)
@@ -415,6 +437,7 @@ class SnapshotCatalog:
                 "app_id": spark.sparkContext.applicationId,
                 "schema": parent["schema"] if parent else snap["schema"],
                 "row_count_added": 0,
+                "sort_order": (parent or snap).get("sort_order"),
                 "files": [f for f in pfiles if f["path"] not in small_paths]
                 + new_files,
             }
@@ -556,6 +579,7 @@ class SnapshotCatalog:
                 "app_id": spark.sparkContext.applicationId,
                 "schema": schema,
                 "row_count_added": rows_added,
+                "sort_order": (parent or snap).get("sort_order"),
                 "files": [f for f in pfiles if f["path"] not in touched_set]
                 + new_files,
             }

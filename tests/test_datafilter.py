@@ -268,3 +268,27 @@ def test_legacy_manifest_without_stats_still_reads(spark, cat):
     assert cat.read(spark, "t", where="id = 1").count() == 1
     plan = cat.plan_files(spark, "t", "id = 1")
     assert plan["files_skipped"] == 0  # no stats -> no pruning, never an error
+
+
+def test_compaction_preserves_clustered_layout(spark, cat):
+    # 4 small clustered files -> compact into ~2 -> pruning must still skip:
+    # a plain repartition would interleave ranges and widen every bound
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.createDataFrame(
+            [(lo + i, "x" * 200) for i in range(1000)], "id bigint, v string")
+        cat.write(df, "t", cluster_by=["id"], cluster_files=1)
+    assert cat.current_snapshot("t")["sort_order"] == ["id"]
+
+    before = cat.plan_files(spark, "t", "id < 1000")
+    assert before["files_skipped"] == 3
+    one_file = [f for f in cat.current_snapshot("t")["files"]][0]
+    res = cat.compact(spark, "t", target_file_bytes=2 * one_file["bytes"],
+                      small_file_bytes=10 * one_file["bytes"])
+    assert res["compacted"] and res["files_after"] < res["files_before"]
+
+    snap = cat.current_snapshot("t")
+    assert snap["sort_order"] == ["id"]  # declaration survives maintenance
+    after = cat.plan_files(spark, "t", "id < 1000")
+    assert after["files_total"] == res["files_after"]
+    assert after["files_skipped"] >= 1, snap["files"]
+    assert cat.read(spark, "t", where="id < 1000").count() == 1000
