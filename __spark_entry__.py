@@ -270,13 +270,54 @@ def _q13_vat_additivity(spark, sf):
 
 
 def _q14_exact_dedup(spark, sf):
-    """Exact dedup (training-data op): distinct normalized text."""
+    """Exact dedup (training-data op): distinct normalized text — run
+    through BOTH custom storage layouts so the driver value-checks them
+    end-to-end, not just pytest:
+
+    * stage 'exact'   — plain scan (the original query);
+    * stage 'catalog' — documents written to a SnapshotCatalog table
+      clustered on n_chars, read back via ``read(where=...)`` (manifest
+      min/max file skipping + residual filter: pruning must never change
+      results, only cost);
+    * stage 'bucketed' — documents and a slim dim co-bucketed on doc_id,
+      joined via bucketed_join (the shuffle-free co-located path).
+    """
+    import os
+    import tempfile
+
+    from final_ocr_spark.sources.bucketed import bucketed_join, write_bucketed
+    from final_ocr_spark.sources.catalog import SnapshotCatalog
+
     d = _t(spark, sf, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return d.select(
-        F.count(F.lit(1)).alias("n_total"),
-        F.countDistinct(norm).alias("n_distinct"),
-    )
+
+    def agg(df, stage):
+        return df.select(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(
+                F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+            ).alias("n_distinct"),
+        )
+
+    exact = agg(d, "exact")
+
+    tmp = tempfile.mkdtemp(prefix="focr_q14_")
+    cat = SnapshotCatalog(os.path.join(tmp, "wh"))
+    cat.write(d, "docs", mode="overwrite", cluster_by=["n_chars"],
+              cluster_files=8)
+    pred = "n_chars >= 700 AND lang = 'en'"
+    catalog = agg(cat.read(spark, "docs", where=pred), "catalog")
+
+    dim = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "n_chars")
+    write_bucketed(d.select("doc_id", "text"), "q14_docs_b", ["doc_id"], 8,
+                   path=os.path.join(tmp, "docs_b"))
+    write_bucketed(dim, "q14_dim_b", ["doc_id"], 8,
+                   path=os.path.join(tmp, "dim_b"))
+    joined = bucketed_join(spark, "q14_docs_b", "q14_dim_b", on=["doc_id"])
+    bucketed = agg(joined, "bucketed")
+
+    return exact.unionByName(catalog).unionByName(bucketed).orderBy("stage")
 
 
 def _q15_token_quality(spark, sf):
@@ -417,13 +458,24 @@ def _q21_extract_pages(spark, sf):
 def _q22_doc_fingerprint(spark, sf):
     """Document fingerprinting: content hash of normalized text + length
     bucket. MD5 (not xxhash64) so the fingerprint is engine-independent and
-    the oracle can verify actual hash values — round 1 had no oracle here."""
+    the oracle can verify actual hash values — round 1 had no oracle here.
+    ``bpe_rt_md5`` drives the full BPE tokenizer path (corpus-trained
+    merges → Arrow-batched encode → codegen decode) end-to-end: the
+    decode of the encode must equal the canonical pre-tokenized view of
+    the text, which the oracle rebuilds with pure string SQL — so the
+    whole train/encode/decode pipeline is value-checked, not just its
+    row count."""
+    from final_ocr_spark.operators.bpe import bpe_decode, bpe_encode, train_bpe
+
     d = _t(spark, sf, "documents")
+    merges = train_bpe(d, n_merges=48)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    rt = bpe_decode(bpe_encode(F.col("text"), merges))
     return d.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("fingerprint"),
         F.floor(F.length(norm) / 100).cast("long").alias("len_bucket"),
+        F.md5(rt.cast("binary")).alias("bpe_rt_md5"),
     )
 
 
@@ -772,14 +824,29 @@ def _q38_dedup_clusters(spark, sf):
     default is equivalence-pinned against it in tests/test_dedup.py."""
     from final_ocr_spark.operators.dedup import dedup_clusters
 
-    pairs = _verified_near_dup_pairs(_mutated_corpus(spark, sf)).select(
-        "key_a", "key_b"
-    )
+    from final_ocr_spark.operators.dedup import keep_cluster_representatives
+
+    corpus = _mutated_corpus(spark, sf)
+    pairs = _verified_near_dup_pairs(corpus).select("key_a", "key_b")
     clusters = dedup_clusters(pairs, algorithm="star")
-    return clusters.select(
+    base = clusters.select(
+        F.lit("cluster").alias("stage"),
         F.col("key").alias("doc_id"), "cluster_id",
         (F.col("key") == F.col("cluster_id")).alias("is_representative"),
-    ).orderBy("doc_id")
+    )
+    # stage 'kept': the production keep-BEST rule — representative is the
+    # highest-quality member (quality = text length, so the untruncated
+    # original always beats its planted copy), losers left-anti'd off the
+    # corpus; unclustered docs pass through untouched.
+    kept = keep_cluster_representatives(
+        corpus.withColumn("_q", F.length("text")), clusters,
+        key="doc_id", quality_col="_q",
+    ).select(
+        F.lit("kept").alias("stage"), "doc_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("boolean").alias("is_representative"),
+    )
+    return base.unionByName(kept).orderBy("stage", "doc_id")
 
 
 def _rep_corpus(spark, sf):
@@ -844,26 +911,57 @@ def _q40_c4_clean(spark, sf):
 
 
 def _q41_source_cap(spark, sf):
-    """Per-source document cap (C4/RefinedWeb per-domain cap, batch form)
-    via the skew-safe two-phase salted window — output identical to the
-    naive single-window plan, largest sort bounded by group/salts."""
-    from final_ocr_spark.operators.sampling import stratified_cap
+    """Two mixture-shaping passes as stage rows: ``cap`` = per-source
+    document cap (C4/RefinedWeb per-domain cap) via the skew-safe two-phase
+    salted window — output identical to the naive single-window plan,
+    largest sort bounded by group/salts; ``temp`` = temperature mixture
+    sampling (XLM/mT5 alpha-sampling, alpha=0.5 — exactly representable,
+    IEEE sqrt is correctly rounded in both engines) reweighting languages
+    by sqrt of their corpus share with the md5 keep rule."""
+    from final_ocr_spark.operators.sampling import (
+        stratified_cap,
+        temperature_mixture,
+    )
 
     d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
     capped = stratified_cap(
         d, "source", ["n_chars", "doc_id"], 7, salt_buckets=8, salt_key="doc_id"
+    ).select(
+        F.lit("cap").alias("stage"), "doc_id",
+        F.col("source").alias("grp"), "n_chars",
     )
-    return capped.orderBy("source", "doc_id")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    temp = temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, salt="t41"
+    ).select(
+        F.lit("temp").alias("stage"), "doc_id",
+        F.col("lang").alias("grp"), "n_chars",
+    )
+    return capped.unionByName(temp).orderBy("stage", "doc_id")
 
 
 def _q42_deterministic_sample(spark, sf):
-    """Reproducible corpus sampling: keep decision is md5(salt||key) — a
-    pure function of the key, identical across engines, reruns, and
-    partitionings (unlike df.sample)."""
-    from final_ocr_spark.operators.sampling import deterministic_sample
+    """Reproducible corpus sampling + train/val/test split + training-order
+    shuffle key: every keep/assign decision is md5(salt||key) — a pure
+    function of the key, identical across engines, reruns, and
+    partitionings (unlike df.sample). The split is disjoint/exhaustive by
+    construction and the shuffle key gives the standard reproducible
+    pre-training global shuffle without RNG state."""
+    from final_ocr_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+        shuffle_order,
+    )
 
     d = _t(spark, sf, "documents").select("doc_id", "lang")
-    return deterministic_sample(d, "doc_id", 0.25, salt="s42").orderBy("doc_id")
+    s = deterministic_sample(d, "doc_id", 0.25, salt="s42")
+    s = deterministic_split(
+        s, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s42s"
+    )
+    return s.select(
+        "doc_id", "lang", "split",
+        shuffle_order("doc_id", salt="s42o").alias("shuffle_key"),
+    ).orderBy("doc_id")
 
 
 def _q43_pii_redact(spark, sf):
@@ -902,16 +1000,67 @@ def _q44_sequence_packing(spark, sf):
     """Training-chunk packing layout: global exclusive prefix sum of token
     counts via the two-pass range-partition form (no single global window),
     then integer chunk/position mapping at budget=512."""
-    from final_ocr_spark.operators.packing import pack_sequences
+    from final_ocr_spark.operators.packing import (
+        chunk_taint,
+        pack_chunks,
+        pack_sequences,
+    )
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
-    d = d.select("doc_id", toks.cast("long").alias("n_tokens"))
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    layout = (
+        pack_sequences(
+            d.select("doc_id", F.size(words).cast("long").alias("n_tokens")),
+            "doc_id", "n_tokens", budget=512,
+        )
+        .select(
+            F.lit("doc").alias("stage"), F.col("doc_id").alias("k"),
+            "n_tokens", "offset", "chunk_id", "pos_in_chunk", "n_chunks",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("string").alias("ids_md5"),
+        )
+    )
+    # stage 'chunk': the MATERIALIZED layout — token-id arrays (word
+    # lengths as deterministic ids + eos 0) packed into 256-token training
+    # chunks with provenance spans; the md5 of the comma-joined ids checks
+    # every token id and its position against the oracle's replication
+    docs_ids = d.select(
+        "doc_id", F.transform(words, lambda w: F.length(w)).alias("input_ids")
+    )
+    chunks = pack_chunks(
+        docs_ids, "doc_id", "input_ids", budget=256, eos_id=0,
+        provenance=True,
+    )
+    chunk_rows = chunks.select(
+        F.lit("chunk").alias("stage"), F.col("chunk_id").alias("k"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("long").alias("pos_in_chunk"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        "n_docs",
+        F.md5(
+            F.array_join(
+                F.transform("input_ids", lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("ids_md5"),
+    )
+    # stage 'taint': the takedown audit — chunks containing >=1 token from
+    # the opt-out keys, found from provenance without re-packing
+    keys = d.select("doc_id").filter(F.col("doc_id") % 97 == 0)
+    taint_rows = chunk_taint(chunks, keys).select(
+        F.lit("taint").alias("stage"), F.col("chunk_id").alias("k"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("long").alias("chunk_id"),
+        F.lit(None).cast("long").alias("pos_in_chunk"),
+        F.lit(None).cast("long").alias("n_chunks"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("string").alias("ids_md5"),
+    )
     return (
-        pack_sequences(d, "doc_id", "n_tokens", budget=512)
-        .select("doc_id", "n_tokens", "offset", "chunk_id",
-                "pos_in_chunk", "n_chunks")
-        .orderBy("doc_id")
+        layout.unionByName(chunk_rows).unionByName(taint_rows)
+        .orderBy("stage", "k")
     )
 
 
@@ -919,23 +1068,48 @@ def _q45_decontaminate(spark, sf):
     """Benchmark decontamination (GPT-3/Llama 13-gram collision rule): the
     benchmark is a planted 20-word verbatim span from every 50th document;
     every doc sharing a 13-gram with it is flagged with its hit count."""
-    from final_ocr_spark.operators.decontaminate import contaminated_keys
+    from final_ocr_spark.operators.decontaminate import (
+        contaminated_keys,
+        contamination_report,
+    )
     from final_ocr_spark.operators.dedup import sketch_words
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
     words = sketch_words("text")
-    bench = (
+    base = (
         d.withColumn("_ws", words)
         .filter((F.col("doc_id") % 50 == 0) & (F.size("_ws") >= 29))
-        .select(
-            (F.col("doc_id") + 500000).alias("doc_id"),
-            F.array_join(F.slice("_ws", 10, 20), " ").alias("text"),
-        )
     )
-    return (
-        contaminated_keys(d, bench, n=13)
-        .orderBy("doc_id")
+    bench = base.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.slice("_ws", 10, 20), " ").alias("text"),
     )
+    # contamination-free control docs: same shape, every word zz-prefixed
+    # (no corpus word starts with 'zz'), so the per-bench-doc report has
+    # both hit_ratio=1.0 and hit_ratio=0.0 rows to discriminate
+    clean = base.select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.slice("_ws", 10, 20), lambda w: F.concat(F.lit("zz"), w)
+            ),
+            " ",
+        ).alias("text"),
+    )
+    bench_all = bench.unionByName(clean)
+    flagged = contaminated_keys(d, bench_all, n=13).select(
+        F.lit("doc").alias("stage"), "doc_id", "n_hits",
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_grams_hit"),
+        F.lit(None).cast("long").alias("n_corpus_docs"),
+        F.lit(None).cast("double").alias("hit_ratio"),
+    )
+    report = contamination_report(d, bench_all, n=13).select(
+        F.lit("bench").alias("stage"), "doc_id",
+        F.lit(None).cast("long").alias("n_hits"),
+        "n_grams", "n_grams_hit", "n_corpus_docs", "hit_ratio",
+    )
+    return flagged.unionByName(report).orderBy("stage", "doc_id")
 
 
 def _q46_vocab_stats(spark, sf):
@@ -1360,9 +1534,21 @@ def oracle_sql() -> dict[str, str]:
                               FROM lineitem)))
         """,
         "q14_exact_dedup": """
-            SELECT count(*) AS n_total,
+            SELECT 'exact' AS stage, count(*) AS n_total,
                    count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_distinct
             FROM documents
+            UNION ALL
+            -- catalog read(where=...): manifest file skipping is advisory,
+            -- results must equal a plain filtered scan
+            SELECT 'catalog', count(*),
+                   count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g')))
+            FROM documents WHERE n_chars >= 700 AND lang = 'en'
+            UNION ALL
+            -- bucketed co-located join == plain join on the same keys
+            SELECT 'bucketed', count(*),
+                   count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g')))
+            FROM documents WHERE doc_id % 3 = 0
+            ORDER BY stage
         """,
         "q15_token_quality": """
             SELECT lang, count(*) AS n_docs,
@@ -1462,8 +1648,16 @@ def oracle_sql() -> dict[str, str]:
                   greatest(len(list_distinct(list_concat(n.g, h.g))), 1) >= 0.85
         """,
         "q22_doc_fingerprint": """
-            SELECT doc_id, md5(norm) AS fingerprint, length(norm) // 100 AS len_bucket
-            FROM (SELECT doc_id,
+            -- bpe_rt_md5: BPE decode(encode(text)) == the canonical
+            -- pre-tokenized view — lowercase, digit/punct runs spaced out,
+            -- whitespace collapsed to single spaces (bpe.py round-trip
+            -- contract), rebuilt here with pure string SQL
+            SELECT doc_id, md5(norm) AS fingerprint, length(norm) // 100 AS len_bucket,
+                   md5(trim(regexp_replace(
+                         regexp_replace(lower(text), '([0-9]+|[^\\w\\s]+)',
+                                        ' \\1 ', 'g'),
+                         '\\s+', ' ', 'g'))) AS bpe_rt_md5
+            FROM (SELECT doc_id, text,
                          lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
                   FROM documents)
         """,
@@ -1659,9 +1853,30 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.n
             )
-            SELECT n AS doc_id, MIN(r) AS cluster_id,
-                   (n = MIN(r)) AS is_representative
-            FROM reach GROUP BY n ORDER BY doc_id
+            SELECT stage, doc_id, cluster_id, is_representative FROM (
+                WITH comp AS (
+                    SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+                ),
+                members AS (
+                    SELECT c.doc_id, c.cluster_id, length(t.text) AS q
+                    FROM comp c JOIN corpus t USING (doc_id)
+                ),
+                losers AS (
+                    SELECT doc_id FROM (
+                        SELECT doc_id, row_number() OVER (
+                            PARTITION BY cluster_id
+                            ORDER BY q DESC NULLS LAST, doc_id) AS rn
+                        FROM members) WHERE rn > 1
+                )
+                SELECT 'cluster' AS stage, doc_id, cluster_id,
+                       (doc_id = cluster_id) AS is_representative
+                FROM comp
+                UNION ALL
+                SELECT 'kept' AS stage, doc_id,
+                       CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+                FROM corpus
+                WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            ) ORDER BY stage, doc_id
         """,
         "q50_count_min": """
             WITH toks AS (
@@ -1783,6 +1998,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q45_decontaminate": """
+            -- stage 'doc': per-training-doc 13-gram hit counts (removal
+            -- flags); stage 'bench': per-benchmark-doc contamination
+            -- report (planted docs hit 100%, zz-prefixed controls 0%).
             WITH words AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(
@@ -1790,24 +2008,57 @@ def oracle_sql() -> dict[str, str]:
                          '\\s+'), w -> w != '') AS ws
                 FROM documents
             ),
-            bgrams AS (
-                SELECT DISTINCT g FROM (
-                    SELECT unnest([array_to_string(bw[i:i+12], ' ')
-                                   FOR i IN range(1, greatest(len(bw) - 11, 1))]) AS g
-                    FROM (SELECT ws[10:29] AS bw FROM words
-                          WHERE doc_id % 50 = 0 AND len(ws) >= 29)
-                )
+            bench AS (
+                SELECT doc_id + 500000 AS bk, ws[10:29] AS bw
+                FROM words WHERE doc_id % 50 = 0 AND len(ws) >= 29
+                UNION ALL
+                SELECT doc_id + 600000 AS bk,
+                       list_transform(ws[10:29], w -> 'zz' || w) AS bw
+                FROM words WHERE doc_id % 50 = 0 AND len(ws) >= 29
             ),
+            bgd AS (
+                SELECT DISTINCT bk, g FROM (
+                    SELECT bk,
+                           unnest([array_to_string(bw[i:i+12], ' ')
+                                   FOR i IN range(1, greatest(len(bw) - 11, 1))]) AS g
+                    FROM bench)
+            ),
+            bgrams AS (SELECT DISTINCT g FROM bgd),
             dg AS (
                 SELECT doc_id,
                        unnest([array_to_string(ws[i:i+12], ' ')
                                FOR i IN range(1, greatest(len(ws) - 11, 1))]) AS g
                 FROM words
+            ),
+            cg AS (SELECT DISTINCT doc_id AS ck, g FROM dg),
+            totals AS (
+                SELECT bk, CAST(count(*) AS BIGINT) AS n_grams
+                FROM bgd GROUP BY bk
+            ),
+            hits AS (
+                SELECT b.bk,
+                       CAST(count(DISTINCT b.g) AS BIGINT) AS n_grams_hit,
+                       CAST(count(DISTINCT c.ck) AS BIGINT) AS n_corpus_docs
+                FROM bgd b JOIN cg c USING (g) GROUP BY b.bk
             )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            SELECT 'doc' AS stage, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(NULL AS BIGINT) AS n_grams,
+                   CAST(NULL AS BIGINT) AS n_grams_hit,
+                   CAST(NULL AS BIGINT) AS n_corpus_docs,
+                   CAST(NULL AS DOUBLE) AS hit_ratio
             FROM dg JOIN bgrams USING (g)
             GROUP BY doc_id
-            ORDER BY doc_id
+            UNION ALL
+            SELECT 'bench' AS stage, t.bk AS doc_id,
+                   CAST(NULL AS BIGINT) AS n_hits,
+                   t.n_grams,
+                   coalesce(h.n_grams_hit, 0) AS n_grams_hit,
+                   coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+                   coalesce(h.n_grams_hit, 0) * 1.0 / greatest(t.n_grams, 1)
+                     AS hit_ratio
+            FROM totals t LEFT JOIN hits h USING (bk)
+            ORDER BY stage, doc_id
         """,
         "q46_vocab_stats": """
             WITH ex AS (
@@ -1831,11 +2082,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang, rank
         """,
         "q44_sequence_packing": """
-            WITH toks AS (
+            -- stage 'doc': the packing LAYOUT (prefix-sum offsets at
+            -- budget 512); stage 'chunk': the MATERIALIZED 256-token
+            -- chunks (ids = word lengths + eos 0, md5 over the joined id
+            -- string pins every token and position); stage 'taint': chunks
+            -- touching any doc_id % 97 == 0 document.
+            WITH wsx AS (
                 SELECT doc_id,
-                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                            w -> w != '')) AS BIGINT) AS n_tokens
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w != '') AS ws
                 FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM wsx
             ),
             offs AS (
                 SELECT doc_id, n_tokens,
@@ -1844,14 +2103,61 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                          0) AS BIGINT) AS "offset"
                 FROM toks
+            ),
+            ids AS (
+                SELECT doc_id, [length(w) FOR w IN ws] || [0] AS v
+                FROM wsx WHERE len(ws) > 0
+            ),
+            o2 AS (
+                SELECT doc_id, v, CAST(len(v) AS BIGINT) AS nt,
+                       CAST(coalesce(sum(len(v)) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS off
+                FROM ids
+            ),
+            segpre AS (
+                SELECT doc_id, v, off, nt,
+                       unnest(range(off // 256, (off + nt - 1) // 256 + 1))
+                         AS cid
+                FROM o2
+            ),
+            seg AS (
+                SELECT doc_id, cid,
+                       greatest(off, cid * 256) AS sg,
+                       v[(greatest(off, cid * 256) - off + 1)
+                         :(least(off + nt, (cid + 1) * 256) - off)] AS segl
+                FROM segpre
+            ),
+            chunks AS (
+                SELECT cid, flatten(list(segl ORDER BY sg)) AS flat,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM seg GROUP BY cid
+            ),
+            fullc AS (
+                SELECT cid, flat, n_docs FROM chunks WHERE len(flat) = 256
+            ),
+            taint AS (
+                SELECT DISTINCT s.cid
+                FROM seg s JOIN fullc f USING (cid)
+                WHERE s.doc_id % 97 = 0
             )
-            SELECT doc_id, n_tokens, "offset",
+            SELECT 'doc' AS stage, doc_id AS k, n_tokens, "offset",
                    "offset" // 512 AS chunk_id,
                    "offset" % 512 AS pos_in_chunk,
                    (greatest("offset" + n_tokens - 1, "offset") // 512)
-                     - ("offset" // 512) + 1 AS n_chunks
+                     - ("offset" // 512) + 1 AS n_chunks,
+                   CAST(NULL AS BIGINT) AS n_docs,
+                   CAST(NULL AS VARCHAR) AS ids_md5
             FROM offs
-            ORDER BY doc_id
+            UNION ALL
+            SELECT 'chunk', cid, 256, NULL, NULL, NULL, NULL, n_docs,
+                   md5(array_to_string(flat, ','))
+            FROM fullc
+            UNION ALL
+            SELECT 'taint', cid, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+            FROM taint
+            ORDER BY stage, k
         """,
         "q43_pii_redact": """
             WITH corpus AS (
@@ -1876,14 +2182,49 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q41_source_cap": """
-            SELECT doc_id, source, n_chars
+            -- stage 'cap': per-source top-7; stage 'temp': alpha=0.5
+            -- temperature sampling — share_g = sqrt(n_g)/T, budget =
+            -- min_g(n_g/share_g), keep-rate threshold = round(rate*65536)
+            -- compared against the md5 hex bucket (same arithmetic shape
+            -- as the Spark side; sqrt is correctly rounded in IEEE so the
+            -- thresholds agree bit-for-bit).
+            WITH n AS (
+                SELECT lang, CAST(count(*) AS DOUBLE) AS a
+                FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            tot AS (SELECT sum(sqrt(a)) AS t FROM n),
+            bud AS (SELECT min(a / (sqrt(a) / t)) AS b FROM n, tot),
+            thr AS (
+                SELECT lang,
+                       CAST(round(least(1.0, (sqrt(a) / t) * b / a) * 65536)
+                            AS INTEGER) AS th
+                FROM n, tot, bud
+            )
+            SELECT 'cap' AS stage, doc_id, source AS grp, n_chars
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY source ORDER BY n_chars, doc_id) <= 7
-            ORDER BY source, doc_id
+            UNION ALL
+            SELECT 'temp' AS stage, doc_id, lang AS grp, n_chars
+            FROM documents d JOIN thr USING (lang)
+            WHERE th >= 65536
+               OR substr(md5('t41' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < printf('%04x', th)
+            ORDER BY stage, doc_id
         """,
         "q42_deterministic_sample": """
-            SELECT doc_id, lang
+            -- split bounds: sorted names (test, train, val); cumulative
+            -- fractions 0.1/0.9/1.0 at 1/65536 resolution -> hex
+            -- thresholds 0x199a / 0xe666 / keep-all. 4-char lowercase hex
+            -- compares lexicographically == numerically.
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5('s42s' || CAST(doc_id AS VARCHAR)), 1, 4)
+                             < '199a' THEN 'test'
+                        WHEN substr(md5('s42s' || CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'e666' THEN 'train'
+                        ELSE 'val' END AS split,
+                   substr(md5('s42o' || CAST(doc_id AS VARCHAR)), 1, 16)
+                     AS shuffle_key
             FROM documents
             WHERE substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
             ORDER BY doc_id

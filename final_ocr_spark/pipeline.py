@@ -23,6 +23,9 @@ to a training-ready corpus, composed from the engine's tested operators.
                           scan-local Column exprs, zero extra shuffle
       2a. wordlist gate   optional flagged-token-ratio blocklist filter
                           (caller-supplied policy list) — scan-local
+      2a'. compression    optional zlib-ratio band gate (over-compressible
+                          template spam AND incompressible noise both
+                          fail) — Arrow batch stage, no shuffle
       3. PII redaction    email/IP/phone masking — scan-local
       4. exact dedup      fingerprint group-by (one shuffle of 8-byte keys)
       4a. host chrome     optional per-host frequent-line removal (nav/
@@ -121,6 +124,7 @@ def corpus_pipeline(
     c4_min_lines: int = 3,
     flagged_wordlist: list[str] | None = None,
     flagged_max_ratio: float = 0.01,
+    compression_band: tuple[float, float] | None = None,
     normalize_form: str | None = None,
     blocked_domains: DataFrame | list[str] | None = None,
     url_patterns: tuple[str, ...] = (),
@@ -278,6 +282,17 @@ def corpus_pipeline(
             docs, flagged_wordlist, text_col="text",
             max_ratio=flagged_max_ratio,
         )
+
+    # 2a'. compression band gate (optional): zlib ratio of a bounded text
+    # head must land in [lo, hi] — catches the repetitive/template tail
+    # (over-compressible) and the noise/encoded tail (incompressible) that
+    # the lexical features above can't see. Arrow batch stage, no shuffle;
+    # runs after the Column gates so the UDF only sees surviving rows.
+    if compression_band is not None:
+        from final_ocr_spark.operators.text_stats import compression_band_gate
+
+        lo, hi = compression_band
+        docs = compression_band_gate(docs, text_col="text", lo=lo, hi=hi)
 
     # 2b. model quality gate (optional): score with a trained hashed-n-gram
     # linear model (operators/classify.py) and keep score >= threshold.

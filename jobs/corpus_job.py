@@ -188,6 +188,10 @@ def _build_parser() -> argparse.ArgumentParser:
                          "--flagged-max-ratio (policy list is yours, never "
                          "baked in)")
     ap.add_argument("--flagged-max-ratio", type=float, default=0.01)
+    ap.add_argument("--compression-band", default=None, metavar="LO:HI",
+                    help="keep docs whose zlib compression ratio lies in "
+                         "[LO, HI] (e.g. 0.2:0.95) — drops over-compressible "
+                         "template spam and incompressible noise")
     return ap
 
 
@@ -335,6 +339,10 @@ def main() -> None:
                   if args.flagged_wordlist else None)),
         ("flagged_max_ratio", "flagged_max_ratio",
          lambda: args.flagged_max_ratio),
+        ("compression_band", "compression_band",
+         lambda: (tuple(float(x) for x in
+                        args.compression_band.split(":", 1))
+                  if args.compression_band else None)),
     ]
     if args.preset:
         from final_ocr_spark.presets import PRESETS, preset_kwargs
