@@ -188,6 +188,13 @@ def _build_parser() -> argparse.ArgumentParser:
                          "--flagged-max-ratio (policy list is yours, never "
                          "baked in)")
     ap.add_argument("--flagged-max-ratio", type=float, default=0.01)
+    ap.add_argument("--jsonl-output", default=None, metavar="DIR",
+                    help="also export the corpus as gzip JSONL shards with "
+                         "a checksummed manifest (the Dolma/FineWeb release "
+                         "layout); global row order is by url")
+    ap.add_argument("--jsonl-shards", type=int, default=None,
+                    help="pin the JSONL shard count (default: let the "
+                         "range exchange decide)")
     ap.add_argument("--compression-band", default=None, metavar="LO:HI",
                     help="keep docs whose zlib compression ratio lies in "
                          "[LO, HI] (e.g. 0.2:0.95) — drops over-compressible "
@@ -363,6 +370,16 @@ def main() -> None:
     corpus.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"corpus written: {args.output} rows={n}")
+    if args.jsonl_output:
+        from final_ocr_spark.sources.shards import write_jsonl_shards
+
+        rows_m = write_jsonl_shards(
+            spark.read.parquet(args.output), args.jsonl_output, "url",
+            num_shards=args.jsonl_shards,
+        )
+        recs = sum(m["records"] for m in rows_m)
+        print(f"jsonl shards written: {args.jsonl_output} records={recs} "
+              f"files={sum(1 for m in rows_m if m['file'])}")
     if args.wet_output:
         from final_ocr_spark.sources.warc import write_wet
 

@@ -69,6 +69,15 @@ def main() -> None:
                          "slice of the shuffled order) — omit for "
                          "chunk_id order")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--bin-output", default=None, metavar="DIR",
+                    help="also export the chunks as flat little-endian "
+                         "token-id shards (part-NNNNN.bin + index.json + "
+                         "checksummed manifest) — the memmap layout "
+                         "training loaders mount directly")
+    ap.add_argument("--bin-dtype", choices=["uint16", "uint32"],
+                    default="uint16",
+                    help="token width for --bin-output; ids that do not "
+                         "fit fail the job loudly (no silent wraparound)")
     args = ap.parse_args()
     if args.budget < 2:
         ap.error("--budget must be >= 2")
@@ -139,6 +148,34 @@ def main() -> None:
     v = spark.read.parquet(f"{out}/vocab").count()
     print(f"chunks written: {out}/chunks rows={n} budget={args.budget}")
     print(f"vocab written: {out}/vocab tokens={v}")
+    if args.bin_output:
+        # read back the just-written chunks: the bin export must reflect
+        # exactly what landed in parquet (including the shuffle order),
+        # and the re-read avoids re-running the whole tokenize plan.
+        # Padded short chunks are budget-length and export fine; with
+        # drop_last the final short chunk never reached parquet either.
+        from final_ocr_spark.sources.shards import write_token_shards
+
+        export = spark.read.parquet(f"{out}/chunks")
+        order = "chunk_id"
+        if args.shuffle_salt is not None:
+            # preserve the reproducible training-shuffle order in the
+            # byte layout (recompute the same key; it is a pure function
+            # of chunk_id + salt)
+            from final_ocr_spark.operators.sampling import shuffle_order
+
+            export = export.withColumn(
+                "_shuf", shuffle_order("chunk_id", args.shuffle_salt)
+            )
+            order = "_shuf"
+        rows = write_token_shards(
+            export, args.bin_output,
+            budget=args.budget, dtype=args.bin_dtype, order_col=order,
+        )
+        tot = sum(m["chunks"] for m in rows)
+        print(f"bin shards written: {args.bin_output} chunks={tot} "
+              f"dtype={args.bin_dtype} "
+              f"files={sum(1 for m in rows if m['file'])}")
     spark.stop()
 
 

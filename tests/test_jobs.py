@@ -480,3 +480,73 @@ def test_corpus_job_temperature_and_keep_best_flags(tmp_path):
     assert langs[1] > 0
     # the reweighting is a strict down-sample of a multi-lang corpus
     assert langs[0] >= 2
+
+
+def test_pack_job_bin_export(tmp_path):
+    """--bin-output exports memmap token shards whose bytes reproduce the
+    parquet chunks exactly (uint16 little-endian, budget-length rows)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/pack_job.py",
+         "--synthetic", "120", "--output", str(tmp_path / "packed"),
+         "--budget", "64", "--n-merges", "80", "--pad",
+         "--bin-output", str(tmp_path / "bin")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "bin shards written" in out.stdout
+
+    import duckdb
+    import numpy as np
+
+    idx = json.load(open(tmp_path / "bin" / "index.json"))
+    assert idx["budget"] == 64 and idx["dtype"] == "uint16"
+    flat = []
+    for entry in idx["files"]:
+        arr = np.fromfile(tmp_path / "bin" / entry["file"], dtype="<u2")
+        flat.extend(arr.reshape(-1, 64).tolist())
+    expected = duckdb.sql(
+        f"SELECT input_ids FROM '{tmp_path}/packed/chunks/*.parquet' "
+        f"ORDER BY chunk_id"
+    ).fetchall()
+    assert flat == [list(ids) for (ids,) in expected]
+
+
+def test_corpus_job_jsonl_export(tmp_path):
+    """--jsonl-output writes gzip JSONL release shards that round-trip to
+    the parquet corpus, with a checksummed manifest and _SUCCESS."""
+    import gzip
+    import hashlib
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py",
+         "--synthetic", "150", "--output", str(tmp_path / "corpus"),
+         "--no-near-dup", "--min-quality", "0", "--no-gopher",
+         "--jsonl-output", str(tmp_path / "jsonl"), "--jsonl-shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "jsonl shards written" in out.stdout
+    assert (tmp_path / "jsonl" / "_SUCCESS").exists()
+
+    import duckdb
+
+    manifest = json.load(open(tmp_path / "jsonl" / "manifest.json"))
+    urls = []
+    for m in manifest:
+        if not m["file"]:
+            continue
+        blob = open(m["file"], "rb").read()
+        assert hashlib.sha256(blob).hexdigest() == m["sha256"]
+        for ln in gzip.decompress(blob).decode("utf-8").splitlines():
+            urls.append(json.loads(ln)["url"])
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{tmp_path}/corpus/*.parquet'"
+    ).fetchone()[0]
+    assert len(urls) == n and urls == sorted(urls)
