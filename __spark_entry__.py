@@ -302,7 +302,14 @@ def _q14_exact_dedup(spark, sf):
 
     exact = agg(d, "exact")
 
-    tmp = tempfile.mkdtemp(prefix="focr_q14_")
+    # deterministic scratch dir per sf (NOT mkdtemp): repeated gate runs
+    # overwrite in place instead of leaking a fresh corpus copy each call,
+    # and the sf-suffixed table names keep a still-lazy DataFrame from one
+    # sf from being repointed by a later build at another sf
+    import hashlib
+
+    tag = hashlib.md5(sf.encode("utf-8")).hexdigest()[:8]
+    tmp = os.path.join(tempfile.gettempdir(), f"focr_q14_{tag}")
     cat = SnapshotCatalog(os.path.join(tmp, "wh"))
     cat.write(d, "docs", mode="overwrite", cluster_by=["n_chars"],
               cluster_files=8)
@@ -310,11 +317,12 @@ def _q14_exact_dedup(spark, sf):
     catalog = agg(cat.read(spark, "docs", where=pred), "catalog")
 
     dim = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "n_chars")
-    write_bucketed(d.select("doc_id", "text"), "q14_docs_b", ["doc_id"], 8,
-                   path=os.path.join(tmp, "docs_b"))
-    write_bucketed(dim, "q14_dim_b", ["doc_id"], 8,
+    write_bucketed(d.select("doc_id", "text"), f"q14_docs_b_{tag}",
+                   ["doc_id"], 8, path=os.path.join(tmp, "docs_b"))
+    write_bucketed(dim, f"q14_dim_b_{tag}", ["doc_id"], 8,
                    path=os.path.join(tmp, "dim_b"))
-    joined = bucketed_join(spark, "q14_docs_b", "q14_dim_b", on=["doc_id"])
+    joined = bucketed_join(spark, f"q14_docs_b_{tag}", f"q14_dim_b_{tag}",
+                           on=["doc_id"])
     bucketed = agg(joined, "bucketed")
 
     return exact.unionByName(catalog).unionByName(bucketed).orderBy("stage")
@@ -470,7 +478,14 @@ def _q22_doc_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     merges = train_bpe(d, n_merges=48)
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    rt = bpe_decode(bpe_encode(F.col("text"), merges))
+    # ASCII-project the round-trip input: the engine's pre-tokenizer uses
+    # Java's (?U) Unicode \w while DuckDB's RE2 \w is ASCII-only, so a
+    # future non-ASCII corpus refresh would silently diverge the oracle.
+    # The full Unicode round-trip stays pinned by tests/test_bpe.py.
+    rt = bpe_decode(
+        bpe_encode(F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", " "),
+                   merges)
+    )
     return d.select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("fingerprint"),
@@ -1654,8 +1669,9 @@ def oracle_sql() -> dict[str, str]:
             -- contract), rebuilt here with pure string SQL
             SELECT doc_id, md5(norm) AS fingerprint, length(norm) // 100 AS len_bucket,
                    md5(trim(regexp_replace(
-                         regexp_replace(lower(text), '([0-9]+|[^\\w\\s]+)',
-                                        ' \\1 ', 'g'),
+                         regexp_replace(
+                           lower(regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g')),
+                           '([0-9]+|[^\\w\\s]+)', ' \\1 ', 'g'),
                          '\\s+', ' ', 'g'))) AS bpe_rt_md5
             FROM (SELECT doc_id, text,
                          lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm

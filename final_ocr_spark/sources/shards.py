@@ -85,22 +85,54 @@ def _finish(out_dir: str, rows: list[dict], sink_name: str,
 
 
 def _json_cell(v):
-    """Canonical JSON value for one cell: numpy scalars/arrays → Python,
-    timestamps → ISO-8601, NaN → null. Binary columns are rejected before
+    """Canonical JSON value for one cell of an Arrow ``to_pylist`` row:
+    timestamps/dates → ISO-8601, Decimal → string (lossless), NaN/±inf →
+    null (JSON has no representation), lists/structs recurse. Ints arrive
+    as Python ints (the Arrow path never pandas-promotes a nullable int64
+    column to float64). Binary columns are rejected — recursively — before
     the job starts (see write_jsonl_shards)."""
+    import datetime
+    import decimal
+    import math
+
     if v is None:
         return None
-    if isinstance(v, float) and v != v:  # NaN
-        return None
-    if isinstance(v, pd.Timestamp):
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, datetime.datetime):
+        # timestamps arrive session-zoned from Arrow; canonicalize to UTC
+        # 'Z' so shard bytes don't depend on the writer's timezone
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc)
+            return v.isoformat().replace("+00:00", "Z")
         return v.isoformat()
-    if hasattr(v, "tolist"):  # numpy scalar or array
-        v = v.tolist()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, list):
         return [_json_cell(x) for x in v]
     if isinstance(v, dict):
         return {k: _json_cell(x) for k, x in v.items()}
     return v
+
+
+def _reject_binary(dt, name: str) -> None:
+    """Recursive BinaryType check: nested binary would reach json.dumps as
+    bytes and crash mid-task — fail before the job starts instead."""
+    if isinstance(dt, T.BinaryType):
+        raise TypeError(
+            f"column {name!r} is (or contains) binary — JSONL shards carry "
+            "text metadata; decode or drop binary payloads first"
+        )
+    if isinstance(dt, T.ArrayType):
+        _reject_binary(dt.elementType, f"{name}[]")
+    elif isinstance(dt, T.MapType):
+        _reject_binary(dt.keyType, f"{name}<key>")
+        _reject_binary(dt.valueType, f"{name}<value>")
+    elif isinstance(dt, T.StructType):
+        for f_ in dt.fields:
+            _reject_binary(f_.dataType, f"{name}.{f_.name}")
 
 
 def write_jsonl_shards(
@@ -117,22 +149,30 @@ def write_jsonl_shards(
     the exact layout ``spark.read.json`` and every JSONL loader ingest.
 
     ``order_col`` must be unique per row (url, doc key, or a shuffle_order
-    column): it defines the global row order across shards and makes the
-    output byte-deterministic under reruns and repartitioning.
+    column): it defines the global ROW order across shards, which is
+    always identical under reruns and repartitioning. Per-FILE bytes (and
+    so the manifest sha256s) are additionally identical whenever the range
+    bounds are reproduced — always true for task retries/speculation
+    within a run (same bounds), and across runs when the input
+    partitioning and ``num_shards`` are unchanged; a different upstream
+    partitioning can shift RangePartitioner's sampled cut points, moving
+    rows between adjacent shards without changing content or order.
     ``num_shards`` pins the shard count (else the current partitioning
-    decides — at scale let AQE size the range exchange instead)."""
+    decides — at scale let AQE size the range exchange instead).
+
+    The write path is Arrow-native (``mapInArrow``): a pandas hop would
+    promote nullable int64 columns to float64 and serialize ids as
+    ``7.0`` — ints stay ints, nulls stay nulls, timestamps/dates arrive
+    as datetime objects and land as ISO-8601 strings."""
     for f_ in df.schema.fields:
-        if isinstance(f_.dataType, T.BinaryType):
-            raise TypeError(
-                f"column {f_.name!r} is binary — JSONL shards carry text "
-                "metadata; decode or drop binary payloads first"
-            )
+        _reject_binary(f_.dataType, f_.name)
     cols = df.columns
     args = ([num_shards] if num_shards else []) + [order_col]
     slim = df.repartitionByRange(*args).sortWithinPartitions(order_col)
     os.makedirs(out_dir, exist_ok=True)
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _write(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -142,8 +182,8 @@ def write_jsonl_shards(
         n = 0
         raw = hf = gz = None
         try:
-            for pdf in batches:
-                if not len(pdf):
+            for batch in batches:
+                if not batch.num_rows:
                     continue
                 if gz is None:
                     raw = open(tmp, "wb")
@@ -151,24 +191,24 @@ def write_jsonl_shards(
                     # mtime=0 + no filename → compressed bytes are a pure
                     # function of content (rerun determinism)
                     gz = gzip.GzipFile(fileobj=hf, mode="wb", mtime=0)
-                for row in pdf.itertuples(index=False):
-                    obj = {c: _json_cell(v) for c, v in zip(cols, row)}
+                for rec in batch.to_pylist():
+                    obj = {c: _json_cell(rec[c]) for c in cols}
                     gz.write(
                         (json.dumps(obj, ensure_ascii=False,
                                     separators=(",", ":")) + "\n")
                         .encode("utf-8")
                     )
-                n += len(pdf)
+                n += batch.num_rows
             if gz is not None:
                 gz.close()
                 gz = None
                 raw.close()
                 raw = None
                 os.replace(tmp, final)
-                yield pd.DataFrame(
-                    [(final, n, hf.nbytes, hf.sha.hexdigest())],
-                    columns=["file", "records", "bytes", "sha256"],
-                )
+                yield pa.RecordBatch.from_pylist([{
+                    "file": final, "records": n,
+                    "bytes": hf.nbytes, "sha256": hf.sha.hexdigest(),
+                }])
         finally:
             if gz is not None:
                 gz.close()
@@ -179,7 +219,7 @@ def write_jsonl_shards(
 
     rows = [
         r.asDict()
-        for r in slim.mapInPandas(
+        for r in slim.mapInArrow(
             _write, schema="file string, records long, bytes long, sha256 string"
         ).collect()  # bounded: <= one row per partition
     ]

@@ -597,27 +597,12 @@ def _partitioned_warc_write(
         _write, schema="file string, records long, skipped long, bytes long"
     ).collect()  # bounded: <= one row per partition
     rows = [r.asDict() for r in manifest]
-    # loud shared-filesystem check: tasks wrote with plain open(), so on a
-    # cluster without a shared mount the parts landed on executor-local
-    # disks — every manifest file must be visible from the driver BEFORE
-    # _SUCCESS certifies the directory complete
-    missing = [
-        m["file"] for m in rows if m["file"] and not os.path.exists(m["file"])
-    ]
-    if missing:
-        raise RuntimeError(
-            f"{sink_name}: {len(missing)} part file(s) not visible from the "
-            f"driver (first: {missing[0]}) — out_dir must be a filesystem "
-            "shared by driver and executors (local mode, NFS); object "
-            "stores / hdfs:// URIs are not supported by this sink"
-        )
-    import json
+    # shared commit tail (sources/shards.py): loud driver-visibility check
+    # (tasks wrote with plain open(), so without a shared mount the parts
+    # landed on executor-local disks), then manifest.json + _SUCCESS
+    from final_ocr_spark.sources.shards import _finish
 
-    with open(os.path.join(out_dir, "manifest.json"), "w", encoding="utf-8") as f:
-        json.dump(rows, f, indent=1)
-    with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8"):
-        pass
-    return rows
+    return _finish(out_dir, rows, sink_name)
 
 
 def write_warc(

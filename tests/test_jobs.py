@@ -550,3 +550,18 @@ def test_corpus_job_jsonl_export(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/corpus/*.parquet'"
     ).fetchone()[0]
     assert len(urls) == n and urls == sorted(urls)
+
+
+def test_corpus_job_rejects_malformed_compression_band(tmp_path):
+    """A band missing its HI bound must die as an argparse error naming the
+    expected LO:HI form — before any Spark session exists."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py", "--synthetic", "5",
+         "--output", str(tmp_path / "c"), "--compression-band", "0.7"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 2
+    assert "LO:HI" in out.stderr

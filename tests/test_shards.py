@@ -128,3 +128,39 @@ def test_token_shards_reject_wrong_budget_and_overflow(spark, tmp_path):
     )
     with pytest.raises(Exception, match="does not fit"):
         write_token_shards(big, str(tmp_path / "y"), budget=16)
+
+
+def test_jsonl_preserves_ints_and_temporal_types(spark, tmp_path):
+    """The Arrow-native path must not pandas-promote nullable int64 to
+    float64 (2^53+1 is unrepresentable in float64 — the id-corruption
+    scenario), and must land timestamps/dates as ISO-8601, Decimals as
+    lossless strings, nulls as JSON null."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    out = str(tmp_path / "typ")
+    df = spark.createDataFrame(
+        [(1, None, datetime(2024, 5, 1, 12, 0, 0), date(2024, 5, 1),
+          Decimal("1.50")),
+         (2, 9007199254740993, None, None, None)],
+        "k long, big long, ts timestamp, d date, amt decimal(10,2)",
+    )
+    rows = write_jsonl_shards(df, out, "k", num_shards=1)
+    f = next(m["file"] for m in rows if m["file"])
+    lines = gzip.decompress(open(f, "rb").read()).decode("utf-8").splitlines()
+    a, b = (json.loads(ln) for ln in lines)
+    assert a["k"] == 1 and b["k"] == 2
+    assert a["big"] is None
+    assert b["big"] == 9007199254740993  # int, not 9.007199254740992e+15
+    assert a["ts"] == "2024-05-01T12:00:00Z" and b["ts"] is None
+    assert a["d"] == "2024-05-01" and b["d"] is None
+    assert a["amt"] == "1.50" and b["amt"] is None
+
+
+def test_jsonl_rejects_nested_binary(spark, tmp_path):
+    df = spark.range(2).select(
+        "id",
+        F.array(F.col("id").cast("string").cast("binary")).alias("blobs"),
+    )
+    with pytest.raises(TypeError, match="binary"):
+        write_jsonl_shards(df, str(tmp_path / "x"), "id")
