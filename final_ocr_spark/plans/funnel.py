@@ -1,0 +1,113 @@
+"""Gate-funnel report: per-gate drop counts for the pipeline's scan-local
+quality gates, in ONE pass over the corpus.
+
+Production filtering pipelines publish their retention funnel (how many
+documents each gate removed — the table every FineWeb/Dolma-style dataset
+card carries); without it a gate that silently eats 40% of a crawl looks
+identical to one that eats 0.4%. This module computes, for the SAME gate
+definitions `pipeline.corpus_pipeline` applies:
+
+* ``n_failed_any``   — docs failing the gate regardless of order (each
+  gate judged independently — the overlap view);
+* ``n_failed_first`` — docs whose FIRST failing gate, in pipeline order,
+  is this one (attribution view: columns sum to total − kept);
+* ``remaining``      — corpus size after applying gates cumulatively in
+  pipeline order.
+
+Scale shape: every gate is a Column expression (plus the optional
+Arrow-batched compression ratio), so the whole funnel is ONE aggregation
+of 2×G+1 sums fused into the corpus scan — no shuffle, no per-gate jobs,
+no second pass. The G-row result frame is assembled driver-side from that
+single collected row (O(#gates), not O(corpus)).
+
+The funnel is a REPORT on gate behavior, deliberately limited to the
+scan-local gates (lang / quality / gopher / wordlist / compression):
+dedup-family stages are corpus-relative (a doc "fails" only relative to
+which other docs exist) and their removal counts already surface through
+the pipeline's own outputs and the dataset card.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gate_funnel(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lang_allow: tuple[str, ...] | list[str] | None = None,
+    min_quality: float | None = 50.0,
+    gopher: bool = True,
+    flagged_wordlist: list[str] | None = None,
+    flagged_max_ratio: float = 0.01,
+    compression_band: tuple[float, float] | None = None,
+    extra_gates: dict[str, Column] | None = None,
+) -> DataFrame:
+    """One row per enabled gate, in pipeline order: ``(gate, n_failed_any,
+    n_failed_first, remaining)`` plus a trailing ``('kept', 0, 0, kept)``
+    row. ``extra_gates`` appends caller-supplied keep-predicates (name →
+    boolean Column) after the built-ins. NULL text fails every text gate
+    (no signal ≠ clean — the compression gate's convention)."""
+    from final_ocr_spark.operators.repetition import gopher_repetition_keep
+    from final_ocr_spark.operators.text_stats import (
+        compression_ratio_udf,
+        flagged_token_ratio,
+        quality_score,
+    )
+
+    text = F.col(text_col)
+    has_text = text.isNotNull() & (F.length(text) > 0)
+    gates: list[tuple[str, Column]] = []
+    if lang_allow is not None:
+        gates.append(("lang", F.col(lang_col).isin(*[str(x) for x in lang_allow])))
+    if min_quality is not None:
+        gates.append(
+            ("quality", has_text & (quality_score(text) >= F.lit(float(min_quality))))
+        )
+    if gopher:
+        gates.append(("gopher", has_text & gopher_repetition_keep(text)))
+    if flagged_wordlist is not None:
+        gates.append(
+            ("wordlist",
+             has_text
+             & (flagged_token_ratio(text, flagged_wordlist)
+                <= F.lit(float(flagged_max_ratio))))
+        )
+    if compression_band is not None:
+        lo, hi = compression_band
+        r = compression_ratio_udf()(text)
+        gates.append(
+            ("compression", r.isNotNull() & (r >= F.lit(lo)) & (r <= F.lit(hi)))
+        )
+    for name, keep in (extra_gates or {}).items():
+        gates.append((str(name), keep))
+    if not gates:
+        raise ValueError("no gates enabled — nothing to report")
+
+    # one aggregation: per gate, failed-any and failed-first sums. A NULL
+    # keep-verdict counts as failed (coalesce), matching filter semantics
+    # where a NULL predicate drops the row.
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    passed_so_far = F.lit(True)
+    for name, keep in gates:
+        failed = ~F.coalesce(keep, F.lit(False))
+        aggs.append(F.sum(failed.cast("long")).alias(f"_any_{name}"))
+        aggs.append(
+            F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{name}")
+        )
+        passed_so_far = passed_so_far & ~failed
+    row = docs.agg(*aggs).collect()[0]  # 1 row, 2G+1 cells
+
+    total = row["_total"]
+    out, remaining = [], total
+    for name, _ in gates:
+        first = row[f"_first_{name}"] or 0
+        remaining -= first
+        out.append((name, row[f"_any_{name}"] or 0, first, remaining))
+    out.append(("kept", 0, 0, remaining))
+    return docs.sparkSession.createDataFrame(
+        out, "gate string, n_failed_any long, n_failed_first long, remaining long"
+    )

@@ -54,6 +54,15 @@ def main() -> None:
     ap.add_argument("--dataset-card", default=None, metavar="PATH.md",
                     help="also render a markdown dataset card (+ .json) of "
                          "bounded corpus statistics at this path")
+    ap.add_argument("--funnel", action="store_true",
+                    help="also write funnel/ — per-gate drop counts "
+                         "(attribution + overlap + cumulative remaining) "
+                         "for the pipeline's scan-local quality gates, "
+                         "computed in one pass")
+    ap.add_argument("--funnel-min-quality", type=float, default=50.0)
+    ap.add_argument("--funnel-wordlist", default=None, metavar="FILE",
+                    help="one flagged token per line (wordlist gate row)")
+    ap.add_argument("--funnel-compression-band", default=None, metavar="LO:HI")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -110,6 +119,29 @@ def main() -> None:
     if args.tfidf_k:
         (tf_idf_top_terms(docs, args.key_col, args.text_col, k=args.tfidf_k)
          .write.mode("overwrite").parquet(str(out / "tfidf")))
+
+    if args.funnel:
+        from final_ocr_spark.plans.funnel import gate_funnel
+
+        band = (tuple(float(x) for x in
+                      args.funnel_compression_band.split(":"))
+                if args.funnel_compression_band else None)
+        wordlist = ([ln.strip() for ln in
+                     pathlib.Path(args.funnel_wordlist)
+                     .read_text().splitlines() if ln.strip()]
+                    if args.funnel_wordlist else None)
+        funnel = gate_funnel(
+            docs, text_col=args.text_col,
+            min_quality=args.funnel_min_quality,
+            gopher=True,
+            flagged_wordlist=wordlist,
+            compression_band=band,
+        )
+        funnel.coalesce(1).write.mode("overwrite").parquet(str(out / "funnel"))
+        for r in funnel.collect():
+            print(f"funnel: {r['gate']:<12} failed_any={r['n_failed_any']:<8} "
+                  f"failed_first={r['n_failed_first']:<8} "
+                  f"remaining={r['remaining']}")
 
     if args.dataset_card:
         from final_ocr_spark.sources.dataset_card import write_dataset_card

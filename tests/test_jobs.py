@@ -565,3 +565,38 @@ def test_corpus_job_rejects_malformed_compression_band(tmp_path):
     )
     assert out.returncode == 2
     assert "LO:HI" in out.stderr
+
+
+def test_stats_job_funnel(tmp_path):
+    """--funnel writes the per-gate retention table and prints one line per
+    gate plus the kept row."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/stats_job.py", "--synthetic", "120",
+         "--output", str(tmp_path / "stats"), "--top-k", "5",
+         "--counters", "500", "--funnel", "--funnel-min-quality", "50",
+         "--funnel-compression-band", "0.05:0.95"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("funnel:")]
+    gates = [ln.split()[1] for ln in lines]
+    assert gates == ["quality", "gopher", "compression", "kept"]
+
+    import duckdb
+
+    got = {g: (ff, rem) for g, ff, rem in duckdb.sql(
+        f"SELECT gate, n_failed_first, remaining "
+        f"FROM '{tmp_path}/stats/funnel/*.parquet'"
+    ).fetchall()}
+    # cumulative invariant: each gate's remaining drops by exactly its
+    # first-fail count, ending at the kept row
+    order = ["quality", "gopher", "compression"]
+    n_docs = got[order[0]][1] + got[order[0]][0]  # remaining + first = total
+    rem = n_docs
+    for g in order:
+        rem -= got[g][0]
+        assert got[g][1] == rem
+    assert got["kept"][1] == rem and got["kept"][0] == 0
