@@ -120,6 +120,65 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         warm[name] = round(time.monotonic() - t0, 3)
 
+    # round-4 operator extras: timed separately and NOT folded into `value`
+    # (keeps the headline total r1–r3-comparable); one cold pass each over
+    # the sf documents table — the new-operator cost record the per-round
+    # BENCH json would otherwise lack.
+    from pyspark.sql import functions as F
+
+    def _docs(spark):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def extra_pack(spark):
+        from final_ocr_spark.operators.packing import pack_chunks
+
+        words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        d = _docs(spark).select(
+            "doc_id", F.transform(words, lambda w: F.length(w)).alias("ids")
+        )
+        return pack_chunks(d, "doc_id", "ids", budget=1024, eos_id=0).count()
+
+    def extra_funnel(spark):
+        from final_ocr_spark.plans.funnel import gate_funnel
+
+        return gate_funnel(
+            _docs(spark).select("doc_id", "lang", "text"),
+            min_quality=50.0, gopher=True, compression_band=(0.05, 0.98),
+        ).count()
+
+    def extra_jsonl(spark):
+        import shutil
+        import tempfile
+
+        from final_ocr_spark.sources.shards import write_jsonl_shards
+
+        out = tempfile.mkdtemp(prefix="bench_jsonl_")
+        try:
+            m = write_jsonl_shards(
+                _docs(spark).select("doc_id", "lang", "text"), out, "doc_id"
+            )
+            return sum(r["records"] for r in m)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def extra_temperature(spark):
+        from final_ocr_spark.operators.sampling import temperature_mixture
+
+        return temperature_mixture(
+            _docs(spark).select("doc_id", "lang"), "lang", "doc_id", alpha=0.3
+        ).count()
+
+    queries_extra: dict[str, dict] = {}
+    for name, fn in {
+        "pack_chunks_1024": extra_pack,
+        "gate_funnel": extra_funnel,
+        "jsonl_shards": extra_jsonl,
+        "temperature_mixture": extra_temperature,
+    }.items():
+        t0 = time.monotonic()
+        n = fn(spark)
+        queries_extra[name] = {"sec": round(time.monotonic() - t0, 3), "rows": n}
+
     # attach the committed two-cluster-size scaling evidence (produced by
     # BENCH/scaling.py + extend_sessions.py; full protocol + raw timings in
     # BENCH/BASELINE.md) so the per-round bench record carries the north
@@ -177,6 +236,7 @@ def main() -> None:
                 "extract_docs_per_sec_inline_gen": docs_per_sec_inline_gen,
                 "cpus": cpus,
                 "rows": rows,
+                "queries_extra": queries_extra,
                 "udf_batch_latency_ms": percentiles(lat_acc.value),
                 "scaling": scaling,
                 "scaling_480k": scaling_480k,
