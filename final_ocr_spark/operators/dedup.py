@@ -1426,3 +1426,74 @@ def containment_dedup(
         .alias(key)
     ).distinct()
     return df.join(drops, key, "left_anti")
+
+
+def hash64_near_dups(
+    sigs: DataFrame,
+    key: str = "k",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-dup pairs among ARBITRARY 64-bit signatures — perceptual image
+    hashes (multimodal.image_near_dups), audio fingerprints, any 64-bit
+    locality-preserving code — by pigeonhole block index: the 64 bits split
+    into ``n_blocks`` equal blocks with ``n_blocks > max_hamming``, so any
+    pair within the radius shares at least one UNTOUCHED block (pigeonhole:
+    ``max_hamming`` differing bits cannot dirty more than ``max_hamming``
+    blocks) — recall 1.0 by construction, never all-pairs. n_blocks is the
+    smallest of {2, 4, 8} exceeding ``max_hamming`` (radii above 7 would
+    need 16×4-bit blocks whose buckets collapse to 16 values — use real
+    LSH at that point; refused loudly).
+
+    Deliberately NOT shared with :func:`simhash_near_dups`: that operator's
+    historical 4×16 policy (callers pass radius 6 accepting heuristic
+    recall above 3) is pinned by the q20 committed golden — this function
+    gives the guaranteed-recall contract instead.
+
+    Scale shape: identical to the simhash index — one shuffle on
+    (block_id, block_value), ``bucket_cap`` rows per degenerate bucket
+    (flat-image / all-zero-hash spam would otherwise self-join
+    quadratically), exact ``bit_count`` filter on the candidates."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming must be in [0, 7] (got {max_hamming}) — beyond 7 "
+            "the 64-bit pigeonhole index degenerates; use LSH instead"
+        )
+    n_blocks = 2 if max_hamming <= 1 else 4 if max_hamming <= 3 else 8
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sh = sigs.select(
+        F.col(key).alias("k"), F.col(hash_col).cast("long").alias("sh")
+    ).localCheckpoint(eager=False)  # consumed by explode + hamming filter
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("sh"), width * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    exploded = sh.select("k", "sh", F.explode(blocks).alias("b")).select(
+        "k", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    w = Window.partitionBy("blk", "val").orderBy("k")
+    capped = (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= bucket_cap)
+    )
+    a = capped.select("blk", "val", F.col("k").alias("key_a"),
+                      F.col("sh").alias("sh_a"))
+    b = capped.select("blk", "val", F.col("k").alias("key_b"),
+                      F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b",
+                hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -200,3 +200,25 @@ def gen_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
                        "image/x-fake", '{"camera": "synthetic"}')
 
     return spark.createDataFrame(list(rows()), MEDIA_SCHEMA)
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual image near-dup pairs (the LAION-style multimodal dedup
+    step): decode → 64-bit perceptual hash (image_features' phash column)
+    → pigeonhole block index (dedup.hash64_near_dups, recall 1.0 within
+    the radius) → exact hamming filter. Returns (key_a, key_b, hamming)
+    over media_id.
+
+    Decode-failed / non-image rows are excluded (they carry no hash; the
+    quarantine surface is image_features' error column). On a real cluster
+    the only change is the codec behind decode_image (SEAMS.md seam #1) —
+    the hash, index, and pair plan run unchanged."""
+    from final_ocr_spark.operators.dedup import hash64_near_dups
+
+    feats = image_features(media).filter(
+        "error is null and phash is not null"
+    )
+    return hash64_near_dups(
+        feats.select("media_id", "phash"),
+        key="media_id", hash_col="phash", max_hamming=max_hamming,
+    )

@@ -380,3 +380,45 @@ def test_keep_cluster_representatives_quality_duplicate_key_rows(spark):
     # key 2 wins on its best row's quality; BOTH of its rows survive
     # (same contract as the min-key path: filtering is by key)
     assert kept == [(2, "b"), (2, "b-recrawl")]
+
+
+def test_hash64_near_dups_pigeonhole_guarantee(spark):
+    """hash64_near_dups must find EVERY pair within the radius (recall 1.0
+    by pigeonhole), across all three block widths, and must refuse radii
+    past 7."""
+    import itertools
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from final_ocr_spark.operators.dedup import hash64_near_dups
+
+    base = 0x0123_4567_89AB_CDEF
+    # neighbors at hamming d: flip the d lowest set positions of a spread
+    # bit pattern (positions chosen across different blocks to stress the
+    # pigeonhole, including adjacent-bit clumps inside one block)
+    flips = [0, 1, 63, 17, 16, 33, 48, 5]
+    vals = {100: base}
+    for d in range(1, 8):
+        v = base
+        for p in flips[:d]:
+            v ^= 1 << p
+        vals[100 + d] = v
+    sigs = spark.createDataFrame(
+        [(k, v - (1 << 64) if v >= (1 << 63) else v) for k, v in vals.items()],
+        "k long, sh long",
+    )
+    for radius in (1, 3, 7):
+        got = {
+            (r["key_a"], r["key_b"]): r["hamming"]
+            for r in hash64_near_dups(sigs, max_hamming=radius).collect()
+        }
+        # brute-force truth
+        exp = {}
+        for (ka, va), (kb, vb) in itertools.combinations(sorted(vals.items()), 2):
+            hd = bin((va ^ vb) & (2**64 - 1)).count("1")
+            if hd <= radius:
+                exp[(ka, kb)] = hd
+        assert got == exp, radius
+    with pytest.raises(ValueError, match="max_hamming"):
+        hash64_near_dups(sigs, max_hamming=8)

@@ -64,3 +64,52 @@ def test_determinism(spark):
     a = sorted(map(tuple, image_features(gen_fake_media(spark, 10, seed=1)).collect()))
     b = sorted(map(tuple, image_features(gen_fake_media(spark, 10, seed=1)).collect()))
     assert a == b
+
+
+def _fakeimg(pix: bytes, w: int, h: int) -> bytes:
+    return b"FAKEIMG %d %d " % (w, h) + pix
+
+
+def test_image_near_dups_planted(spark):
+    """Planted perceptual near-dups: a copy with a few perturbed non-sample
+    pixels hashes identically (hamming 0); a copy with two flipped SAMPLE
+    pixels lands at small hamming; an unrelated image stays out."""
+    import numpy as np
+
+    from final_ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_fake_image, _phash64, image_near_dups,
+    )
+
+    w = h = 32
+    rng = np.random.RandomState(7)
+    # bimodal pixels: every sampled cell far from the mean, so small luma
+    # noise cannot flip hash bits
+    base = (rng.randint(0, 2, size=(h, w)) * 255).astype(np.uint8)
+    near = base.copy()
+    near[1, 1] ^= 4  # not on the 8x8 sample grid at 32x32 (grid = 0,4,8,...)
+    far = base.copy()
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    far[ys[0], xs[0]] ^= 255  # flip two sampled cells => hamming ~2
+    far[ys[3], xs[5]] ^= 255
+    other = (rng.randint(0, 2, size=(h, w)) * 255).astype(np.uint8)
+
+    rows = [
+        (0, "image", _fakeimg(base.tobytes(), w, h), "image/x-fake", None),
+        (1, "image", _fakeimg(near.tobytes(), w, h), "image/x-fake", None),
+        (2, "image", _fakeimg(far.tobytes(), w, h), "image/x-fake", None),
+        (3, "image", _fakeimg(other.tobytes(), w, h), "image/x-fake", None),
+        (4, "image", b"FAKEIMG 4 4 xx", "image/x-fake", None),  # truncated
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["key_a"], r["key_b"]): r["hamming"]
+        for r in image_near_dups(media, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 1 <= pairs[(0, 2)] <= 3
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # python-twin cross-check of the planted hamming
+    ph = [_phash64(_decode_fake_image(_fakeimg(a.tobytes(), w, h)))
+          for a in (base, far)]
+    assert pairs[(0, 2)] == bin((ph[0] ^ ph[1]) & (2**64 - 1)).count("1")
