@@ -222,3 +222,155 @@ def image_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         feats.select("media_id", "phash"),
         key="media_id", hash_col="phash", max_hamming=max_hamming,
     )
+
+
+# --------------------------------------------------------------------------
+# audio branch: same seam contract as images — a deterministic FAKEAUD
+# codec in-sandbox (no soundfile/librosa on the index), real Spark-side
+# plumbing (schema, Arrow batches, quarantine, fingerprint index) that a
+# real decoder drops into unchanged (SEAMS.md seam #1).
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", LongType(), True),
+    StructField("duration_s", DoubleType(), True),
+    StructField("rms", DoubleType(), True),
+    StructField("zero_crossings", LongType(), True),
+    StructField("afp", LongType(), True),           # 64-bit spectral fingerprint
+    StructField("error", StringType(), True),
+])
+
+
+def _decode_fake_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """FAKEAUD <sample_rate> <n_samples> <int16-LE samples> → (sr, wave)."""
+    head, _, rest = data.partition(b" ")
+    if head != b"FAKEAUD":
+        raise ValueError("not a FAKEAUD payload")
+    sr_b, _, rest = rest.partition(b" ")
+    n_b, _, pcm = rest.partition(b" ")
+    sr, n = int(sr_b), int(n_b)
+    wave = np.frombuffer(pcm[: 2 * n], dtype="<i2")
+    if wave.size != n:
+        raise ValueError("truncated FAKEAUD payload")
+    return sr, wave
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode audio bytes → (sample_rate, int16 mono wave). FAKEAUD always;
+    real formats only when soundfile is importable (absent in sandbox —
+    the guard mirrors decode_image's cv2 seam)."""
+    if data[:8] == b"FAKEAUD ":
+        return _decode_fake_audio(data)
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real audio decode needs soundfile (absent in this sandbox) — "
+            "only the deterministic FAKEAUD test format is supported"
+        ) from None
+    wav, sr = soundfile.read(io.BytesIO(data), dtype="int16")  # pragma: no cover
+    if wav.ndim > 1:  # pragma: no cover - downmix to mono
+        wav = wav.mean(axis=1).astype(np.int16)
+    return int(sr), wav  # pragma: no cover
+
+
+def _afp64(wave: np.ndarray) -> int:
+    """Deterministic 64-bit spectral fingerprint: 8 time frames × 8 rFFT
+    magnitude bands, bit = band energy above its frame's median — gain
+    changes scale every band AND the median, so the code is amplitude-
+    invariant; small noise flips few bits (locality for the hamming
+    index)."""
+    bits = []
+    for fr in np.array_split(wave.astype(np.float64), 8):
+        if fr.size:
+            mag = np.abs(np.fft.rfft(fr))
+            spec = np.array([b.sum() for b in np.array_split(mag, 8)])
+        else:
+            spec = np.zeros(8)
+        med = np.median(spec)
+        bits.extend(1 if e > med else 0 for e in spec)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """media(audio rows) → per-clip features + 64-bit fingerprint via
+    mapInPandas (Arrow batches, per-row quarantine — the image_features
+    contract on the audio branch)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": mid, "sample_rate": None, "n_samples": None,
+                       "duration_s": None, "rms": None, "zero_crossings": None,
+                       "afp": None, "error": None}
+                try:
+                    sr, wave = decode_audio(bytes(content))
+                    w = wave.astype(np.float64)
+                    rec.update(
+                        sample_rate=sr, n_samples=int(wave.size),
+                        duration_s=float(wave.size / sr) if sr else None,
+                        rms=float(np.sqrt(np.mean(w * w))) if wave.size else 0.0,
+                        zero_crossings=int(np.count_nonzero(
+                            np.diff(np.signbit(w)))) if wave.size else 0,
+                        afp=_afp64(wave),
+                    )
+                except Exception as exc:  # per-row quarantine
+                    rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.filter("kind = 'audio'").select("media_id", "content").mapInPandas(
+        _feats, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def audio_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual audio near-dup pairs: decode → spectral fingerprint →
+    the same guaranteed-recall pigeonhole index the image path uses."""
+    from final_ocr_spark.operators.dedup import hash64_near_dups
+
+    feats = audio_features(media).filter("error is null and afp is not null")
+    return hash64_near_dups(
+        feats.select("media_id", "afp"),
+        key="media_id", hash_col="afp", max_hamming=max_hamming,
+    )
+
+
+def gen_fake_audio(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic audio table (FAKEAUD payloads): mixed sine
+    tones + small seeded noise, MEDIA_SCHEMA shape. Separate from
+    gen_fake_media, whose exact row set is pinned by committed goldens."""
+    import random
+
+    def rows():
+        for i in range(n):
+            rng = random.Random((seed << 21) ^ i)
+            sr = 8000
+            dur = rng.randrange(400, 1600)
+            t = np.arange(dur, dtype=np.float64)
+            # tones spread across the spectrum (up to near Nyquist): very
+            # low frequencies would park every clip's energy in rFFT band
+            # 0-1 and collapse all fingerprints together (measured: 38% of
+            # random clip pairs within hamming 3)
+            f1 = rng.randrange(50, 1000)
+            f2 = rng.randrange(1000, 3900)
+            wave = (
+                6000 * np.sin(2 * np.pi * f1 * t / sr)
+                + 3000 * np.sin(2 * np.pi * f2 * t / sr)
+            )
+            noise = np.array([rng.uniform(-150, 150) for _ in range(dur)])
+            pcm = (wave + noise).astype("<i2")
+            yield (i, "audio", b"FAKEAUD %d %d " % (sr, dur) + pcm.tobytes(),
+                   "audio/x-fake", '{"mic": "synthetic"}')
+
+    return spark.createDataFrame(list(rows()), MEDIA_SCHEMA)

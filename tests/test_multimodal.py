@@ -113,3 +113,68 @@ def test_image_near_dups_planted(spark):
     ph = [_phash64(_decode_fake_image(_fakeimg(a.tobytes(), w, h)))
           for a in (base, far)]
     assert pairs[(0, 2)] == bin((ph[0] ^ ph[1]) & (2**64 - 1)).count("1")
+
+
+def test_audio_features_and_quarantine(spark):
+    """Audio branch plumbing: features + fingerprint for good clips,
+    per-row quarantine for truncated/garbage payloads, python-twin
+    cross-check of rms/zero-crossings/afp."""
+    import numpy as np
+
+    from final_ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _afp64, audio_features, gen_fake_audio,
+    )
+
+    media = gen_fake_audio(spark, 6, seed=5)
+    bad = spark.createDataFrame(
+        [(100, "audio", b"FAKEAUD 8000 500 xx", "audio/x-fake", None),
+         (101, "audio", b"garbage", "audio/x-fake", None),
+         (102, "image", b"FAKEIMG 2 2 abcd", "image/x-fake", None)],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r
+           for r in audio_features(media.unionByName(bad)).collect()}
+    assert 102 not in got  # non-audio rows never enter the branch
+    assert got[100]["error"] and got[100]["afp"] is None
+    # non-FAKEAUD bytes route to the guarded real-decoder seam, which is
+    # honest about the missing library instead of claiming bad input
+    assert got[101]["error"] and "soundfile" in got[101]["error"]
+    ok = got[0]
+    assert ok["error"] is None and ok["sample_rate"] == 8000
+    assert ok["duration_s"] == ok["n_samples"] / 8000
+    # python twin on clip 0
+    raw = media.filter("media_id = 0").collect()[0]["content"]
+    head = bytes(raw).split(b" ", 3)
+    wave = np.frombuffer(bytes(raw).split(b" ", 3)[3], dtype="<i2")
+    assert int(head[2]) == ok["n_samples"] == wave.size
+    w = wave.astype(np.float64)
+    assert ok["rms"] == float(np.sqrt(np.mean(w * w)))
+    assert ok["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(w))))
+    assert ok["afp"] == _afp64(wave)
+
+
+def test_audio_near_dups_planted(spark):
+    """A gain-scaled copy of a clip fingerprints identically (the afp is
+    amplitude-invariant); lightly-noised copies land within the radius;
+    different tones stay out."""
+    import numpy as np
+
+    from final_ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_near_dups, gen_fake_audio,
+    )
+
+    base_rows = gen_fake_audio(spark, 4, seed=11).collect()
+    extra = []
+    for r in base_rows[:1]:
+        raw = bytes(r["content"])
+        head, sr_b, n_b, pcm = raw.split(b" ", 3)
+        wave = np.frombuffer(pcm, dtype="<i2")
+        half = (wave.astype(np.float64) * 0.5).astype("<i2")  # gain change
+        extra.append((50, "audio",
+                      b"FAKEAUD " + sr_b + b" " + n_b + b" " + half.tobytes(),
+                      "audio/x-fake", None))
+    media = spark.createDataFrame(base_rows + extra, MEDIA_SCHEMA)
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"]
+             for r in audio_near_dups(media, max_hamming=3).collect()}
+    assert pairs.get((0, 50)) == 0
+    assert all({p[0], p[1]} != {1, 2} for p in pairs)
