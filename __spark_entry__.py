@@ -572,12 +572,86 @@ def _q25_batch_topk(spark, sf):
 
 
 def _q26_image_features(spark, sf):
-    """Multimodal: binary image column → decode/features via mapInPandas
-    (deterministic fake codec; rows-only — no SQL analog)."""
-    from final_ocr_spark.operators.multimodal import gen_fake_media, image_features
+    """Multimodal stages (deterministic fake codecs; committed-golden
+    oracle — no SQL analog): 'image' = decode/features via mapInPandas;
+    'img_pair' = perceptual-hash near-dup pairs over the guaranteed-recall
+    pigeonhole index (planted exact copies at media_id+1000 must surface
+    at hamming 0); 'audio' = clip features + spectral fingerprint;
+    'aud_pair' = the same index over audio fingerprints."""
+    from final_ocr_spark.operators.multimodal import (
+        audio_features,
+        audio_near_dups,
+        gen_fake_audio,
+        gen_fake_media,
+        image_features,
+        image_near_dups,
+    )
 
-    media = gen_fake_media(spark, 200, seed=42)
-    return image_features(media).orderBy("media_id")
+    def _with_copies(df):
+        dup = df.filter(F.col("media_id") % 10 == 0).select(
+            (F.col("media_id") + 1000).alias("media_id"),
+            "kind", "content", "mime", "meta",
+        )
+        return df.unionByName(dup)
+
+    media = _with_copies(gen_fake_media(spark, 200, seed=42))
+    audio = _with_copies(gen_fake_audio(spark, 40, seed=42))
+
+    nul = {
+        "key_b": F.lit(None).cast("long"),
+        "hamming": F.lit(None).cast("int"),
+        "width": F.lit(None).cast("int"),
+        "height": F.lit(None).cast("int"),
+        "mean_luma": F.lit(None).cast("double"),
+        "std_luma": F.lit(None).cast("double"),
+        "phash": F.lit(None).cast("long"),
+        "sample_rate": F.lit(None).cast("int"),
+        "n_samples": F.lit(None).cast("long"),
+        "duration_s": F.lit(None).cast("double"),
+        "rms": F.lit(None).cast("double"),
+        "zero_crossings": F.lit(None).cast("long"),
+        "afp": F.lit(None).cast("long"),
+        "error": F.lit(None).cast("string"),
+    }
+    cols = ["stage", "media_id"] + list(nul)
+
+    def _stage(df, stage, **present):
+        exprs = [F.lit(stage).alias("stage"), F.col("media_id")]
+        for name, default in nul.items():
+            exprs.append(
+                present[name].alias(name) if name in present else
+                default.alias(name)
+            )
+        return df.select(*exprs)
+
+    img = _stage(
+        image_features(media), "image",
+        width=F.col("width"), height=F.col("height"),
+        mean_luma=F.col("mean_luma"), std_luma=F.col("std_luma"),
+        phash=F.col("phash"), error=F.col("error"),
+    )
+    ipairs = _stage(
+        image_near_dups(media, max_hamming=3)
+        .withColumnRenamed("key_a", "media_id"),
+        "img_pair", key_b=F.col("key_b"), hamming=F.col("hamming"),
+    )
+    aud = _stage(
+        audio_features(audio), "audio",
+        sample_rate=F.col("sample_rate"), n_samples=F.col("n_samples"),
+        duration_s=F.col("duration_s"), rms=F.col("rms"),
+        zero_crossings=F.col("zero_crossings"), afp=F.col("afp"),
+        error=F.col("error"),
+    )
+    apairs = _stage(
+        audio_near_dups(audio, max_hamming=3)
+        .withColumnRenamed("key_a", "media_id"),
+        "aud_pair", key_b=F.col("key_b"), hamming=F.col("hamming"),
+    )
+    return (
+        img.unionByName(ipairs).unionByName(aud).unionByName(apairs)
+        .select(*cols)
+        .orderBy("stage", "media_id", "key_b")
+    )
 
 
 def _q27_video_frames(spark, sf):
