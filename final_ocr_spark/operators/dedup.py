@@ -301,6 +301,19 @@ def minhash_sigs(
     profiling shows the signature stage dominates AND documents are long.
     Documents with zero shingles produce no row (null-signature contract).
     """
+    rows = shingle_hash_rows(df, key=key, text_col=text_col, shingle_k=shingle_k)
+    return minhash_sigs_from_rows(rows, num_hashes=num_hashes, seed=seed)
+
+
+def minhash_sigs_from_rows(
+    rows: DataFrame, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """:func:`minhash_sigs`' aggregation core over ARBITRARY element-hash
+    rows ``(k, h)`` — the set being sketched doesn't have to be text
+    shingles: video frame perceptual hashes (multimodal.video_near_dups),
+    outlink sets, any (key, 64-bit element) table. Same Mersenne-31
+    family, same seed stream, bit-identical to the text path (which now
+    delegates here)."""
     import random
 
     rng = random.Random(seed)
@@ -309,7 +322,6 @@ def minhash_sigs(
         for _ in range(num_hashes)
     ]
     p = F.lit(_MERSENNE31).cast("long")
-    rows = shingle_hash_rows(df, key=key, text_col=text_col, shingle_k=shingle_k)
     x = F.pmod(F.col("h"), p)
     aggs = [
         F.min(F.pmod(F.lit(a).cast("long") * x + F.lit(b).cast("long"), p)).alias(f"_m{i}")

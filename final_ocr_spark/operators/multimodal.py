@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
@@ -374,3 +375,72 @@ def gen_fake_audio(spark, n: int, seed: int = 42) -> DataFrame:
                    "audio/x-fake", '{"mic": "synthetic"}')
 
     return spark.createDataFrame(list(rows()), MEDIA_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("phash", LongType(), True),
+])
+
+
+def frame_hashes(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """video rows → (media_id, frame_idx, phash): sampled frames decoded
+    and perceptually hashed in one Arrow stage — the element set for
+    frame-set video similarity."""
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, fi, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                try:
+                    ph = _phash64(decode_image(bytes(frame)))
+                except Exception:
+                    ph = None  # sampled-out/corrupt frame: no element
+                recs.append({"media_id": mid, "frame_idx": fi, "phash": ph})
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in FRAME_HASH_SCHEMA.fields]
+            )
+
+    return sample_video_frames(media, every_n).mapInPandas(
+        _hashes, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    every_n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Video near-dup pairs by FRAME-SET MinHash: two videos are near-dups
+    when the Jaccard similarity of their sampled-frame perceptual-hash
+    SETS clears the threshold — robust to trims, truncations, and
+    re-containering, which a whole-file hash never survives. Pure
+    composition of existing pieces: sample frames → per-frame phash (one
+    Arrow stage) → classic MinHash over the (video, frame-hash) element
+    rows (dedup.minhash_sigs_from_rows — the text path's exact sketch) →
+    the shared LSH band self-join with its degenerate-bucket skew cap.
+    Returns (key_a, key_b, est_jaccard) over media_id.
+
+    Scale shape inherits the text pipeline's: frame payloads never
+    shuffle (only slim (video, hash) rows reach the sketch agg), the band
+    join is bucketed never all-pairs, and recall at the threshold follows
+    the standard (bands, rows-per-band) S-curve (defaults: 1-(1-j⁴)⁸)."""
+    from final_ocr_spark.operators.dedup import (
+        _sig_near_dup_pairs,
+        minhash_sigs_from_rows,
+    )
+
+    rows = frame_hashes(media, every_n).filter("phash is not null").select(
+        F.col("media_id").alias("k"), F.col("phash").alias("h")
+    )
+    sigs = minhash_sigs_from_rows(rows, num_hashes=num_hashes).localCheckpoint(
+        eager=False  # consumed by banding AND the agreement estimator
+    )
+    return _sig_near_dup_pairs(
+        sigs, bands, num_hashes // bands, num_hashes, jaccard_threshold
+    )

@@ -178,3 +178,39 @@ def test_audio_near_dups_planted(spark):
              for r in audio_near_dups(media, max_hamming=3).collect()}
     assert pairs.get((0, 50)) == 0
     assert all({p[0], p[1]} != {1, 2} for p in pairs)
+
+
+def test_video_near_dups_trim_robust(spark):
+    """Frame-set MinHash: a TRIMMED copy of a video (last fifth of frames
+    dropped) still pairs with its original at high estimated Jaccard; an
+    exact copy pairs at 1.0; unrelated videos stay out."""
+    from final_ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA, gen_fake_media, video_near_dups,
+    )
+
+    vids = [r for r in gen_fake_media(spark, 60, seed=21).collect()
+            if r["kind"] == "video"]
+    assert len(vids) >= 4
+    base = vids[0]
+    raw = bytes(base["content"])
+    head = raw.split(b" ", 4)
+    n, w, h = int(head[1]), int(head[2]), int(head[3])
+    pix = head[4]
+    keep = max(n - n // 5, 1)
+    trimmed = (b"FAKEVID %d %d %d " % (keep, w, h)) + pix[: keep * w * h]
+    extra = [
+        (500, "video", trimmed, "video/x-fake", None),
+        (501, "video", raw, "video/x-fake", None),     # exact copy
+    ]
+    media = spark.createDataFrame(vids + extra, MEDIA_SCHEMA)
+    pairs = {
+        (r["key_a"], r["key_b"]): r["est_jaccard"]
+        for r in video_near_dups(
+            media, every_n=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    b = base["media_id"]
+    assert pairs.get((b, 501)) == 1.0
+    assert (b, 500) in pairs and pairs[(b, 500)] >= 0.5
+    others = {v["media_id"] for v in vids[1:]}
+    assert all(not ({p[0], p[1]} <= others) for p in pairs)
