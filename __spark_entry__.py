@@ -578,13 +578,12 @@ def _q26_image_features(spark, sf):
     pigeonhole index (planted exact copies at media_id+1000 must surface
     at hamming 0); 'audio' = clip features + spectral fingerprint;
     'aud_pair' = the same index over audio fingerprints."""
+    from final_ocr_spark.operators.dedup import hash64_near_dups
     from final_ocr_spark.operators.multimodal import (
         audio_features,
-        audio_near_dups,
         gen_fake_audio,
         gen_fake_media,
         image_features,
-        image_near_dups,
     )
 
     def _with_copies(df):
@@ -624,27 +623,39 @@ def _q26_image_features(spark, sf):
             )
         return df.select(*exprs)
 
+    # decode/fingerprint each corpus ONCE (localCheckpoint) and feed the
+    # pair index from the feature tables directly — image_near_dups /
+    # audio_near_dups would re-run the Arrow decode inside the same union
+    # plan (review-caught double decode)
+    ifeats = image_features(media).localCheckpoint(eager=False)
+    afeats = audio_features(audio).localCheckpoint(eager=False)
     img = _stage(
-        image_features(media), "image",
+        ifeats, "image",
         width=F.col("width"), height=F.col("height"),
         mean_luma=F.col("mean_luma"), std_luma=F.col("std_luma"),
         phash=F.col("phash"), error=F.col("error"),
     )
     ipairs = _stage(
-        image_near_dups(media, max_hamming=3)
-        .withColumnRenamed("key_a", "media_id"),
+        hash64_near_dups(
+            ifeats.filter("error is null and phash is not null")
+            .select("media_id", "phash"),
+            key="media_id", hash_col="phash", max_hamming=3,
+        ).withColumnRenamed("key_a", "media_id"),
         "img_pair", key_b=F.col("key_b"), hamming=F.col("hamming"),
     )
     aud = _stage(
-        audio_features(audio), "audio",
+        afeats, "audio",
         sample_rate=F.col("sample_rate"), n_samples=F.col("n_samples"),
         duration_s=F.col("duration_s"), rms=F.col("rms"),
         zero_crossings=F.col("zero_crossings"), afp=F.col("afp"),
         error=F.col("error"),
     )
     apairs = _stage(
-        audio_near_dups(audio, max_hamming=3)
-        .withColumnRenamed("key_a", "media_id"),
+        hash64_near_dups(
+            afeats.filter("error is null and afp is not null")
+            .select("media_id", "afp"),
+            key="media_id", hash_col="afp", max_hamming=3,
+        ).withColumnRenamed("key_a", "media_id"),
         "aud_pair", key_b=F.col("key_b"), hamming=F.col("hamming"),
     )
     return (

@@ -730,36 +730,15 @@ def simhash_near_dups(
     max_hamming: int = 3,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit block index (pigeonhole — any pair
-    with hamming ≤ 3 shares at least one of 4 blocks), then exact hamming
-    filter. One shuffle on (block_id, block_value)."""
+    """Near-dup pairs by SimHash: historical 4×16-bit block index
+    (pigeonhole-guaranteed only up to hamming 3; the default radius and
+    callers' radius 6 accept heuristic recall above that — pinned by the
+    q20 committed golden), then exact hamming filter. Delegates to
+    :func:`hash64_near_dups` with ``n_blocks=4``, the one block-index
+    implementation. One shuffle on (block_id, block_value)."""
     sh = simhash_sigs(df, key=key, text_col=text_col, shingle_k=shingle_k)
-    sh = sh.localCheckpoint(eager=False)  # reused by block-explode and the
-    # hamming filter; GC-cleaned, unlike persist (see minhash_near_dups)
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("sh"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("val"),
-            )
-            for i in range(4)
-        ]
-    )
-    exploded = sh.select("k", "sh", F.explode(blocks).alias("b")).select(
-        "k", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
-    )
-    w = Window.partitionBy("blk", "val").orderBy("k")
-    capped = exploded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 200)
-    a = capped.select("blk", "val", F.col("k").alias("key_a"), F.col("sh").alias("sh_a"))
-    b = capped.select("blk", "val", F.col("k").alias("key_b"), F.col("sh").alias("sh_b"))
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .dropDuplicates(["key_a", "key_b"])
-        .filter(F.col("hamming") <= max_hamming)
+    return hash64_near_dups(
+        sh, key="k", hash_col="sh", max_hamming=max_hamming, n_blocks=4
     )
 
 
@@ -1446,6 +1425,7 @@ def hash64_near_dups(
     hash_col: str = "sh",
     max_hamming: int = 3,
     bucket_cap: int = 200,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs among ARBITRARY 64-bit signatures — perceptual image
     hashes (multimodal.image_near_dups), audio fingerprints, any 64-bit
@@ -1458,21 +1438,27 @@ def hash64_near_dups(
     need 16×4-bit blocks whose buckets collapse to 16 values — use real
     LSH at that point; refused loudly).
 
-    Deliberately NOT shared with :func:`simhash_near_dups`: that operator's
-    historical 4×16 policy (callers pass radius 6 accepting heuristic
-    recall above 3) is pinned by the q20 committed golden — this function
-    gives the guaranteed-recall contract instead.
+    An explicit ``n_blocks`` (2, 4, or 8) overrides the auto-selection and
+    makes recall the CALLER's policy — :func:`simhash_near_dups` delegates
+    here with its historical 4×16 layout at radius 6 (heuristic recall
+    above 3, pinned by the q20 committed golden); leave it ``None`` for
+    the guaranteed-recall contract.
 
-    Scale shape: identical to the simhash index — one shuffle on
-    (block_id, block_value), ``bucket_cap`` rows per degenerate bucket
-    (flat-image / all-zero-hash spam would otherwise self-join
-    quadratically), exact ``bit_count`` filter on the candidates."""
-    if not 0 <= max_hamming <= 7:
-        raise ValueError(
-            f"max_hamming must be in [0, 7] (got {max_hamming}) — beyond 7 "
-            "the 64-bit pigeonhole index degenerates; use LSH instead"
-        )
-    n_blocks = 2 if max_hamming <= 1 else 4 if max_hamming <= 3 else 8
+    Scale shape: one shuffle on (block_id, block_value), ``bucket_cap``
+    rows per degenerate bucket (flat-image / all-zero-hash spam would
+    otherwise self-join quadratically), exact ``bit_count`` filter on the
+    candidates."""
+    if n_blocks is None:
+        if not 0 <= max_hamming <= 7:
+            raise ValueError(
+                f"max_hamming must be in [0, 7] (got {max_hamming}) — beyond "
+                "7 the 64-bit pigeonhole index degenerates; use LSH instead"
+            )
+        n_blocks = 2 if max_hamming <= 1 else 4 if max_hamming <= 3 else 8
+    elif n_blocks not in (2, 4, 8):
+        raise ValueError(f"n_blocks must be 2, 4, or 8, got {n_blocks}")
+    elif max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     width = 64 // n_blocks
     mask = (1 << width) - 1
     sh = sigs.select(

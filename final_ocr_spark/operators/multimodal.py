@@ -160,9 +160,19 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue  # null payload: no frames to contribute
                 data = bytes(content)
                 if data[:7] != b"FAKEVID":
-                    continue  # real video decode: NotImplemented in sandbox
+                    # honest seam (decode_image/decode_audio contract):
+                    # real container formats must FAIL the job loudly —
+                    # a silent skip would report duplicate videos as
+                    # "no near-dups found" downstream
+                    raise NotImplementedError(
+                        "real video decode (ffmpeg/PyAV) is not installed "
+                        "in this container; only the deterministic FAKEVID "
+                        "test format is supported"
+                    )
                 head = data.split(b" ", 4)
                 n, w, h = int(head[1]), int(head[2]), int(head[3])
                 pix = head[4]
