@@ -127,7 +127,14 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def _docs(spark):
-        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # the sf tables are single parquet files, which Spark reads as ONE
+        # partition at this size — repartition so the extras measure the
+        # distributed shape (at real scale the table is thousands of
+        # files and this spread is the natural state, not an added cost)
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .repartition(cpus)
+        )
 
     def extra_pack(spark):
         from final_ocr_spark.operators.packing import pack_chunks

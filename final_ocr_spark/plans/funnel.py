@@ -78,7 +78,10 @@ def gate_funnel(
         )
     if compression_band is not None:
         lo, hi = compression_band
-        r = compression_ratio_udf()(text)
+        # the UDF lands in a named column below, so the three references
+        # in the band predicate evaluate ONE Arrow batch pass, not three
+        r = F.col("_cr")
+        docs = docs.withColumn("_cr", compression_ratio_udf()(text))
         gates.append(
             ("compression", r.isNotNull() & (r >= F.lit(lo)) & (r <= F.lit(hi)))
         )
@@ -87,13 +90,18 @@ def gate_funnel(
     if not gates:
         raise ValueError("no gates enabled — nothing to report")
 
-    # one aggregation: per gate, failed-any and failed-first sums. A NULL
-    # keep-verdict counts as failed (coalesce), matching filter semantics
-    # where a NULL predicate drops the row.
+    # materialize each gate verdict as ONE named flag column before
+    # aggregating: the first-fail term of gate i references every earlier
+    # gate's verdict, so inlining the raw expressions would grow the agg's
+    # expression tree quadratically in G (the heavy gopher folds appear in
+    # every later term). A NULL keep-verdict counts as failed, matching
+    # filter semantics where NULL drops the row.
+    for i, (_, keep) in enumerate(gates):
+        docs = docs.withColumn(f"_fail_{i}", ~F.coalesce(keep, F.lit(False)))
     aggs = [F.count(F.lit(1)).alias("_total")]
     passed_so_far = F.lit(True)
-    for name, keep in gates:
-        failed = ~F.coalesce(keep, F.lit(False))
+    for i, (name, _) in enumerate(gates):
+        failed = F.col(f"_fail_{i}")
         aggs.append(F.sum(failed.cast("long")).alias(f"_any_{name}"))
         aggs.append(
             F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{name}")
