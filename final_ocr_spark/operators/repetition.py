@@ -37,8 +37,10 @@ Common-Crawl-scale extraction pipeline needs downstream.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 def _zero() -> Column:
     return F.lit(0).cast("long")
@@ -303,3 +305,111 @@ def c4_features(text_col, min_lines: int = 3) -> dict[str, Column]:
         "has_curly": has_curly,
         "doc_keep": (n_kept >= min_lines) & ~has_lorem & ~has_curly,
     }
+
+
+def gopher_repetition_keep_udf(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Arrow-batched twin of :func:`gopher_repetition_keep` — same verdict,
+    computed in plain Python per batch instead of nine interpreted
+    higher-order folds per row (the Column form measures ~6-7 core-ms on a
+    ~500-word doc; this path is the simhash-popcount playbook applied to
+    the densest scan-local gate). Bit-equality is pinned by a differential
+    test over adversarial whitespace/repetition corpora.
+
+    Semantics notes that make the twin EXACT, not approximate:
+
+    * Java regex ``\\s`` is ASCII-only (``[ \\t\\n\\x0b\\f\\r]``) while
+      Python's ``\\s`` is Unicode — every class below spells the Java set
+      out explicitly, or a NBSP-separated token stream would tokenize
+      differently in the two paths;
+    * the paragraph normalization replays the Column order exactly
+      (collapse ``\\s+`` to one space, then strip ONE leading/trailing
+      space — the anchored-alternation regexp_replace can only ever match
+      one of each);
+    * a top-n-gram occurring once is not repetition (the ``best_run >= 2``
+      gate), ties break toward the lexicographically smallest gram, and
+      the integer threshold rule (``den <= 0`` vacuously true, ``num*100
+      <= den*pct``) is copied verbatim;
+    * null text returns null, so ``filter`` drops it in both forms.
+
+    Deferred factory (module-level ``@pandas_udf`` needs a session)."""
+
+    def _factory():
+        import re
+        from collections import Counter
+
+        js = " \t\n\x0b\x0c\r"  # Java \s
+        trim_re = re.compile(f"^[{js}]+|[{js}]+$")
+        line_split = re.compile("\r?\n")
+        para_split = re.compile(f"\n[{js}]*\n")
+        ws_run = re.compile(f"[{js}]+")
+        thresholds = dict(GOPHER_THRESHOLDS_PCT)
+
+        def frac_le(num: int, den: int, pct: int) -> bool:
+            return den <= 0 or num * 100 <= den * pct
+
+        def dup_chars(cnt: Counter) -> int:
+            return sum(c * len(v) for v, c in cnt.items() if c >= 2)
+
+        def one(t):
+            if not isinstance(t, str):
+                return None
+            lines = [trim_re.sub("", l) for l in line_split.split(t)]
+            lines = [l for l in lines if l]
+            paras = []
+            for p in para_split.split(t):
+                p = ws_run.sub(" ", p)
+                if p.startswith(" "):
+                    p = p[1:]
+                if p.endswith(" "):
+                    p = p[:-1]
+                if p:
+                    paras.append(p)
+            words = [w for w in ws_run.split(t) if w]
+            n_chars = len(t)
+            lc, pc = Counter(lines), Counter(paras)
+            if not frac_le(len(lines) - len(lc), len(lines),
+                           thresholds["dup_line_frac"]):
+                return False
+            if not frac_le(len(paras) - len(pc), len(paras),
+                           thresholds["dup_para_frac"]):
+                return False
+            if not frac_le(dup_chars(lc), sum(map(len, lines)),
+                           thresholds["dup_line_char_frac"]):
+                return False
+            if not frac_le(dup_chars(pc), sum(map(len, paras)),
+                           thresholds["dup_para_char_frac"]):
+                return False
+            for n in top_ns:
+                g = Counter(
+                    " ".join(words[i:i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                top = 0
+                if g:
+                    best_v, best_c = min(g.items(), key=lambda kv: (-kv[1], kv[0]))
+                    if best_c >= 2:
+                        top = best_c * len(best_v)
+                if not frac_le(top, n_chars, thresholds[f"top{n}gram_char_frac"]):
+                    return False
+            for n in dup_ns:
+                g = Counter(
+                    " ".join(words[i:i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                if not frac_le(dup_chars(g), n_chars,
+                               thresholds[f"dup{n}gram_char_frac"]):
+                    return False
+            return True
+
+        return one
+
+    one = _factory()
+
+    @pandas_udf("boolean")
+    def keep(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return keep

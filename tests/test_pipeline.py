@@ -643,3 +643,21 @@ def test_corpus_pipeline_sample_and_temperature_salts_independent(spark):
             "de": sum(u.startswith("https://de") for u in got)}
     assert kept["de"] == actual["de"]  # binding group keeps everything
     assert kept["en"] <= round(1.35 * kept["de"])
+
+
+def test_corpus_pipeline_gopher_arrow_same_verdicts(spark):
+    """gopher_arrow=True swaps the gate implementation, never the verdicts:
+    the same corpus yields the same surviving url set as the default."""
+    rows = [
+        ("https://a.example.com/1", GOOD),
+        ("https://spam.example.com/5", "buy now " * 60),
+        ("https://b.example.com/2",
+         "a calm unique page about rivers and the slow way they carve the "
+         "valley stone over ten thousand quiet and unhurried years"),
+    ]
+    base = corpus_pipeline(_pages(spark, rows), near_dup=False)
+    fast = corpus_pipeline(_pages(spark, rows), near_dup=False,
+                           gopher_arrow=True)
+    assert sorted(r["url"] for r in base.collect()) == \
+           sorted(r["url"] for r in fast.collect())
+    assert all("spam" not in r["url"] for r in fast.collect())

@@ -156,3 +156,42 @@ def test_repetition_fuzz_vs_python_reference(spark):
         want = py_feats(texts[r["i"]])
         got = {k: r[k] for k in want}
         assert got == want, f"text #{r['i']}: {texts[r['i']]!r}\n{got}\nvs\n{want}"
+
+
+def test_gopher_keep_udf_bit_equal(spark):
+    """The Arrow fast path must agree with the Column form on every doc —
+    including adversarial whitespace (NBSP, U+2028, vertical tab, form
+    feed, CRLF), repetition edge cases around each threshold, empty and
+    null text."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from final_ocr_spark.operators.repetition import (
+        gopher_repetition_keep, gopher_repetition_keep_udf,
+    )
+
+    rng = random.Random(77)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "spam", "now",
+             "g hh",      # NBSP inside a token (not Java \s)
+             "x y",       # line separator (not Java \r?\n)
+             "\n", "\n\n", "  ", "\t", "\x0b", "\x0c", "\r\n"]
+    texts = []
+    for _ in range(250):
+        n = rng.randint(0, 60)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += [
+        "", " ", "\n\n\n", "one",
+        "buy now " * 60,                       # spam: fails grams
+        ("line a\nline a\nline b\n" * 5),      # duplicate lines
+        ("para one\n\npara  one\n\npara two"), # rewrapped dup paras
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    keep_col = gopher_repetition_keep(SF.col("text"))
+    keep_udf = gopher_repetition_keep_udf()(SF.col("text"))
+    rows = df.select("i", keep_col.alias("a"), keep_udf.alias("b")).collect()
+    for r in rows:
+        assert r["a"] == r["b"], f"text #{r['i']}: {texts[r['i']]!r}"
