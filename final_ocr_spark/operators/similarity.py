@@ -261,11 +261,59 @@ def _resolve_family(meta, bits, seed, index_dir: str, *, what: str):
     return mbits, mseed
 
 
+ID_BLOOM_SUBDIR = "_id_bloom"
+_ID_BLOOM_SCHEMA = "word_idx long, bits long, m_bits int, k int"
+
+
+def _load_id_bloom(spark, index_dir: str):
+    """(merged_bloom | None, bloom_meta | None, next_append_id) from the
+    ``_id_bloom`` sidecar — one Bloom partition per append, merged via one
+    ``bit_or`` group-by (the filters are a few MB at billions of ids).
+    Mixed (m_bits, k) families are rejected loudly: merging them would
+    corrupt bits silently, including FALSE NEGATIVES."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        bl = spark.read.schema(_ID_BLOOM_SCHEMA).parquet(
+            f"{index_dir}/{ID_BLOOM_SUBDIR}"
+        )
+    except AnalysisException as e:
+        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cls = getcls() if getcls else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+        return None, None, 0
+    if "append_id" not in bl.columns:
+        return None, None, 0
+    metas = [
+        (int(r["m_bits"]), int(r["k"]))
+        for r in bl.select("m_bits", "k").distinct().collect()
+    ]
+    if len(metas) > 1:
+        raise ValueError(
+            f"id-Bloom sidecar {index_dir}/{ID_BLOOM_SUBDIR} holds mixed "
+            f"(m_bits, k) families {sorted(metas)} — filters only merge "
+            "within one family; delete the sidecar (the next append "
+            "rebuilds it from the index id column)."
+        )
+    if not metas:
+        return None, None, 0
+    next_id = int(bl.agg(F.max("append_id")).first()[0]) + 1
+    merged = (
+        bl.groupBy("word_idx", "m_bits", "k")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("word_idx", "bits", "m_bits", "k")
+    )
+    return merged, metas[0], next_id
+
+
 def append_ann_index(
     emb: DataFrame, index_dir: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
     bits: int | None = None, seed: int | None = None,
     skip_existing: bool = True,
+    use_bloom: bool = True,
+    bloom_m_bits: int = 1 << 20, bloom_k: int = 5,
 ) -> dict:
     """Append new vectors to an existing :func:`build_ann_index` table
     WITHOUT rebuilding it — the embeddings-side analog of the streaming
@@ -278,18 +326,41 @@ def append_ann_index(
       Pre-sidecar indexes require explicit bits/seed (dim inferred from
       the batch) — see :func:`_resolve_family`.
     * duplicate ids WITHIN the batch keep the smallest (xxhash64(vector))
-      row (deterministic), and ``skip_existing=True`` anti-joins the rest
-      against the index's id column (a column-pruned scan — the vectors
-      never load), making the append idempotent: re-running the same batch
-      after a crash adds nothing. At 10^12 rows, put a Bloom filter of ids
-      (operators/bloom.py:split_new_vs_maybe_seen) in front so the
-      anti-join touches only probable-overlap ids.
+      row (deterministic), and ``skip_existing=True`` makes the append
+      idempotent: re-running the same batch after a crash adds nothing.
+    * the idempotence check is Bloom-prefiltered (``use_bloom=True``): an
+      id-Bloom sidecar (one partition per append under
+      ``_id_bloom/append_id=<n>``, the exact shape of the streaming
+      corpus's key Bloom) answers "definitely new" for most of the batch
+      with zero false negatives, so the exact anti-join against the
+      index's id column — a column-pruned scan, but O(index) — runs only
+      over the ``maybe_seen`` remainder (true overlap + ~fpp of the
+      batch), and is SKIPPED entirely for all-new batches. The first
+      bloom-enabled append over a legacy index pays one id scan to
+      bootstrap the sidecar (``append_id=0``); every later append is
+      O(|batch|). ``bloom_m_bits``/``bloom_k`` size NEW sidecars (size for
+      the expected TOTAL index — an undersized filter saturates and
+      degrades gracefully to the full anti-join's cost, never to wrong
+      results); an existing sidecar's family is adopted automatically.
+    * crash ordering: the batch's Bloom partition is written BEFORE the
+      data append, so a crash between the two leaves ids in the filter
+      that are not in the index — false POSITIVES (the exact anti-join
+      resolves them), never false negatives (which would re-admit
+      duplicates). Once a sidecar exists it is maintained on EVERY append
+      (even ``use_bloom=False`` / ``skip_existing=False`` calls), because
+      a missing partition would be a false negative for every future
+      probe.
     * new rows land in their bucket's partition directory via
       ``mode('append')``; probes (:func:`ann_index_topk`) see them with no
       further work — the bucket partition filter prunes the same way.
 
-    Returns {'rows_in', 'rows_unique', 'rows_appended'}."""
+    Returns {'rows_in', 'rows_unique', 'rows_appended', 'bloom_prefilter',
+    'maybe_seen_rows', 'exact_join_skipped'}."""
     from pyspark.sql import Window
+
+    from final_ocr_spark.operators.bloom import (
+        build_bloom, split_new_vs_maybe_seen,
+    )
 
     spark = emb.sparkSession
     meta = _index_meta(spark, index_dir)
@@ -329,17 +400,60 @@ def append_ann_index(
         .drop("_rn")
     )
     n_unique = new.count()  # cheap: reads the checkpointed sketch, not emb
+
+    id_bloom, bloom_meta, next_append_id = _load_id_bloom(spark, index_dir)
+    stats = {
+        "rows_in": n_in,
+        "bloom_prefilter": False,
+        "maybe_seen_rows": None,
+        "exact_join_skipped": False,
+    }
+    if id_bloom is None and use_bloom and skip_existing:
+        # bootstrap: one column-pruned id scan of the legacy index, written
+        # BEFORE any probing so the filter covers everything already there
+        id_bloom = build_bloom(
+            spark.read.parquet(index_dir).select(F.col(id_col)),
+            id_col, m_bits=bloom_m_bits, k_hashes=bloom_k,
+        )
+        id_bloom.write.mode("overwrite").parquet(
+            f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id=0"
+        )
+        bloom_meta, next_append_id = (bloom_m_bits, bloom_k), 1
+
     if skip_existing:
-        existing = spark.read.parquet(index_dir).select(id_col)
-        new = new.join(existing, id_col, "left_anti").localCheckpoint(eager=False)
+        if use_bloom and id_bloom is not None:
+            stats["bloom_prefilter"] = True
+            definitely_new, maybe = split_new_vs_maybe_seen(new, id_bloom, id_col)
+            n_maybe = maybe.count()
+            stats["maybe_seen_rows"] = n_maybe
+            if n_maybe == 0:
+                stats["exact_join_skipped"] = True
+                new = definitely_new
+            else:
+                existing = spark.read.parquet(index_dir).select(id_col)
+                new = definitely_new.unionByName(
+                    maybe.join(existing, id_col, "left_anti")
+                )
+        else:
+            existing = spark.read.parquet(index_dir).select(id_col)
+            new = new.join(existing, id_col, "left_anti")
+        new = new.localCheckpoint(eager=False)
         n_new = new.count()
     else:
         n_new = n_unique
     if n_new:
+        if bloom_meta is not None:
+            # sidecar BEFORE data (see docstring crash-ordering contract)
+            build_bloom(
+                new.select(F.col(id_col)), id_col,
+                m_bits=bloom_meta[0], k_hashes=bloom_meta[1],
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={next_append_id}"
+            )
         new.repartition("bucket").write.mode("append").partitionBy(
             "bucket"
         ).parquet(index_dir)
-    return {"rows_in": n_in, "rows_unique": n_unique, "rows_appended": n_new}
+    return {**stats, "rows_unique": n_unique, "rows_appended": n_new}
 
 
 def ann_index_topk(

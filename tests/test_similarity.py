@@ -201,6 +201,66 @@ def test_append_ann_index_incremental(spark, emb, tmp_path):
         ann_index_topk(spark, idx, list(twin_src["embedding"]), k=2, bits=10)
 
 
+def test_append_ann_index_bloom_prefilter(spark, emb, tmp_path):
+    """The append's idempotence anti-join is Bloom-prefiltered: the first
+    bloom-enabled append bootstraps an id-Bloom sidecar from the index id
+    column, an all-new batch SKIPS the exact anti-join entirely (stats
+    prove the join never ran), an overlapping replay routes only the
+    maybe-seen remainder through it and appends nothing, and a mixed-family
+    sidecar is rejected loudly."""
+    import pathlib
+
+    import pytest
+
+    from final_ocr_spark.operators.similarity import (
+        ID_BLOOM_SUBDIR, append_ann_index, build_ann_index,
+    )
+
+    idx = build_ann_index(emb, str(tmp_path / "idx"), dim=16, bits=8, seed=11)
+
+    # first append bootstraps append_id=0 (index ids) + writes append_id=1
+    a = spark.createDataFrame(
+        [(800001, [float(i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    r = append_ann_index(a, idx)
+    assert r["bloom_prefilter"] and r["rows_appended"] == 1
+    side = pathlib.Path(idx) / ID_BLOOM_SUBDIR
+    assert {p.name for p in side.iterdir()} == {"append_id=0", "append_id=1"}
+
+    # all-new batch: every id is "definitely new" -> the O(index) exact
+    # anti-join is skipped (this is the 10^12-row contract)
+    b = spark.createDataFrame(
+        [(800002, [float(16 - i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = append_ann_index(b, idx)
+    assert r2["bloom_prefilter"] and r2["exact_join_skipped"]
+    assert (r2["maybe_seen_rows"], r2["rows_appended"]) == (0, 1)
+
+    # replay of b: its id is maybe-seen (it IS seen) -> exact anti-join runs
+    # over exactly that one row and drops it; nothing appended, no new
+    # sidecar partition
+    n_parts = len(list(side.iterdir()))
+    r3 = append_ann_index(b, idx)
+    assert not r3["exact_join_skipped"]
+    assert (r3["maybe_seen_rows"], r3["rows_appended"]) == (1, 0)
+    assert len(list(side.iterdir())) == n_parts
+
+    # ids stay unique across the whole dance
+    ids = [x["vec_id"] for x in spark.read.parquet(idx).select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
+
+    # mixed (m_bits, k) sidecar families refuse to merge
+    from final_ocr_spark.operators.bloom import build_bloom
+
+    build_bloom(a.select("vec_id"), "vec_id", m_bits=4096, k_hashes=3).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/{ID_BLOOM_SUBDIR}/append_id=99")
+    with pytest.raises(ValueError, match="mixed"):
+        append_ann_index(b, idx)
+
+
 def test_semantic_dedup_planted_groups(spark):
     """Planted semantic-duplicate groups collapse to their min-key member;
     brute-force cosine over the pair graph is the ground truth."""
