@@ -2285,21 +2285,33 @@ def oracle_sql() -> dict[str, str]:
         "q41_source_cap": """
             -- stage 'cap': per-source top-7; stage 'temp': alpha=0.5
             -- temperature sampling — share_g = sqrt(n_g)/T, budget =
-            -- min_g(n_g/share_g), keep-rate threshold = round(rate*65536)
-            -- compared against the md5 hex bucket (same arithmetic shape
-            -- as the Spark side; sqrt is correctly rounded in IEEE so the
-            -- thresholds agree bit-for-bit).
+            -- min_g(n_g/share_g), keep-rate threshold compared against the
+            -- md5 hex bucket. Bit-exact mirror of the Spark side: T is a
+            -- LEFT FOLD over name-sorted groups (list_reduce over an
+            -- ordered list — the engine normalizes driver-free with the
+            -- same sorted fold, and sqrt is correctly rounded in IEEE),
+            -- and the threshold rounds HALF_EVEN like F.bround (DuckDB
+            -- round() is half-away-from-zero and would diverge on an
+            -- exact .5 tie of 1/65536).
             WITH n AS (
                 SELECT lang, CAST(count(*) AS DOUBLE) AS a
                 FROM documents WHERE lang IS NOT NULL GROUP BY lang
             ),
-            tot AS (SELECT sum(sqrt(a)) AS t FROM n),
+            tot AS (
+                SELECT list_reduce(list(sqrt(a) ORDER BY lang),
+                                   (x, y) -> x + y) AS t
+                FROM n
+            ),
             bud AS (SELECT min(a / (sqrt(a) / t)) AS b FROM n, tot),
             thr AS (
                 SELECT lang,
-                       CAST(round(least(1.0, (sqrt(a) / t) * b / a) * 65536)
-                            AS INTEGER) AS th
-                FROM n, tot, bud
+                       CAST(CASE WHEN r - floor(r) > 0.5 THEN floor(r) + 1
+                                 WHEN r - floor(r) < 0.5 THEN floor(r)
+                                 ELSE floor(r) + CAST(floor(r) AS BIGINT) % 2
+                            END AS INTEGER) AS th
+                FROM (SELECT lang,
+                             least(1.0, (sqrt(a) / t) * b / a) * 65536 AS r
+                      FROM n, tot, bud)
             )
             SELECT 'cap' AS stage, doc_id, source AS grp, n_chars
             FROM documents

@@ -37,11 +37,8 @@ these are the corpus-hygiene generalizations its pipeline needs at
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _RESOLUTION = 1 << 16  # sampling granularity: 1/65536
 
@@ -238,17 +235,27 @@ def temperature_mixture(
 
     Unlike :func:`mixture_sample`, the weights are COMPUTED from the corpus
     itself — no dict to supply: ONE per-group size aggregate (map-side
-    partial on slim rows) is collected — bounded at O(#groups), the same
-    languages/domains cardinality mixture_sample already requires the
-    caller to hold as a dict — and the shares are normalized DRIVER-SIDE
-    with ``math.fsum`` over name-sorted groups. Normalizing with a
-    distributed double ``sum`` instead would make the total (and so the
-    keep thresholds) depend on partition merge order, breaking this
-    module's bit-stable rerun/resume/repartition contract; fsum is exactly
-    rounded, so the result is independent of iteration order and
-    reproducible against a pure-Python twin. The corpus text never
-    shuffles. Rows with a NULL ``group`` are dropped (they can't carry a
-    share; same contract as mixture_sample's weight-0 groups).
+    partial on slim rows), then the shares normalize DRIVER-FREE — the
+    same 1-row-aggregate + broadcast cross-join shape as
+    :func:`mixture_sample`'s auto budget, so nothing is ever collected
+    (group cardinality is caller-controlled; ``group=host`` would pull
+    millions of skinny rows through a driver collect). A naive distributed
+    double ``sum`` would make the total (and so the keep thresholds)
+    depend on partition merge order, breaking this module's bit-stable
+    rerun/resume/repartition contract — instead the O(#groups) weights are
+    gathered into ONE aggregation buffer, sorted by group name
+    (``array_sort`` over (group, weight) structs — binary/UTF-8 order,
+    which equals code-point order), and left-folded: a fixed fold order is
+    order-independent and exactly reproducible by a pure-Python twin or a
+    SQL engine with an ordered ``list_reduce``. Rows with a NULL ``group``
+    are dropped (they can't carry a share; same contract as
+    mixture_sample's weight-0 groups).
+
+    Cross-engine note: ``alpha`` ∈ {0, 0.5, 1} (the published settings'
+    building blocks) use ``1`` / correctly-rounded ``sqrt`` / identity, so
+    thresholds are bit-identical in any IEEE engine; other alphas go
+    through ``pow``, which libms only guarantee to 1 ulp — still
+    deterministic per platform, but pin goldens to one platform.
 
     ``budget``/``size_col``/determinism semantics are exactly
     :func:`mixture_sample`'s.
@@ -256,24 +263,38 @@ def temperature_mixture(
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
     size = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
-    size_rows = (
+    a = F.col("_actual")
+    if alpha == 0:
+        pw = F.lit(1.0)
+    elif alpha == 0.5:
+        pw = F.sqrt(a)  # IEEE-correctly-rounded, unlike pow(x, 0.5)
+    elif alpha == 1.0:
+        pw = a
+    else:
+        pw = F.pow(a, F.lit(float(alpha)))
+    sized = (
         df.filter(F.col(group).isNotNull())
         .groupBy(group)
         .agg(size.cast("double").alias("_actual"))
         .filter(F.col("_actual") > 0)
-        .collect()
+        .withColumn("_pw", pw)
     )
-    actual = {r[group]: float(r["_actual"]) for r in size_rows}
-    pw = {g: a ** float(alpha) for g, a in actual.items()}
-    tot = math.fsum(pw[g] for g in sorted(pw, key=str))
-    spark = df.sparkSession
-    schema = T.StructType([
-        T.StructField(group, df.schema[group].dataType),
-        T.StructField("_share", T.DoubleType()),
-        T.StructField("_actual", T.DoubleType()),
-    ])
-    stats = spark.createDataFrame(
-        [(g, pw[g] / tot, actual[g]) for g in actual] if actual else [], schema
+    tot = sized.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group).cast("string").alias("g"),
+                        F.col("_pw").alias("p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("_tot")
+    )
+    stats = sized.crossJoin(F.broadcast(tot)).select(
+        group, (F.col("_pw") / F.col("_tot")).alias("_share"), "_actual"
     )
     return _apply_mixture_budget(df, group, key, stats, budget, salt)
 

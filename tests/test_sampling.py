@@ -295,11 +295,14 @@ def test_temperature_mixture_matches_python_twin(spark):
     )
     assert got == got2
 
-    pw = {g: float(n) ** 0.5 for g, n in sizes.items()}
-    tot = math.fsum(pw[g] for g in sorted(pw))  # exactly-rounded — the
-    # operator normalizes driver-side with fsum so the total is
-    # order-independent (a distributed double sum would be partition-
-    # order-dependent and break the bit-stable rerun contract)
+    pw = {g: math.sqrt(float(n)) for g, n in sizes.items()}
+    # left-fold over NAME-SORTED groups — the operator's driver-free
+    # normalization sorts the (group, weight) pairs inside one aggregation
+    # buffer and folds left, so the total is order-independent and this
+    # twin reproduces it addition-for-addition
+    tot = 0.0
+    for g in sorted(pw):
+        tot += pw[g]
     share = {g: pw[g] / tot for g in sizes}
     budget = min(float(n) / share[g] for g, n in sizes.items())
     want = []
@@ -318,6 +321,31 @@ def test_temperature_mixture_matches_python_twin(spark):
         by[k.split("-")[0]] = by.get(k.split("-")[0], 0) + 1
     assert by["fr"] == 80
     assert by["en"] < 1200
+
+
+def test_temperature_mixture_is_driver_free(spark, monkeypatch):
+    """No driver action precedes the keep rule: building the sampled
+    DataFrame must not call collect/first/toPandas (group cardinality is
+    caller-controlled — group=host would pull millions of skinny rows
+    through a driver collect), and the normalization total rides the plan
+    as a 1-row aggregate cross-joined back, mixture_sample's shape."""
+    import pyspark.sql.dataframe as D
+
+    from final_ocr_spark.operators.sampling import temperature_mixture
+
+    df = _mix_corpus(spark, {"en": 40, "de": 10})
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action inside temperature_mixture")
+
+    monkeypatch.setattr(D.DataFrame, "collect", boom)
+    monkeypatch.setattr(D.DataFrame, "first", boom)
+    monkeypatch.setattr(D.DataFrame, "toPandas", boom)
+    out = temperature_mixture(df, "lang", "doc_id", alpha=0.5, salt="t1")
+    plan = out._jdf.queryExecution().toString()
+    monkeypatch.undo()
+    assert "CollectLimit" not in plan
+    assert out.count() > 0  # the lazy plan actually executes
 
 
 def test_temperature_mixture_alpha0_uniform_and_validation(spark):
