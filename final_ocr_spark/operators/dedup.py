@@ -108,6 +108,14 @@ def shingles(text_col: str, k: int = 5):
 # k ≤ 16 (dedup uses k=5, decontamination k=13)
 _SHINGLE_ROT = [3, 10, 17, 24, 31, 38, 45, 52, 7, 14, 21, 28, 35, 42, 49, 56]
 
+# LSH pairing skew cap: a degenerate (band, bucket) — all-identical
+# boilerplate — is truncated to this many rows before the self-join (it
+# would otherwise materialize quadratically). Shared with the streaming
+# ingest's observability agg (incremental_corpus.ingest_batch reports
+# buckets/rows the cap actually truncated, so the documented
+# near-identical-template leak is measurable per batch, not just known).
+PAIR_BUCKET_CAP = 200
+
 
 def _gram_rot(k: int) -> list[int]:
     """Pairwise-distinct rotation amounts for k-gram position mixing.
@@ -496,7 +504,10 @@ def _sig_near_dup_pairs(
     # candidate pairs: self-join within (band, bucket). Skew guard: a
     # degenerate bucket (all-identical boilerplate) is capped via row_number.
     w = Window.partitionBy("band", "bucket").orderBy("k")
-    capped = buckets.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 200)
+    capped = (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= PAIR_BUCKET_CAP)
+    )
     a = capped.select("band", "bucket", F.col("k").alias("key_a"))
     b = capped.select("band", "bucket", F.col("k").alias("key_b"))
     pairs = (
@@ -729,16 +740,24 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_k: int = 3,
+    bucket_cap: int | None = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: historical 4×16-bit block index
     (pigeonhole-guaranteed only up to hamming 3; the default radius and
     callers' radius 6 accept heuristic recall above that — pinned by the
     q20 committed golden), then exact hamming filter. Delegates to
     :func:`hash64_near_dups` with ``n_blocks=4``, the one block-index
-    implementation. One shuffle on (block_id, block_value)."""
+    implementation. One shuffle on (block_id, block_value).
+
+    ``bucket_cap`` keeps this TEXT path's historical skew guard ON by
+    default (web boilerplate makes byte-identical simhashes routine, and a
+    degenerate bucket self-joins quadratically) — already-heuristic recall
+    is the accepted trade here, unlike :func:`hash64_near_dups`'s
+    guaranteed-recall default. ``None`` removes the cap."""
     sh = simhash_sigs(df, key=key, text_col=text_col, shingle_k=shingle_k)
     return hash64_near_dups(
-        sh, key="k", hash_col="sh", max_hamming=max_hamming, n_blocks=4
+        sh, key="k", hash_col="sh", max_hamming=max_hamming, n_blocks=4,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -1424,7 +1443,7 @@ def hash64_near_dups(
     key: str = "k",
     hash_col: str = "sh",
     max_hamming: int = 3,
-    bucket_cap: int = 200,
+    bucket_cap: int | None = None,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs among ARBITRARY 64-bit signatures — perceptual image
@@ -1444,10 +1463,19 @@ def hash64_near_dups(
     above 3, pinned by the q20 committed golden); leave it ``None`` for
     the guaranteed-recall contract.
 
-    Scale shape: one shuffle on (block_id, block_value), ``bucket_cap``
-    rows per degenerate bucket (flat-image / all-zero-hash spam would
-    otherwise self-join quadratically), exact ``bit_count`` filter on the
-    candidates."""
+    ``bucket_cap`` is an OPT-IN skew guard, default off: a degenerate
+    (block, value) bucket — flat-image / all-zero-hash spam — otherwise
+    self-joins quadratically, so corpora with adversarial spam should cap
+    (row_number ≤ cap per bucket). Capping TRADES the recall guarantee for
+    bounded work: once any bucket exceeds the cap, pairs whose only shared
+    untouched block sits in the truncated remainder are silently dropped —
+    and block width bounds how soon that happens (8-bit blocks have only
+    256 values per block, so buckets exceed ANY fixed cap long before
+    LAION scale; 16/32-bit blocks last ~2^16/2^32× longer). Recall 1.0
+    holds iff ``bucket_cap is None`` or every bucket stays under it.
+
+    Scale shape: one shuffle on (block_id, block_value), exact
+    ``bit_count`` filter on the candidates."""
     if n_blocks is None:
         if not 0 <= max_hamming <= 7:
             raise ValueError(
@@ -1478,11 +1506,14 @@ def hash64_near_dups(
     exploded = sh.select("k", "sh", F.explode(blocks).alias("b")).select(
         "k", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
-    w = Window.partitionBy("blk", "val").orderBy("k")
-    capped = (
-        exploded.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= bucket_cap)
-    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("blk", "val").orderBy("k")
+        capped = (
+            exploded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+        )
+    else:
+        capped = exploded
     a = capped.select("blk", "val", F.col("k").alias("key_a"),
                       F.col("sh").alias("sh_a"))
     b = capped.select("blk", "val", F.col("k").alias("key_b"),

@@ -213,12 +213,16 @@ def gen_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(list(rows()), MEDIA_SCHEMA)
 
 
-def image_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
+) -> DataFrame:
     """Perceptual image near-dup pairs (the LAION-style multimodal dedup
     step): decode → 64-bit perceptual hash (image_features' phash column)
     → pigeonhole block index (dedup.hash64_near_dups, recall 1.0 within
-    the radius) → exact hamming filter. Returns (key_a, key_b, hamming)
-    over media_id.
+    the radius while ``bucket_cap`` is None — set it to bound degenerate
+    flat-image buckets at the cost of that guarantee, see
+    hash64_near_dups) → exact hamming filter. Returns (key_a, key_b,
+    hamming) over media_id.
 
     Decode-failed / non-image rows are excluded (they carry no hash; the
     quarantine surface is image_features' error column). On a real cluster
@@ -232,6 +236,7 @@ def image_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     return hash64_near_dups(
         feats.select("media_id", "phash"),
         key="media_id", hash_col="phash", max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
     )
 
 
@@ -345,15 +350,20 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def audio_near_dups(
+    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
+) -> DataFrame:
     """Perceptual audio near-dup pairs: decode → spectral fingerprint →
-    the same guaranteed-recall pigeonhole index the image path uses."""
+    the same guaranteed-recall pigeonhole index the image path uses
+    (recall 1.0 while ``bucket_cap`` is None; cap to bound silent-audio
+    spam buckets at the cost of that guarantee)."""
     from final_ocr_spark.operators.dedup import hash64_near_dups
 
     feats = audio_features(media).filter("error is null and afp is not null")
     return hash64_near_dups(
         feats.select("media_id", "afp"),
         key="media_id", hash_col="afp", max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
     )
 
 

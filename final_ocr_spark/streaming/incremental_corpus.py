@@ -22,8 +22,11 @@ monotonically increasing ``batch_id``):
    historical corpus is never re-read;
 3. within-batch LSH pairs via :func:`minhash_near_dups` over the
    precomputed signatures (its pairing stage, including the
-   degenerate-bucket skew cap): any key that appears as the GREATER member
-   of a near-dup pair is dropped. This keeps at least one representative
+   degenerate-bucket skew cap — buckets/rows the cap truncates are
+   REPORTED per batch as ``n_capped_buckets``/``n_capped_rows`` in
+   :func:`ingest_batch`'s stats, so the residual near-identical-template
+   leak is observable, not just documented): any key that appears as the
+   GREATER member of a near-dup pair is dropped. This keeps at least one representative
    per duplicate cluster (the cluster minimum never appears as a greater
    member); a chain a~b~c with a≁c drops c as collateral — the standard
    conservative streaming kill rule, cheaper than per-batch connected
@@ -90,6 +93,7 @@ from final_ocr_spark.operators.bloom import (
     with_bloom_membership,
 )
 from final_ocr_spark.operators.dedup import (
+    PAIR_BUCKET_CAP,
     band_buckets,
     incremental_near_dups,
     minhash_near_dups,
@@ -276,6 +280,24 @@ def ingest_batch(
     )
     self_drop = self_pairs.select(F.col("key_b").alias("k")).distinct()
 
+    # skew-cap observability: buckets the within-batch pairing cap actually
+    # truncated (the residual near-identical-template leak — byte-identical
+    # spam is already collapsed by the exact-text rule above, so a non-zero
+    # count here means >cap mutually-NEAR-identical docs under distinct
+    # keys in ONE batch, pairs beyond the cap unexamined). One aggregation
+    # over the slim (k, band, bucket) rows of the CURRENT batch only.
+    capst = (
+        band_buckets(sigs, bands, num_hashes // bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > PAIR_BUCKET_CAP)
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("_n") - PAIR_BUCKET_CAP).alias("nr"),
+        )
+        .first()
+    )
+
     stats = {
         "batch_id": batch_id,
         "rows_in": n_raw,
@@ -284,6 +306,8 @@ def ingest_batch(
         "lsh_bloom_prefilter": False,
         "lsh_history_join_skipped": False,
         "lsh_candidate_rows": None,
+        "n_capped_buckets": int(capst["nb"] or 0),
+        "n_capped_rows": int(capst["nr"] or 0),
         "sidecar_family_mismatch": False,
         "sidecars_repaired": 0,
     }

@@ -422,3 +422,22 @@ def test_hash64_near_dups_pigeonhole_guarantee(spark):
         assert got == exp, radius
     with pytest.raises(ValueError, match="max_hamming"):
         hash64_near_dups(sigs, max_hamming=8)
+
+
+def test_hash64_near_dups_bucket_cap_is_opt_in(spark):
+    """Default (bucket_cap=None) keeps the recall-1.0 guarantee even when a
+    (block, value) bucket exceeds any cap; an explicit cap bounds the work
+    and provably drops the tail pairs — the documented trade."""
+    from final_ocr_spark.operators.dedup import hash64_near_dups
+
+    # 250 identical hashes (one degenerate bucket per block) plus one
+    # 1-bit neighbor of the group
+    n = 250
+    rows = [(k, 0x0F0F_0F0F) for k in range(n)] + [(9000, 0x0F0F_0F0E)]
+    sigs = spark.createDataFrame(rows, "k long, sh long")
+
+    full = hash64_near_dups(sigs, max_hamming=1).count()
+    assert full == n * (n - 1) // 2 + n  # all identical pairs + neighbor
+
+    capped = hash64_near_dups(sigs, max_hamming=1, bucket_cap=50).count()
+    assert capped < full  # the cap demonstrably trades recall for bounds

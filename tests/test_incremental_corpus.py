@@ -436,6 +436,34 @@ def test_ingest_exact_text_spam_across_keys(spark, tmp_path):
     assert r["rows_kept"] == 2
     kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
     assert kept == {"http://spam/0000", "http://x/ok"}
+    # byte-identical spam collapses BEFORE sketching, so the pairing cap
+    # never engages and the observability stat stays silent
+    assert (r["n_capped_buckets"], r["n_capped_rows"]) == (0, 0)
+
+
+def test_ingest_reports_capped_lsh_buckets(spark, tmp_path):
+    """The residual documented leak — >cap mutually-NEAR-identical docs
+    under distinct urls in one batch (template spam with per-page noise
+    that survives the exact-text rule) — must now be OBSERVABLE: the
+    returned stats count the buckets and rows the pairing cap truncated."""
+    from final_ocr_spark.streaming.incremental_corpus import ingest_batch
+
+    corpus, sigs = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    # each doc differs by one trailing token -> distinct texts, near-equal
+    # shingle sets -> same LSH buckets, >200 rows per bucket
+    spam = [
+        (f"http://tmpl/{i:04d}", f"{_BASE} visitor{i:04d}") for i in range(230)
+    ]
+    r = ingest_batch(
+        _docs_df(spark, spam + [("http://x/ok", _OTHER)]),
+        0, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r["n_capped_buckets"] > 0
+    assert r["n_capped_rows"] >= r["n_capped_buckets"]  # ≥1 truncated row
+    # per capped bucket by construction (count > cap)
+    # dedup itself still keeps at least one representative and the control
+    kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
+    assert "http://x/ok" in kept and len(kept) < 230
 
 
 def test_ingest_sidecar_fallback_on_missing_coverage(spark, tmp_path):
