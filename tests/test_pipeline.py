@@ -646,8 +646,9 @@ def test_corpus_pipeline_sample_and_temperature_salts_independent(spark):
 
 
 def test_corpus_pipeline_gopher_arrow_same_verdicts(spark):
-    """gopher_arrow=True swaps the gate implementation, never the verdicts:
-    the same corpus yields the same surviving url set as the default."""
+    """gopher_arrow swaps the gate implementation, never the verdicts: the
+    same corpus yields the same surviving url set from the pure-JVM Column
+    gate and the (default) Arrow fast path."""
     rows = [
         ("https://a.example.com/1", GOOD),
         ("https://spam.example.com/5", "buy now " * 60),
@@ -655,9 +656,9 @@ def test_corpus_pipeline_gopher_arrow_same_verdicts(spark):
          "a calm unique page about rivers and the slow way they carve the "
          "valley stone over ten thousand quiet and unhurried years"),
     ]
-    base = corpus_pipeline(_pages(spark, rows), near_dup=False)
-    fast = corpus_pipeline(_pages(spark, rows), near_dup=False,
-                           gopher_arrow=True)
+    base = corpus_pipeline(_pages(spark, rows), near_dup=False,
+                           gopher_arrow=False)
+    fast = corpus_pipeline(_pages(spark, rows), near_dup=False)
     assert sorted(r["url"] for r in base.collect()) == \
            sorted(r["url"] for r in fast.collect())
     assert all("spam" not in r["url"] for r in fast.collect())
