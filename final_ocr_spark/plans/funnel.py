@@ -49,8 +49,15 @@ def gate_funnel(
     """One row per enabled gate, in pipeline order: ``(gate, n_failed_any,
     n_failed_first, remaining)`` plus a trailing ``('kept', 0, 0, kept)``
     row. ``extra_gates`` appends caller-supplied keep-predicates (name →
-    boolean Column) after the built-ins. NULL text fails every text gate
-    (no signal ≠ clean — the compression gate's convention)."""
+    boolean Column) after the built-ins.
+
+    Each gate predicate is the EXACT expression ``corpus_pipeline`` filters
+    on — including its empty/NULL-text conventions, so the funnel never
+    mis-attributes a drop relative to the pipeline it reports on: empty
+    text passes the gopher checks vacuously (every denominator is 0) and
+    scores 62.5 on quality; NULL text fails quality (score 12.5) and
+    gopher (NULL verdict = dropped by filter) but PASSES wordlist (ratio
+    0.0); the compression gate fails both (no signal ≠ clean)."""
     from final_ocr_spark.operators.repetition import gopher_repetition_keep
     from final_ocr_spark.operators.text_stats import (
         compression_ratio_udf,
@@ -59,22 +66,20 @@ def gate_funnel(
     )
 
     text = F.col(text_col)
-    has_text = text.isNotNull() & (F.length(text) > 0)
     gates: list[tuple[str, Column]] = []
     if lang_allow is not None:
         gates.append(("lang", F.col(lang_col).isin(*[str(x) for x in lang_allow])))
     if min_quality is not None:
         gates.append(
-            ("quality", has_text & (quality_score(text) >= F.lit(float(min_quality))))
+            ("quality", quality_score(text) >= F.lit(float(min_quality)))
         )
     if gopher:
-        gates.append(("gopher", has_text & gopher_repetition_keep(text)))
+        gates.append(("gopher", gopher_repetition_keep(text)))
     if flagged_wordlist is not None:
         gates.append(
             ("wordlist",
-             has_text
-             & (flagged_token_ratio(text, flagged_wordlist)
-                <= F.lit(float(flagged_max_ratio))))
+             flagged_token_ratio(text, flagged_wordlist)
+             <= F.lit(float(flagged_max_ratio)))
         )
     if compression_band is not None:
         lo, hi = compression_band

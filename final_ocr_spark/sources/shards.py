@@ -164,10 +164,15 @@ def write_jsonl_shards(
     promote nullable int64 columns to float64 and serialize ids as
     ``7.0`` — ints stay ints, nulls stay nulls, timestamps/dates arrive
     as datetime objects and land as ISO-8601 strings."""
+    if num_shards is not None and num_shards < 1:
+        # an explicit truthiness check would silently treat 0 as "decide
+        # for me" — a caller asking for zero shards gets an error, not the
+        # current-partitioning default
+        raise ValueError(f"num_shards must be >= 1 or None, got {num_shards}")
     for f_ in df.schema.fields:
         _reject_binary(f_.dataType, f_.name)
     cols = df.columns
-    args = ([num_shards] if num_shards else []) + [order_col]
+    args = ([num_shards] if num_shards is not None else []) + [order_col]
     slim = df.repartitionByRange(*args).sortWithinPartitions(order_col)
     os.makedirs(out_dir, exist_ok=True)
 

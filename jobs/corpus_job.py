@@ -195,23 +195,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--jsonl-shards", type=int, default=None,
                     help="pin the JSONL shard count (default: let the "
                          "range exchange decide)")
-    def _band(s: str):
-        # validate at parse time: a malformed band must fail as an argparse
-        # error naming the flag, not a bare unpack ValueError after the
-        # Spark session is already up
-        parts = s.split(":")
-        try:
-            lo, hi = (float(x) for x in parts)
-        except ValueError:
-            raise argparse.ArgumentTypeError(
-                f"expected LO:HI (two floats, e.g. 0.2:0.95), got {s!r}")
-        if not 0.0 <= lo <= hi:
-            raise argparse.ArgumentTypeError(
-                f"need 0 <= LO <= HI, got {s!r}")
-        return (lo, hi)
+    from jobs._cli import band_type
 
     ap.add_argument("--compression-band", default=None, metavar="LO:HI",
-                    type=_band,
+                    type=band_type,
                     help="keep docs whose zlib compression ratio lies in "
                          "[LO, HI] (e.g. 0.2:0.95) — drops over-compressible "
                          "template spam and incompressible noise")

@@ -62,7 +62,10 @@ def main() -> None:
     ap.add_argument("--funnel-min-quality", type=float, default=50.0)
     ap.add_argument("--funnel-wordlist", default=None, metavar="FILE",
                     help="one flagged token per line (wordlist gate row)")
-    ap.add_argument("--funnel-compression-band", default=None, metavar="LO:HI")
+    from jobs._cli import band_type
+
+    ap.add_argument("--funnel-compression-band", default=None,
+                    metavar="LO:HI", type=band_type)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -123,9 +126,7 @@ def main() -> None:
     if args.funnel:
         from final_ocr_spark.plans.funnel import gate_funnel
 
-        band = (tuple(float(x) for x in
-                      args.funnel_compression_band.split(":"))
-                if args.funnel_compression_band else None)
+        band = args.funnel_compression_band  # validated at parse time
         wordlist = ([ln.strip() for ln in
                      pathlib.Path(args.funnel_wordlist)
                      .read_text().splitlines() if ln.strip()]

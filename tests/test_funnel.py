@@ -21,7 +21,9 @@ def _corpus(spark):
         ("lang1", "de", GOOD),                      # fails lang only
         ("spam1", "en", "buy now " * 80),           # gopher + compression
         ("word1", "en", GOOD + " badword"),         # wordlist only
-        ("null1", "en", None),                      # fails every text gate
+        ("null1", "en", None),                      # fails quality/gopher/
+        # compression; PASSES wordlist (ratio 0.0 — the pipeline's own
+        # convention, which the funnel mirrors exactly)
     ]
     return spark.createDataFrame(rows, ["k", "lang", "text"])
 
@@ -42,7 +44,8 @@ def test_funnel_attribution_and_overlap(spark):
     # overlap view: each gate judged independently
     assert f["lang"]["n_failed_any"] == 1
     assert f["gopher"]["n_failed_any"] == 2          # spam1 + null1
-    assert f["wordlist"]["n_failed_any"] == 2        # word1 + null1
+    assert f["wordlist"]["n_failed_any"] == 1        # word1 (null passes:
+    # flagged_token_ratio(NULL) is 0.0 in the pipeline's wordlist_gate too)
     assert f["compression"]["n_failed_any"] == 2     # spam1 + null1
     # attribution view: first failing gate in pipeline order
     assert f["lang"]["n_failed_first"] == 1          # lang1
@@ -80,6 +83,36 @@ def test_funnel_extra_gates_and_order(spark):
     )
     gates = [r["gate"] for r in f.collect()]
     assert gates == ["has_k", "short", "kept"]
+
+
+def test_funnel_matches_pipeline_gate_semantics(spark):
+    """The funnel reports on corpus_pipeline's gates, so its predicates must
+    be the pipeline's EXACTLY — empty-string text passes the gopher checks
+    vacuously and scores 62.5 on quality (both above the default bar), so
+    a funnel that fails empty text on those gates would mis-attribute
+    drops relative to the pipeline it claims to describe."""
+    docs = spark.createDataFrame(
+        [("e1", "en", ""), ("g1", "en", GOOD), ("n1", "en", None)],
+        ["k", "lang", "text"],
+    )
+    f = _funnel_dict(gate_funnel(docs, min_quality=50.0, gopher=True))
+    # empty text survives both gates (like the pipeline's filters); only
+    # the NULL doc drops (quality 12.5, first text gate in order)
+    assert f["quality"]["n_failed_any"] == 1
+    assert f["gopher"]["n_failed_any"] == 1          # NULL verdict = fail
+    assert f["quality"]["n_failed_first"] == 1
+    assert f["kept"]["remaining"] == 2
+
+    # differential vs the pipeline's own filter expressions
+    from final_ocr_spark.operators.repetition import gopher_repetition_keep
+    from final_ocr_spark.operators.text_stats import quality_score
+
+    survivors = (
+        docs.filter(quality_score(F.col("text")) >= 50.0)
+        .filter(gopher_repetition_keep(F.col("text")))
+        .count()
+    )
+    assert survivors == f["kept"]["remaining"]
 
 
 def test_funnel_requires_a_gate(spark):

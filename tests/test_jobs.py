@@ -567,6 +567,23 @@ def test_corpus_job_rejects_malformed_compression_band(tmp_path):
     assert "LO:HI" in out.stderr
 
 
+def test_stats_job_rejects_malformed_funnel_band(tmp_path):
+    """stats_job validates --funnel-compression-band with the same shared
+    argparse type as corpus_job: malformed input dies as an argparse error
+    naming LO:HI before any Spark session exists."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/stats_job.py", "--synthetic", "5",
+         "--output", str(tmp_path / "s"), "--funnel",
+         "--funnel-compression-band", "nonsense"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 2
+    assert "LO:HI" in out.stderr
+
+
 def test_stats_job_funnel(tmp_path):
     """--funnel writes the per-gate retention table and prints one line per
     gate plus the kept row."""

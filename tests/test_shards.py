@@ -130,6 +130,18 @@ def test_token_shards_reject_wrong_budget_and_overflow(spark, tmp_path):
         write_token_shards(big, str(tmp_path / "y"), budget=16)
 
 
+def test_jsonl_rejects_zero_shards(spark, tmp_path):
+    """num_shards=0 must be an error, not a silent fall-through to the
+    current-partitioning default (the falsy-check trap)."""
+    import pytest
+
+    from final_ocr_spark.sources.shards import write_jsonl_shards
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_shards"):
+        write_jsonl_shards(df, str(tmp_path / "z"), "doc_id", num_shards=0)
+
+
 def test_jsonl_preserves_ints_and_temporal_types(spark, tmp_path):
     """The Arrow-native path must not pandas-promote nullable int64 to
     float64 (2^53+1 is unrepresentable in float64 — the id-corruption
