@@ -58,23 +58,75 @@ _WIDEN_CHAINS = (
 )
 
 
+# commits at or under this many new files read footers in a plain driver
+# loop (a Spark job costs more than it saves there); above it the reads
+# fan out over the executors
+_DRIVER_STATS_MAX_FILES = 8
+
+
+def _distributed_file_stats(spark: SparkSession,
+                            paths: list[str]) -> dict[str, dict]:
+    """{file name: collect_file_stats result} computed EXECUTOR-side: one
+    small Spark job over the new-file list (mapInPandas, one stats row per
+    file), collecting only O(#files) slim metadata rows. A file whose
+    footer read fails is omitted — stats are advisory, same contract as
+    the driver loop."""
+    import pandas as pd
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 64))
+
+    def one(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                try:
+                    out.append((p, json.dumps(
+                        datafilter.collect_file_stats(p))))
+                except Exception:
+                    out.append((p, None))
+            yield pd.DataFrame(out, columns=["path", "st"])
+
+    got = files.mapInPandas(one, "path string, st string").collect()
+    return {
+        pathlib.Path(r["path"]).name: json.loads(r["st"])
+        for r in got if r["st"] is not None
+    }
+
+
 def _new_file_entries(data_dir: pathlib.Path, data_rel: str,
                       written: DataFrame) -> list[dict]:
     """Manifest entries for freshly landed data files: path, size, row
     count, and per-column min/max/null bounds read from each parquet
-    FOOTER (datafilter.collect_file_stats). The loop is O(new files per
-    commit) on the driver — the same order as the st_size probe it sits
-    beside; a real Iceberg writer receives these bounds from the file
-    writer callback instead of re-opening footers."""
+    FOOTER (datafilter.collect_file_stats).
+
+    Small commits read footers in a driver loop (same order as the
+    st_size probe beside it); commits above ``_DRIVER_STATS_MAX_FILES``
+    files fan the reads out as ONE Spark job (:func:`_distributed_file_
+    stats`) — a 10^5-file backfill commit must not serialize minutes of
+    driver-side footer opens. A real Iceberg writer receives these bounds
+    from the file writer callback instead of re-opening footers at all;
+    the executor-side read is the drop-in equivalent (the data directory
+    is shared storage on a real cluster, exactly as the scan itself
+    assumes)."""
+    names = [pathlib.Path(p).name for p in sorted(written.inputFiles())]
+    if len(names) <= _DRIVER_STATS_MAX_FILES:
+        stats: dict[str, dict] = {}
+        for n in names:
+            try:
+                stats[n] = datafilter.collect_file_stats(str(data_dir / n))
+            except Exception:
+                pass  # advisory: a footer oddity must never fail a commit
+    else:
+        stats = _distributed_file_stats(
+            written.sparkSession, [str(data_dir / n) for n in names]
+        )
     entries = []
-    for p in sorted(written.inputFiles()):
-        name = pathlib.Path(p).name
-        local = data_dir / name
-        entry = {"path": f"{data_rel}/{name}", "bytes": local.stat().st_size}
-        try:
-            entry.update(datafilter.collect_file_stats(str(local)))
-        except Exception:
-            pass  # stats are advisory: a footer oddity must never fail a commit
+    for n in names:
+        entry = {"path": f"{data_rel}/{n}",
+                 "bytes": (data_dir / n).stat().st_size}
+        entry.update(stats.get(n, {}))
         entries.append(entry)
     return entries
 

@@ -37,6 +37,49 @@ def test_append_overwrite_and_time_travel(spark, cat):
     assert cat.tables() == ["t"]
 
 
+def test_many_file_commit_stats_are_executor_side(spark, cat, monkeypatch):
+    """A commit above the driver-loop threshold must not open parquet
+    footers on the DRIVER (a 10^5-file backfill would serialize minutes of
+    driver reads): collect_file_stats is poisoned in the driver process —
+    executor Python workers are separate processes and keep the real
+    implementation — yet the commit succeeds and the manifest carries the
+    same per-file bounds a direct computation produces."""
+    from final_ocr_spark.sources import catalog as catmod
+    from final_ocr_spark.sources import datafilter
+
+    real = datafilter.collect_file_stats
+
+    def boom(path):
+        raise AssertionError(f"driver-side footer read of {path}")
+
+    monkeypatch.setattr(datafilter, "collect_file_stats", boom)
+    df = spark.createDataFrame(
+        [(i, f"v{i:03d}") for i in range(120)], ["id", "v"]
+    ).repartition(12)  # 12 files > _DRIVER_STATS_MAX_FILES
+    snap = cat.write(df, "t", mode="append")
+    monkeypatch.undo()
+
+    entries = snap["files"]
+    assert len(entries) == 12
+    tdir = cat.table_dir("t")
+    for e in entries:
+        direct = real(str(tdir / e["path"]))
+        assert e["rows"] == direct["rows"]
+        assert e["stats"] == direct["stats"]
+        assert e["stats"]["id"]["min"] is not None
+
+    # and the small-commit path still uses the driver loop (below the
+    # threshold the Spark job costs more than it saves) — the poisoned
+    # driver function must fire there
+    monkeypatch.setattr(datafilter, "collect_file_stats", boom)
+    df2 = spark.createDataFrame([(1, "a")], ["id", "v"]).coalesce(1)
+    snap2 = cat.write(df2, "t", mode="append")
+    # advisory contract: the failed driver read degrades to a stats-less
+    # entry, never a failed commit
+    new = [e for e in snap2["files"] if e not in entries]
+    assert len(new) == 1 and "stats" not in new[0]
+
+
 def test_torn_snapshot_is_invisible(spark, cat):
     df = spark.createDataFrame([(1, "a")], ["id", "v"])
     cat.write(df, "t")
