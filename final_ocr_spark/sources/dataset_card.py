@@ -108,7 +108,9 @@ def corpus_stats(
 
 def dataset_card_markdown(stats: dict, name: str = "corpus") -> str:
     """Render a corpus_stats dict as a markdown dataset card (driver-side
-    string formatting over an already-bounded dict)."""
+    string formatting over an already-bounded dict). A ``funnel`` key
+    (list of gate rows — see :func:`write_dataset_card`) renders as the
+    retention-funnel table FineWeb/Dolma-style release cards carry."""
     L = [f"# Dataset card: {name}", ""]
     L.append(f"- **Documents:** {stats['docs']:,}")
     L.append(f"- **Tokens (whitespace):** {stats['tokens']:,}")
@@ -133,6 +135,15 @@ def dataset_card_markdown(stats: dict, name: str = "corpus") -> str:
         L += ["", "## Top hosts (by documents)", "", "| host | docs |", "|---|---|"]
         for r in stats["top_hosts"]:
             L.append(f"| {r['host']} | {r['docs']:,} |")
+    if stats.get("funnel"):
+        L += ["", "## Retention funnel (scan-local quality gates)", "",
+              "| gate | failed (any) | failed (first) | remaining |",
+              "|---|---|---|---|"]
+        for r in stats["funnel"]:
+            L.append(
+                f"| {r['gate']} | {r['n_failed_any']:,} | "
+                f"{r['n_failed_first']:,} | {r['remaining']:,} |"
+            )
     return "\n".join(L) + "\n"
 
 
@@ -140,11 +151,21 @@ def write_dataset_card(
     corpus: DataFrame,
     out_path: str,
     name: str = "corpus",
+    funnel: DataFrame | None = None,
     **stats_kwargs,
 ) -> dict:
     """corpus_stats + markdown render to ``out_path`` (and the raw dict as
-    ``out_path + '.json'``). Returns the stats dict."""
+    ``out_path + '.json'``). Returns the stats dict.
+
+    ``funnel`` takes a :func:`final_ocr_spark.plans.funnel.gate_funnel`
+    result (computed over the RAW pre-gate corpus — the card's own stats
+    describe the released corpus, the funnel explains what the gates
+    removed to get there) and publishes it as the card's retention table +
+    a ``funnel`` key in the JSON. The collect is the funnel's G+1 rows —
+    bounded like every other card aggregate."""
     stats = corpus_stats(corpus, **stats_kwargs)
+    if funnel is not None:
+        stats["funnel"] = [r.asDict() for r in funnel.collect()]
     md = dataset_card_markdown(stats, name=name)
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(md)

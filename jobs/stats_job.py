@@ -123,6 +123,7 @@ def main() -> None:
         (tf_idf_top_terms(docs, args.key_col, args.text_col, k=args.tfidf_k)
          .write.mode("overwrite").parquet(str(out / "tfidf")))
 
+    funnel = None
     if args.funnel:
         from final_ocr_spark.plans.funnel import gate_funnel
 
@@ -157,6 +158,10 @@ def main() -> None:
         stats = write_dataset_card(
             card_in, args.dataset_card, name=pathlib.Path(args.output).name,
             text_col=args.text_col,
+            # --funnel + --dataset-card: publish the retention table on the
+            # card itself (the FineWeb/Dolma release shape), not just as a
+            # side parquet
+            funnel=funnel,
         )
         print(f"dataset card written: {args.dataset_card} "
               f"docs={stats['docs']} tokens={stats['tokens']}")

@@ -62,3 +62,29 @@ def test_card_render_and_write(spark, tmp_path):
     assert json.load(open(out + ".json", encoding="utf-8")) == s
     # render is pure over the dict
     assert dataset_card_markdown(s, name="demo") == md
+
+
+def test_card_publishes_retention_funnel(spark, tmp_path):
+    """write_dataset_card(funnel=...) publishes the gate_funnel table on
+    the release card (markdown section + 'funnel' JSON key) — the
+    FineWeb/Dolma datasheet shape; without it the card is silent about
+    what the gates removed."""
+    from final_ocr_spark.plans.funnel import gate_funnel
+
+    raw = spark.createDataFrame(
+        [("u1", "en",
+          "the quick brown fox jumps over the lazy dog and then runs far "
+          "away into the green hills where a small river flows past the "
+          "old stone bridge near the quiet village every single morning."),
+         ("u2", "en", None)],
+        ["url", "lang", "text"],
+    )
+    fn = gate_funnel(raw, min_quality=50.0, gopher=True)
+    out = str(tmp_path / "CARD.md")
+    s = write_dataset_card(_corpus(spark), out, name="demo", funnel=fn)
+    md = open(out, encoding="utf-8").read()
+    assert "## Retention funnel" in md
+    assert [r["gate"] for r in s["funnel"]] == ["quality", "gopher", "kept"]
+    assert s["funnel"][-1]["remaining"] == 1  # the NULL doc dropped
+    assert "| quality |" in md and "| kept |" in md
+    assert json.load(open(out + ".json", encoding="utf-8")) == s
