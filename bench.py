@@ -175,12 +175,42 @@ def main() -> None:
             _docs(spark).select("doc_id", "lang"), "lang", "doc_id", alpha=0.3
         ).count()
 
+    def extra_semantic_kmeans(spark):
+        # the kmeans/semantic-dedup representative (r4 verdict asked for an
+        # sf-paired row): paper-faithful SemDeDup over the embeddings table
+        from final_ocr_spark.operators.similarity import semantic_dedup_kmeans
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).repartition(cpus)
+        return semantic_dedup_kmeans(emb, k=32, threshold=0.97).count()
+
+    def extra_pipeline_default(spark):
+        # end-to-end corpus_pipeline with PURE DEFAULTS over the prewritten
+        # page corpus — since r5 the default gopher gate is the Arrow fast
+        # path, and this entry is the production-default wall time
+        from final_ocr_spark.pipeline import corpus_pipeline
+
+        return corpus_pipeline(spark.read.parquet(str(corpus_dir))).count()
+
+    def extra_pipeline_jvm_gopher(spark):
+        # the same pipeline with the pure-JVM Column gopher gate — the
+        # paired row that shows what defaulting to the Arrow gate buys
+        from final_ocr_spark.pipeline import corpus_pipeline
+
+        return corpus_pipeline(
+            spark.read.parquet(str(corpus_dir)), gopher_arrow=False
+        ).count()
+
     queries_extra: dict[str, dict] = {}
     for name, fn in {
         "pack_chunks_1024": extra_pack,
         "gate_funnel": extra_funnel,
         "jsonl_shards": extra_jsonl,
         "temperature_mixture": extra_temperature,
+        "semantic_dedup_kmeans": extra_semantic_kmeans,
+        "pipeline_default": extra_pipeline_default,
+        "pipeline_jvm_gopher": extra_pipeline_jvm_gopher,
     }.items():
         t0 = time.monotonic()
         n = fn(spark)

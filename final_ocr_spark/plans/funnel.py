@@ -15,10 +15,14 @@ definitions `pipeline.corpus_pipeline` applies:
   pipeline order.
 
 Scale shape: every gate is a Column expression (plus the optional
-Arrow-batched compression ratio), so the whole funnel is ONE aggregation
-of 2×G+1 sums fused into the corpus scan — no shuffle, no per-gate jobs,
-no second pass. The G-row result frame is assembled driver-side from that
-single collected row (O(#gates), not O(corpus)).
+Arrow-batched compression ratio), evaluated ONCE per row in a single scan
+pass; per-partition partial sums ride one SinglePartition exchange of
+O(#partitions) slim rows into the final 2×G+1-sum row (see
+:func:`_funnel_agg` for why the partial stage exists — it is the barrier
+that stops Catalyst re-inlining the heavy gate expressions into every
+first-fail term). No data shuffle, no per-gate jobs, no second pass. The
+G-row result frame is assembled driver-side from that single collected
+row (O(#gates), not O(corpus)).
 
 The funnel is a REPORT on gate behavior, deliberately limited to the
 scan-local gates (lang / quality / gopher / wordlist / compression):
@@ -33,6 +37,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _funnel_agg(docs: DataFrame, gates: list[tuple[str, Column]]) -> DataFrame:
+    """The funnel's 1-row aggregation over (gate name, keep predicate)
+    pairs: ``_total`` plus ``_any_<g>`` / ``_first_<g>`` per gate.
+
+    Each verdict must be computed ONCE per row: the first-fail term of
+    gate i references every earlier gate's verdict, so letting Catalyst
+    inline the raw expressions into the aggregate grows the evaluated work
+    quadratically in G (the heavy gopher folds would re-evaluate in every
+    later term — and CollapseProject DOES fold a deterministic flag
+    projection straight into the agg, measured 17× slower warm). The
+    barrier is structural, not a materialization: a partition-local
+    pre-aggregation keyed on ``spark_partition_id()`` — nondeterministic,
+    so the flag projection cannot be collapsed through it — emits one
+    partial row per partition, and a final 1-row agg sums those. Plan:
+    scan → flags projected once per row → per-partition sums → ONE
+    SinglePartition exchange of O(#partitions) slim rows → final sums.
+    No data shuffle, no join, no window. A NULL keep-verdict counts as
+    failed, matching filter semantics where NULL drops the row."""
+    flags = docs.select(
+        *[
+            (~F.coalesce(keep, F.lit(False))).alias(f"_fail_{i}")
+            for i, (_, keep) in enumerate(gates)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    passed_so_far = F.lit(True)
+    for i, (name, _) in enumerate(gates):
+        failed = F.col(f"_fail_{i}")
+        aggs.append(F.sum(failed.cast("long")).alias(f"_any_{name}"))
+        aggs.append(
+            F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{name}")
+        )
+        passed_so_far = passed_so_far & ~failed
+    partial = flags.groupBy(F.spark_partition_id().alias("_pid")).agg(*aggs)
+    out_cols = [c for c in partial.columns if c != "_pid"]
+    # coalesce(0): an EMPTY corpus yields zero partial rows and sum() would
+    # return NULL where the old single-agg count returned 0
+    return partial.agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in out_cols]
+    )
+
+
 def gate_funnel(
     docs: DataFrame,
     *,
@@ -41,6 +87,7 @@ def gate_funnel(
     lang_allow: tuple[str, ...] | list[str] | None = None,
     min_quality: float | None = 50.0,
     gopher: bool = True,
+    gopher_arrow: bool = True,
     flagged_wordlist: list[str] | None = None,
     flagged_max_ratio: float = 0.01,
     compression_band: tuple[float, float] | None = None,
@@ -74,7 +121,18 @@ def gate_funnel(
             ("quality", quality_score(text) >= F.lit(float(min_quality)))
         )
     if gopher:
-        gates.append(("gopher", gopher_repetition_keep(text)))
+        if gopher_arrow:
+            # same default as corpus_pipeline: the Arrow twin is bit-equal
+            # (tests/test_repetition.py) and ~5× cheaper than the
+            # interpreted Column folds, so the report costs what the
+            # pipeline's own gate costs
+            from final_ocr_spark.operators.repetition import (
+                gopher_repetition_keep_udf,
+            )
+
+            gates.append(("gopher", gopher_repetition_keep_udf()(text)))
+        else:
+            gates.append(("gopher", gopher_repetition_keep(text)))
     if flagged_wordlist is not None:
         gates.append(
             ("wordlist",
@@ -95,24 +153,7 @@ def gate_funnel(
     if not gates:
         raise ValueError("no gates enabled — nothing to report")
 
-    # materialize each gate verdict as ONE named flag column before
-    # aggregating: the first-fail term of gate i references every earlier
-    # gate's verdict, so inlining the raw expressions would grow the agg's
-    # expression tree quadratically in G (the heavy gopher folds appear in
-    # every later term). A NULL keep-verdict counts as failed, matching
-    # filter semantics where NULL drops the row.
-    for i, (_, keep) in enumerate(gates):
-        docs = docs.withColumn(f"_fail_{i}", ~F.coalesce(keep, F.lit(False)))
-    aggs = [F.count(F.lit(1)).alias("_total")]
-    passed_so_far = F.lit(True)
-    for i, (name, _) in enumerate(gates):
-        failed = F.col(f"_fail_{i}")
-        aggs.append(F.sum(failed.cast("long")).alias(f"_any_{name}"))
-        aggs.append(
-            F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{name}")
-        )
-        passed_so_far = passed_so_far & ~failed
-    row = docs.agg(*aggs).collect()[0]  # 1 row, 2G+1 cells
+    row = _funnel_agg(docs, gates).collect()[0]  # 1 row, 2G+1 cells
 
     total = row["_total"]
     out, remaining = [], total

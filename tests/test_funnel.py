@@ -121,16 +121,40 @@ def test_funnel_requires_a_gate(spark):
                     gopher=False)
 
 
-def test_funnel_is_one_aggregate(spark):
-    """Plan shape: the funnel must fuse into ONE aggregation over the scan —
-    no join, no window, no extra exchange beyond the partial/final agg."""
-    # build only Column gates (no Arrow stage) so the whole plan is codegen
-    docs = _corpus(spark)
-    aggs = [F.count(F.lit(1)).alias("_total")]
+def test_funnel_is_one_pass_no_shuffle(spark):
+    """Plan shape of the REAL funnel aggregation (_funnel_agg): no join, no
+    window, no data shuffle — only the SinglePartition exchange carrying
+    one partial row per partition — and the heavy gate expressions stay in
+    a projection SEPARATE from the aggregate, evaluated once per row
+    (Catalyst would otherwise re-inline them into every first-fail term;
+    measured 17× slower warm)."""
+    from final_ocr_spark.operators.repetition import gopher_repetition_keep
     from final_ocr_spark.operators.text_stats import quality_score
-    keep = quality_score(F.col("text")) >= 50.0
-    failed = ~F.coalesce(keep, F.lit(False))
-    aggs.append(F.sum(failed.cast("long")).alias("_any"))
-    plan = docs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    from final_ocr_spark.plans.funnel import _funnel_agg
+
+    docs = _corpus(spark)
+    gates = [
+        ("quality", quality_score(F.col("text")) >= 50.0),
+        ("gopher", gopher_repetition_keep(F.col("text"))),
+    ]
+    agg = _funnel_agg(docs, gates)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
-    assert plan.count("Exchange") <= 1
+    # two exchanges, both carrying O(#partitions) partial-agg rows (pid
+    # hash + SinglePartition) — never corpus data
+    assert plan.count("Exchange") <= 2 and "SinglePartition" in plan
+    # the heavy gate folds (zip_with/aggregate HOFs) live ONLY below the
+    # last exchange — in the once-per-row flag projection, never
+    # re-inlined into the upper aggregate stages
+    upper = plan.rsplit("Exchange", 1)[0]
+    assert "zip_with" not in upper and "transform(" not in upper
+    # and the numbers agree with the straightforward slow form
+    row = agg.collect()[0]
+    slow_any = docs.filter(
+        ~F.coalesce(gates[1][1], F.lit(False))
+    ).count()
+    assert row["_any_gopher"] == slow_any
+
+    # empty corpus: zero rows aggregate to zeros, not NULLs
+    empty = _funnel_agg(docs.limit(0), gates).collect()[0]
+    assert (empty["_total"], empty["_any_quality"]) == (0, 0)
