@@ -177,29 +177,52 @@ def main() -> None:
 
     def extra_semantic_kmeans(spark):
         # the kmeans/semantic-dedup representative (r4 verdict asked for an
-        # sf-paired row): paper-faithful SemDeDup over the embeddings table
+        # sf-paired row): paper-faithful SemDeDup over the embeddings
+        # table, k scaled with corpus size per the paper's own cost model
+        # (k ≈ n / expected cluster size, so within-cluster pair work stays
+        # (cluster size)² per cluster instead of growing with n²/k)
         from final_ocr_spark.operators.similarity import semantic_dedup_kmeans
 
         emb = spark.read.parquet(
             os.path.join(sf_dir, "embeddings.parquet")
         ).repartition(cpus)
-        return semantic_dedup_kmeans(emb, k=32, threshold=0.97).count()
+        k = max(8, emb.count() // 64)
+        return semantic_dedup_kmeans(emb, k=k, threshold=0.97).count()
 
     def extra_pipeline_default(spark):
-        # end-to-end corpus_pipeline with PURE DEFAULTS over the prewritten
-        # page corpus — since r5 the default gopher gate is the Arrow fast
-        # path, and this entry is the production-default wall time
+        # end-to-end corpus_pipeline with PURE DEFAULTS — since r5 the
+        # default gopher gate is the Arrow fast path, and this entry is the
+        # production-default wall time. FIXED 6k-page corpus regardless of
+        # sf (the per-stage sf-scaling evidence lives in the headline and
+        # gate rows; this row tracks the whole-pipeline default per round).
         from final_ocr_spark.pipeline import corpus_pipeline
 
-        return corpus_pipeline(spark.read.parquet(str(corpus_dir))).count()
+        fixed = pathlib.Path("/tmp/final_ocr_spark_bench/bench_6000_42.parquet")
+        if not (fixed / "_SUCCESS").exists():
+            gen_pages(spark, 6000, seed=42, partitions=cpus * 4) \
+                .write.mode("overwrite").parquet(str(fixed))
+        return corpus_pipeline(spark.read.parquet(str(fixed))).count()
 
-    def extra_pipeline_jvm_gopher(spark):
-        # the same pipeline with the pure-JVM Column gopher gate — the
-        # paired row that shows what defaulting to the Arrow gate buys
-        from final_ocr_spark.pipeline import corpus_pipeline
+    def _gate_docs(spark):
+        return _docs(spark).select("doc_id", "text")
 
-        return corpus_pipeline(
-            spark.read.parquet(str(corpus_dir)), gopher_arrow=False
+    def extra_gopher_gate_arrow(spark):
+        # paired gate-only rows (sf-scaled): what defaulting the pipeline's
+        # gopher gate to the Arrow twin buys vs the interpreted Column
+        # folds, on the same documents table
+        from final_ocr_spark.operators.repetition import (
+            gopher_repetition_keep_udf,
+        )
+
+        return _gate_docs(spark).filter(
+            gopher_repetition_keep_udf()(F.col("text"))
+        ).count()
+
+    def extra_gopher_gate_jvm(spark):
+        from final_ocr_spark.operators.repetition import gopher_repetition_keep
+
+        return _gate_docs(spark).filter(
+            gopher_repetition_keep(F.col("text"))
         ).count()
 
     queries_extra: dict[str, dict] = {}
@@ -209,8 +232,9 @@ def main() -> None:
         "jsonl_shards": extra_jsonl,
         "temperature_mixture": extra_temperature,
         "semantic_dedup_kmeans": extra_semantic_kmeans,
-        "pipeline_default": extra_pipeline_default,
-        "pipeline_jvm_gopher": extra_pipeline_jvm_gopher,
+        "pipeline_default_6k": extra_pipeline_default,
+        "gopher_gate_arrow": extra_gopher_gate_arrow,
+        "gopher_gate_jvm": extra_gopher_gate_jvm,
     }.items():
         t0 = time.monotonic()
         n = fn(spark)
@@ -235,6 +259,16 @@ def main() -> None:
             "n_sessions_per_level": s.get("n_sessions_per_level"),
             "corpus_docs": s["n_docs"],
         }
+
+    # round-5 release-artifact evidence: corpus_job --preset fineweb run
+    # end-to-end at the 480k-doc scaling corpus size (committed summary —
+    # protocol + raw numbers in BENCH/PRESET.md)
+    preset_480k = None
+    preset_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "preset_fineweb_summary.json")
+    if os.path.exists(preset_path):
+        with open(preset_path) as fh:
+            preset_480k = json.load(fh)
 
     # round-4 large-size supplement (480k docs, 4 sessions/level): committed
     # by BENCH/extend_sessions.py under SCALING_OUT_MD — see BENCH/SF1.md
@@ -277,6 +311,7 @@ def main() -> None:
                 "udf_batch_latency_ms": percentiles(lat_acc.value),
                 "scaling": scaling,
                 "scaling_480k": scaling_480k,
+                "preset_fineweb_480k": preset_480k,
             }
         )
     )
