@@ -81,6 +81,80 @@ def quality_score(text_col) -> Column:
     return F.round(total * F.lit(100.0 / len(checks)), 1)
 
 
+def quality_score_udf():
+    """Arrow-batched twin of :func:`quality_score` — same verdict, computed
+    in plain Python per batch instead of four full-text regex passes plus a
+    per-token interpreted ``isin`` fold (the gopher-gate playbook applied
+    to the second-densest scan-local gate; measured ~7× on the bench
+    corpus). Bit-equality is pinned by a differential test over
+    adversarial whitespace/unicode corpora (tests/test_text_stats.py).
+
+    Semantics notes that make the twin EXACT, not approximate:
+
+    * ``F.trim`` strips SPACE (U+0020) only; Java ``\\s`` is the ASCII set
+      ``[ \\t\\n\\x0b\\f\\r]`` (NBSP et al. are token characters in both
+      forms) — both spelled out below;
+    * the char-class counts are ASCII-exact: punctuation is the three
+      ranges ``!-/ :-@ [-` {-~``, upper is ``A-Z``, digit is ``0-9`` —
+      Unicode uppercase/digits do NOT count, same as the Column form;
+    * ``F.length`` counts code points, as Python ``len`` does;
+    * a NULL text scores 12.5 in the Column form — ``size(null)`` is -1,
+      so exactly one check (``n_tokens <= 100000``) passes while every
+      null-propagating comparison falls to its ``otherwise(0)`` — and the
+      twin pins that artifact rather than inventing a prettier answer;
+    * the score grid is multiples of 12.5 (exactly representable), so the
+      trailing round(·, 1) can never tie-break differently.
+
+    Deferred factory (module-level ``@pandas_udf`` needs a session)."""
+
+    def _factory():
+        import re
+
+        js = " \t\n\x0b\x0c\r"  # Java \s
+        ws_run = re.compile(f"[{js}]+")
+        punct = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+        upper = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        digit = set("0123456789")
+        stop = set(_STOPWORDS)
+
+        def one(t):
+            if not isinstance(t, str):
+                return 12.5  # the Column form's size(null) = -1 artifact
+            toks = [w for w in ws_run.split(t.strip(" ")) if w]
+            n_tok, n_chars = len(toks), len(t)
+            n_stop = sum(1 for w in toks if w.lower() in stop)
+            n_punct = n_upper = n_digit = 0
+            for ch in t:
+                if ch in punct:
+                    n_punct += 1
+                elif ch in upper:
+                    n_upper += 1
+                elif ch in digit:
+                    n_digit += 1
+            st = max(n_tok, 1)
+            sc = max(n_chars, 1)
+            mean_wl = (n_chars - n_tok + 1) / st
+            checks = (
+                n_tok >= 20,
+                n_tok <= 100000,
+                mean_wl >= 2.0,
+                mean_wl <= 12.0,
+                n_stop / st >= 0.01,
+                n_punct / sc <= 0.30,
+                n_upper / sc <= 0.30,
+                n_digit / sc <= 0.30,
+            )
+            return round(sum(checks) * 12.5, 1)
+
+        @pandas_udf("double")
+        def score(texts: pd.Series) -> pd.Series:
+            return texts.map(one)
+
+        return score
+
+    return _factory()
+
+
 def detect_lang_udf():
     """Arrow-batched language ID wrapping the pure-Python heuristic
     (final_ocr_spark.extract.langid). Deferred factory — a module-level

@@ -100,6 +100,7 @@ def corpus_pipeline(
     pages: DataFrame,
     *,
     min_quality: float = 50.0,
+    quality_arrow: bool = True,
     gopher: bool = True,
     gopher_arrow: bool = True,
     redact: bool = True,
@@ -265,8 +266,16 @@ def corpus_pipeline(
             .drop("_c4_keep")
         )
 
-    # 2. quality gate (scan-local)
-    docs = docs.withColumn("quality_score", quality_score(F.col("text")))
+    # 2. quality gate (scan-local). quality_arrow (default) scores with the
+    # bit-equal Arrow twin — the Column form burns four full-text regex
+    # passes plus a per-token interpreted isin fold (~30 core-ms/doc
+    # measured; quality_score_udf's docstring has the semantics contract)
+    if quality_arrow:
+        from final_ocr_spark.operators.text_stats import quality_score_udf
+
+        docs = docs.withColumn("quality_score", quality_score_udf()(F.col("text")))
+    else:
+        docs = docs.withColumn("quality_score", quality_score(F.col("text")))
     docs = docs.filter(F.col("quality_score") >= F.lit(min_quality))
     if gopher:
         if gopher_arrow:
@@ -355,7 +364,14 @@ def corpus_pipeline(
         docs = docs.withColumn("text", redact_pii(F.col("text")))
 
     # 4. exact dedup: min-url per normalized-text hash (the dedup_exact
-    # operator — whitespace/case-normalized, shuffles (hash, key) pairs only)
+    # operator — whitespace/case-normalized, shuffles (hash, key) pairs
+    # only). dedup_exact consumes its input TWICE (winner agg + join back),
+    # and everything above this line — the Python extraction stage, every
+    # gate, PII redaction — would re-execute for each consumer without a
+    # barrier (measured: the extract+dedup floor of the 6k-page bench
+    # corpus drops 8.1 s → 3.9 s warm). Same consumed-≥2× rule as stages
+    # 5/5c; the checkpoint holds exactly the columns the corpus ships.
+    docs = docs.localCheckpoint(eager=False)
     docs = dedup_exact(docs, text_col="text", keep_col="url")
 
     # 4a. host chrome removal (optional): lines on >= ratio of one host's
@@ -456,6 +472,13 @@ def corpus_pipeline(
 
     # 5. near-dup dedup: candidates → exact verify → components → reps
     if near_dup:
+        # three consumers of `docs` below (the minhash sketch, the n-gram
+        # verify joining BOTH pair sides, the representative join) — the
+        # same consumed-≥2× pitfall 5c guards against: without a barrier
+        # each consumer re-executes the whole upstream chain (the Python
+        # extraction stage + every gate + PII redaction). Measured on the
+        # 6k-page bench corpus: 21 s → 9 s for this stage.
+        docs = docs.localCheckpoint(eager=False)
         cand = minhash_near_dups(
             docs,
             key="url",

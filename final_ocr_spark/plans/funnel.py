@@ -86,6 +86,7 @@ def gate_funnel(
     lang_col: str = "lang",
     lang_allow: tuple[str, ...] | list[str] | None = None,
     min_quality: float | None = 50.0,
+    quality_arrow: bool = True,
     gopher: bool = True,
     gopher_arrow: bool = True,
     flagged_wordlist: list[str] | None = None,
@@ -117,9 +118,14 @@ def gate_funnel(
     if lang_allow is not None:
         gates.append(("lang", F.col(lang_col).isin(*[str(x) for x in lang_allow])))
     if min_quality is not None:
-        gates.append(
-            ("quality", quality_score(text) >= F.lit(float(min_quality)))
-        )
+        if quality_arrow:
+            # bit-equal Arrow twin, same default as corpus_pipeline
+            from final_ocr_spark.operators.text_stats import quality_score_udf
+
+            q = quality_score_udf()(text)
+        else:
+            q = quality_score(text)
+        gates.append(("quality", q >= F.lit(float(min_quality))))
     if gopher:
         if gopher_arrow:
             # same default as corpus_pipeline: the Arrow twin is bit-equal

@@ -31,6 +31,51 @@ def test_quality_score_ranks_prose_over_junk(spark):
     assert got[0] >= 87.0
 
 
+def test_quality_score_udf_bit_equals_column_form(spark):
+    """The Arrow twin must return the EXACT score of the Column form on an
+    adversarial corpus: every Java-\\s whitespace char, NBSP (a token char
+    in both forms), empty/blank/NULL text, ASCII punct/upper/digit edges,
+    unicode uppercase and digits (which must NOT count), threshold-straddling
+    token counts and word lengths."""
+    from final_ocr_spark.operators.text_stats import (
+        quality_score,
+        quality_score_udf,
+    )
+
+    word = "the quick brown fox jumps over a lazy dog near the old bridge "
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " \t\n\x0b\x0c\r "),
+        (3, "\xa0\xa0\xa0"),                      # NBSP: one 3-char token
+        (4, word * 3),                            # past the 20-token bar
+        (5, "x " * 19),                           # 19 tokens (below bar)
+        (6, "x " * 20),                           # exactly 20
+        (7, "!!!??? ##$$%% " * 30),               # punct-heavy
+        (8, "ABC DEF GHI JKL " * 30),             # upper-heavy
+        (9, "123 456 789 000 " * 30),             # digit-heavy
+        (10, "ÄÖÜ ЖЩФ ΔΘΛ " * 30),                # unicode upper: NOT [A-Z]
+        (11, "١٢٣ ४५६ 七八九 " * 30),               # unicode digits: NOT [0-9]
+        (12, "supercalifragilistic " * 25),       # long words (mean_wl > 12)
+        (13, "a b c d e f g h i j k l m n o p q r s t u v"),  # mean_wl 1
+        (14, "\tthe\ttabbed\ttokens\tsurvive\ttrim\t" + word * 2),
+        (15, word * 2 + "\r\n" + word),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: (r["col"], r["udf"])
+        for r in df.select(
+            "i",
+            quality_score(F.col("text")).alias("col"),
+            quality_score_udf()(F.col("text")).alias("udf"),
+        ).collect()
+    }
+    for i, (c, u) in sorted(got.items()):
+        assert c == u, (i, c, u, rows[i][1][:40] if rows[i][1] else rows[i][1])
+    assert got[0] == (12.5, 12.5)  # the pinned size(null) artifact
+    assert got[1][0] == 62.5
+
+
 def test_detect_lang_udf(spark):
     from final_ocr_spark.operators.text_stats import detect_lang_udf
 
