@@ -53,6 +53,38 @@ _CDATA_ELEMS = ("script", "style")
 # '>' → handle_endtag(tag).  Misses fall through unchanged.
 _SIMPLE_START = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 _SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
+# Attr-ful start-tag fast path: name + [\t\n\r\f ] separator + an attribute
+# region where '/' '<' '>' '"' '\'' appear only as cleanly-quoted values
+# that themselves contain no '<' or '>' (and the quote alternatives' first
+# chars are disjoint from the outer class, so the scan is linear — no
+# backtracking blowup).  Every hit provably reproduces the stdlib path:
+# (a) the separator [\t\n\r\f ] is in tagfind_tolerant's name-exclusion
+#     set, so the stdlib would extract the identical tag name ('\x0b' and
+#     unicode spaces are NOT — they'd extend the stdlib name — hence the
+#     explicit ASCII class instead of \s);
+# (b) no '>' or '<' outside/inside quotes except the terminator, and
+#     locatestarttagend_tolerant / the attrfind_tolerant consume loop scan
+#     any mix of names, '=' runs, bare and quoted values up to exactly that
+#     first unquoted '>', never past it (quoted '>' is the one construct
+#     that could extend a stdlib value past it, excluded here) and never
+#     stopping early (after a value/whitespace/quote the attr-name
+#     lookbehind ['"\s/] always holds, and a bare value runs to the next
+#     whitespace/'>' by definition), so end == '>' → handle_starttag;
+# (c) no '/' anywhere outside quotes → not a startend tag, and the
+#     current slow path's "/" substring test would be the only remaining
+#     difference — it is conservative (quoted '/' forces it into the attr
+#     loop with the same outcome), which is exactly the case this pattern
+#     reclaims (href="/..." etc., ~40% of start tags on link-bearing web
+#     corpora).  Misses fall through unchanged; byte-identity is pinned by
+#     the differential fuzz + goldens like the other fast paths.
+_FAST_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)[\t\n\r\f ]"
+    r"(?:[^<>/\"']|\"[^\"<>]*\"|'[^'<>]*')*>"
+)
+# `<br/>`-style bare startend tag: stdlib path is check_for_whole_start_tag
+# endpos=j+2 via the '/>' branch, then the attr loop breaks immediately at
+# '/' and end == '/>' → handle_startendtag(tag, []).
+_SIMPLE_STARTEND = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)/>")
 _NO_ATTRS: list = []  # handlers never mutate attrs; shared to skip per-tag allocs
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>")
 _MARKED_IF_CLOSE = re.compile(r"]\s*>")
@@ -213,6 +245,20 @@ def fast_feed(h, rawdata: str) -> None:
             if tag in _CDATA_ELEMS:
                 cdata_elem = tag
             i = sm.end()
+            continue
+        fm = _FAST_START.match(rawdata, i)
+        if fm is not None:
+            # as with _SIMPLE_START, cdata_elem is always None here
+            tag = fm.group(1).lower()
+            h.handle_starttag(tag, _NO_ATTRS)
+            if tag in _CDATA_ELEMS:
+                cdata_elem = tag
+            i = fm.end()
+            continue
+        xm = _SIMPLE_STARTEND.match(rawdata, i)
+        if xm is not None:
+            h.handle_startendtag(xm.group(1).lower(), _NO_ATTRS)
+            i = xm.end()
             continue
         if starttagopen.match(rawdata, i):
             k, cdata_elem = _parse_starttag(h, rawdata, i, n)

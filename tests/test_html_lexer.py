@@ -59,6 +59,20 @@ EDGE_CASES = [
     # junk in start tag / weird constructs
     "<p>a < b and c<1 or <2></p>", "<p@>data</p@>", "</>", "</ x>text",
     "<p\x00weird>t</p>",
+    # _FAST_START boundary: quote/slash mixes in attribute regions — every
+    # reading the stdlib attr machinery could take of a '"' (value delimiter,
+    # attr-name char, bare-value char) must land on the same '>'
+    '<a href="/rel/1">link</a>', "<a href='/tos'>t</a>",
+    '<a b"c/d">x</a>', '<a b=c"d/e">x</a>', '<a b="c"d>x</a>',
+    '<a b = = "x/y">x</a>', '<a "q/r">x</a>', '<a b=\'it"s\' c="x/y">x</a>',
+    '<a b="c\'d">x</a>', '<a b=c,,d>x</a>', '<a b=c, d=e>x</a>',
+    '<a =x>y</a>', '<a b=>y</a>', '<a ,foo>y</a>', '<a b==c>y</a>',
+    '<a b="c\' d=\'e">y</a>', '<a b="x>y" c="/z">q</a>',
+    '<img src="/x/y.png"/><p>after</p>', '<a href="/x/">t</a><br/>',
+    "<div\x0bclass=x>y</div>", "<p\xa0title=x>y</p>",  # NOT a name separator
+    '<script src="/j/s.js">var a=1;</script><p>seen</p>',
+    '<style media="x/y">p{}</style><p>s</p>',
+    '<a b="un/closed>tail', '<a b=/x>y</a>', '<a/ b>y</a>',
     # comments (multiline, fake close), PIs, doctype, marked sections
     "<!-- c1 --><p>a</p><!-- multi\nline -- ><p>b</p>",
     "<?php echo '<p>no</p>'; ?><p>yes</p>",
@@ -101,7 +115,12 @@ def test_fuzz_matches_stdlib():
             t = rng.choice(tags)
             if r < 0.35:
                 attr = rng.choice(["", " class=x", ' href="u>v"', " a='1'",
-                                   " data=http://h/", "/", " /"])
+                                   " data=http://h/", "/", " /",
+                                   ' href="/r/1"', " b\"c/d\"", ' b=c"d/e"',
+                                   ' b="c"d', ' "q/r"', " b='i\"s' c=\"x/y\"",
+                                   ' b="c\'d', " =x", " b=", " b==c",
+                                   "\x0bclass=x", "\xa0t=x", ' src="/x"/',
+                                   ' b="un/closed>t', " b=/x", "/ b"])
                 parts.append(f"<{t}{attr}>")
             elif r < 0.55:
                 parts.append(f"</{t}>")
