@@ -53,33 +53,54 @@ _CDATA_ELEMS = ("script", "style")
 # '>' → handle_endtag(tag).  Misses fall through unchanged.
 _SIMPLE_START = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 _SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
-# Attr-ful start-tag fast path: name + [\t\n\r\f ] separator + an attribute
-# region where '/' '<' '>' '"' '\'' appear only as cleanly-quoted values
-# that themselves contain no '<' or '>' (and the quote alternatives' first
-# chars are disjoint from the outer class, so the scan is linear — no
-# backtracking blowup).  Every hit provably reproduces the stdlib path:
+# Attr-ful start-tag fast path: name + [\t\n\r\f ] separator + a TOKEN-level
+# attribute grammar — separator runs and ``name[=value]`` attributes, where
+# value is "..."/'...' (no '<'/'>' inside) or a bare run, and names/bare
+# values use only chars that are neither quotes, '=', '/', '<', '>', nor
+# ASCII whitespace.  Every hit provably reproduces the stdlib path:
 # (a) the separator [\t\n\r\f ] is in tagfind_tolerant's name-exclusion
 #     set, so the stdlib would extract the identical tag name ('\x0b' and
 #     unicode spaces are NOT — they'd extend the stdlib name — hence the
 #     explicit ASCII class instead of \s);
-# (b) no '>' or '<' outside/inside quotes except the terminator, and
-#     locatestarttagend_tolerant / the attrfind_tolerant consume loop scan
-#     any mix of names, '=' runs, bare and quoted values up to exactly that
-#     first unquoted '>', never past it (quoted '>' is the one construct
-#     that could extend a stdlib value past it, excluded here) and never
-#     stopping early (after a value/whitespace/quote the attr-name
-#     lookbehind ['"\s/] always holds, and a bare value runs to the next
-#     whitespace/'>' by definition), so end == '>' → handle_starttag;
-# (c) no '/' anywhere outside quotes → not a startend tag, and the
-#     current slow path's "/" substring test would be the only remaining
-#     difference — it is conservative (quoted '/' forces it into the attr
-#     loop with the same outcome), which is exactly the case this pattern
-#     reclaims (href="/..." etc., ~40% of start tags on link-bearing web
-#     corpora).  Misses fall through unchanged; byte-identity is pinned by
-#     the differential fuzz + goldens like the other fast paths.
+# (b) quotes occur ONLY as a complete quoted value directly after a
+#     ``name=`` whose name starts at a position where the stdlib attr
+#     machinery starts an attr name (region start / after a separator /
+#     after a quoted value — attrfind_tolerant's lookbehind ['"\s/] holds at
+#     exactly those), the stdlib name stops at the same '=' (its name class
+#     excludes '='), and the '=' indicator then consumes the same quoted
+#     span (our content excludes the quote itself, so the stdlib's first
+#     closing quote is ours; ws INSIDE quotes is fine here because this is
+#     guaranteed value position).  Everything that could make a quote mean
+#     something else falls through to the slow path: a quote in attr-NAME
+#     position stalls the stdlib mid-tag and demotes the whole tag to data
+#     (``<a 't='>`` — name "'t" eats the quote, every value alternative then
+#     fails at the orphaned quote); '=' may START a tolerant name and eat a
+#     following quote into it (``<a ="u=">``); and after a BARE value a
+#     second '=' makes the stdlib re-tokenize mid-bare-value
+#     (``<a t=t='q x'>`` — the stdlib bare value stops at the space inside
+#     what a naive reading calls a quoted value).  All three classes are
+#     unmatchable under this grammar: '=' never starts a token, bare values
+#     exclude '=' and quotes, and adjacent-token gaps (bare value followed
+#     by '=' or a quote) match nothing.  Since no token contains '<'/'>',
+#     every hit's locatestarttagend_tolerant/attr-loop scan lands on exactly
+#     our terminating '>' → handle_starttag;
+# (c) no '/' anywhere (quoted content aside) → not a startend tag; quoted
+#     '/' is exactly the case this pattern reclaims (href="/..." etc.,
+#     ~40% of start tags on link-bearing web corpora).  Misses fall through
+#     unchanged; byte-identity is pinned by the differential fuzz (incl.
+#     the three adversarial classes above) + goldens like the other fast
+#     paths.
+# Linearity: every quantifier is possessive (Python 3.11+), token first
+# chars are disjoint (separator ws vs name chars; '=' and quotes start
+# nothing), and the value alternation is first-char-deterministic with an
+# atomic empty-bare fallback — one forward scan, zero backtracking, even on
+# miss.
 _FAST_START = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9]*)[\t\n\r\f ]"
-    r"(?:[^<>/\"']|\"[^\"<>]*\"|'[^'<>]*')*>"
+    r"(?:[\t\n\r\f ]++"
+    r"|[^<>/\"'=\t\n\r\f ]++"
+    r"(?:=(?:\"[^\"<>]*+\"|'[^'<>]*+'|[^<>/\"'=\t\n\r\f ]*+))?+"
+    r")*+>"
 )
 # `<br/>`-style bare startend tag: stdlib path is check_for_whole_start_tag
 # endpos=j+2 via the '/>' branch, then the attr loop breaks immediately at

@@ -68,6 +68,14 @@ EDGE_CASES = [
     '<a b="c\'d">x</a>', '<a b=c,,d>x</a>', '<a b=c, d=e>x</a>',
     '<a =x>y</a>', '<a b=>y</a>', '<a ,foo>y</a>', '<a b==c>y</a>',
     '<a b="c\' d=\'e">y</a>', '<a b="x>y" c="/z">q</a>',
+    # quote in attr-NAME position with a trailing '=': the stdlib attr loop
+    # stalls (all three value alternatives fail at the orphaned quote) and
+    # the whole tag demotes to data — the one class where a quote is NOT a
+    # value delimiter (round-5 review regression; minimized repro first)
+    "<a 't='>", "<div 'id='>text</div>", "<a 'x=' c=d>y", '<a "t=">z</a>',
+    "<a b=c 'd='>x</a>", "<a 't=' 'u='>x</a>", "<a 't ='>x</a>",
+    "<a b = 'x'>y</a>", "<a b =='x'>y</a>", "<a b=='x'>y</a>",
+    "<a ='x'>y</a>", "<a b='x'c>y</a>", "<a b=c=d>y</a>",
     '<img src="/x/y.png"/><p>after</p>', '<a href="/x/">t</a><br/>',
     "<div\x0bclass=x>y</div>", "<p\xa0title=x>y</p>",  # NOT a name separator
     '<script src="/j/s.js">var a=1;</script><p>seen</p>',
@@ -120,7 +128,10 @@ def test_fuzz_matches_stdlib():
                                    ' b="c"d', ' "q/r"', " b='i\"s' c=\"x/y\"",
                                    ' b="c\'d', " =x", " b=", " b==c",
                                    "\x0bclass=x", "\xa0t=x", ' src="/x"/',
-                                   ' b="un/closed>t', " b=/x", "/ b"])
+                                   ' b="un/closed>t', " b=/x", "/ b",
+                                   " 't='", ' "t="', " 'x=' c=d", " b = 'x'",
+                                   " b=='x'", " ='x'", " b='x'c", " b=c=d",
+                                   " 't'", " t='x' 'u='"])
                 parts.append(f"<{t}{attr}>")
             elif r < 0.55:
                 parts.append(f"</{t}>")
