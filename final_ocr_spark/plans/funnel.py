@@ -61,22 +61,31 @@ def _funnel_agg(docs: DataFrame, gates: list[tuple[str, Column]]) -> DataFrame:
             for i, (_, keep) in enumerate(gates)
         ]
     )
+    # internal aliases are INDEX-based: gate names are caller-supplied
+    # (extra_gates) and may contain '.'/'`'-style column-reference
+    # metacharacters that F.sum("<name>") would mis-parse as a nested-field
+    # reference — the real names are applied positionally (toDF, which never
+    # parses) only after the last by-name reference
     aggs = [F.count(F.lit(1)).alias("_total")]
     passed_so_far = F.lit(True)
-    for i, (name, _) in enumerate(gates):
+    for i in range(len(gates)):
         failed = F.col(f"_fail_{i}")
-        aggs.append(F.sum(failed.cast("long")).alias(f"_any_{name}"))
+        aggs.append(F.sum(failed.cast("long")).alias(f"_any_{i}"))
         aggs.append(
-            F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{name}")
+            F.sum((failed & passed_so_far).cast("long")).alias(f"_first_{i}")
         )
         passed_so_far = passed_so_far & ~failed
     partial = flags.groupBy(F.spark_partition_id().alias("_pid")).agg(*aggs)
     out_cols = [c for c in partial.columns if c != "_pid"]
     # coalesce(0): an EMPTY corpus yields zero partial rows and sum() would
     # return NULL where the old single-agg count returned 0
-    return partial.agg(
+    final = partial.agg(
         *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in out_cols]
     )
+    named = ["_total"]
+    for name, _ in gates:
+        named += [f"_any_{name}", f"_first_{name}"]
+    return final.toDF(*named)
 
 
 def gate_funnel(

@@ -115,6 +115,28 @@ def test_funnel_matches_pipeline_gate_semantics(spark):
     assert survivors == f["kept"]["remaining"]
 
 
+def test_funnel_extra_gate_names_with_metacharacters(spark):
+    """extra_gates names are caller-supplied strings, not column references:
+    a dotted name must not be parsed as a nested-field reference anywhere in
+    the two-stage aggregation (regression: the partial-agg refactor briefly
+    aliased partials by gate name and re-referenced them with F.sum(str),
+    which raised UNRESOLVED_COLUMN `_any_my`.`gate` for name='my.gate')."""
+    f = _funnel_dict(gate_funnel(
+        _corpus(spark), lang_allow=None, min_quality=None, gopher=False,
+        extra_gates={
+            "my.gate": F.col("text").isNotNull(),
+            "weird`name": F.length("text") < 10**6,
+        },
+    ))
+    assert f["my.gate"]["n_failed_any"] == 1           # null1
+    # overlap view judges gates independently: length(NULL) is NULL, and a
+    # NULL keep-verdict counts as failed, so null1 fails this gate too —
+    # but attribution charges it to my.gate, which comes first
+    assert f["weird`name"]["n_failed_any"] == 1
+    assert f["weird`name"]["n_failed_first"] == 0
+    assert f["kept"]["remaining"] == 5
+
+
 def test_funnel_requires_a_gate(spark):
     with pytest.raises(ValueError, match="no gates"):
         gate_funnel(_corpus(spark), lang_allow=None, min_quality=None,
