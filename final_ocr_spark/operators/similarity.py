@@ -228,16 +228,10 @@ def build_ann_index(
 
 def _index_meta(spark, index_dir: str):
     """The (dim, bits, seed) sidecar row, or None for a pre-sidecar index."""
-    from pyspark.errors import AnalysisException
+    from final_ocr_spark.sources.readers import read_optional
 
-    try:
-        return spark.read.parquet(f"{index_dir}/_meta").first()
-    except AnalysisException as e:
-        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-        cls = getcls() if getcls else None
-        if cls == "PATH_NOT_FOUND" or "Path does not exist" in str(e):
-            return None
-        raise
+    meta = read_optional(spark, f"{index_dir}/_meta")
+    return meta.first() if meta is not None else None
 
 
 def _resolve_family(meta, bits, seed, index_dir: str, *, what: str):
@@ -271,17 +265,12 @@ def _load_id_bloom(spark, index_dir: str):
     ``bit_or`` group-by (the filters are a few MB at billions of ids).
     Mixed (m_bits, k) families are rejected loudly: merging them would
     corrupt bits silently, including FALSE NEGATIVES."""
-    from pyspark.errors import AnalysisException
+    from final_ocr_spark.sources.readers import read_optional
 
-    try:
-        bl = spark.read.schema(_ID_BLOOM_SCHEMA).parquet(
-            f"{index_dir}/{ID_BLOOM_SUBDIR}"
-        )
-    except AnalysisException as e:
-        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-        cls = getcls() if getcls else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
+    bl = read_optional(
+        spark, f"{index_dir}/{ID_BLOOM_SUBDIR}", _ID_BLOOM_SCHEMA
+    )
+    if bl is None:
         return None, None, 0
     if "append_id" not in bl.columns:
         return None, None, 0
@@ -305,6 +294,54 @@ def _load_id_bloom(spark, index_dir: str):
         .select("word_idx", "bits", "m_bits", "k")
     )
     return merged, metas[0], next_id
+
+
+def _claim_append_id(index_dir: str, start: int) -> int:
+    """Atomically claim a UNIQUE ``append_id`` partition slot for this
+    writer's Bloom sidecar — the first free id >= ``start``, reserved by an
+    ``O_CREAT|O_EXCL`` marker file (the same filesystem CAS the catalog's
+    snapshot commit uses).
+
+    Why a CAS and not max+1: two concurrent appends that both loaded the
+    sidecar at max=N-1 would both compute N, and the SECOND
+    ``mode('overwrite')`` write would clobber the first's Bloom partition —
+    the clobbered append's ids would be in the index but permanently absent
+    from the merged filter, a FALSE NEGATIVE that silently re-admits those
+    ids on every future append (review-caught). With the claim, a stale
+    writer discovers the taken slot at the filesystem and moves to the next
+    one; both partitions survive and the bit_or merge covers both.
+
+    The marker is a dotfile inside the sidecar dir, invisible to Spark's
+    file listing. On a remote URI (hdfs://, s3://) there is no local-FS
+    atomic create — fall back to ``start`` and document the single-writer
+    assumption, exactly like the catalog's commit CAS (SEAMS.md)."""
+    import os
+
+    from final_ocr_spark.sources.readers import local_path
+
+    side = local_path(f"{index_dir}/{ID_BLOOM_SUBDIR}")
+    if side is None:
+        return start  # remote store: single-writer assumption (SEAMS.md)
+    side.mkdir(parents=True, exist_ok=True)
+    n = start
+    while True:
+        try:
+            fd = os.open(
+                side / f".claim-{n}",
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                0o644,
+            )
+            os.close(fd)
+        except FileExistsError:
+            n += 1
+            continue
+        # belt-and-suspenders: a store copied without dotfiles loses the
+        # markers but keeps the partitions — never hand out a slot whose
+        # data directory already exists
+        if (side / f"append_id={n}").exists():
+            n += 1
+            continue
+        return n
 
 
 def append_ann_index(
@@ -346,7 +383,12 @@ def append_ann_index(
       data append, so a crash between the two leaves ids in the filter
       that are not in the index — false POSITIVES (the exact anti-join
       resolves them), never false negatives (which would re-admit
-      duplicates). Once a sidecar exists it is maintained on EVERY append
+      duplicates). Concurrent appends get DISTINCT partition slots via a
+      filesystem CAS (:func:`_claim_append_id`) rather than max+1, so a
+      racing writer can never overwrite another's filter partition (which
+      would be a permanent false negative); on remote URIs the CAS degrades
+      to a documented single-writer assumption, like the catalog's commit.
+      Once a sidecar exists it is maintained on EVERY append
       (even ``use_bloom=False`` / ``skip_existing=False`` calls), because
       a missing partition would be a false negative for every future
       probe.
@@ -411,14 +453,22 @@ def append_ann_index(
     if id_bloom is None and use_bloom and skip_existing:
         # bootstrap: one column-pruned id scan of the legacy index, written
         # BEFORE any probing so the filter covers everything already there
-        id_bloom = build_bloom(
+        boot_id = _claim_append_id(index_dir, 0)
+        build_bloom(
             spark.read.parquet(index_dir).select(F.col(id_col)),
             id_col, m_bits=bloom_m_bits, k_hashes=bloom_k,
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={boot_id}"
         )
-        id_bloom.write.mode("overwrite").parquet(
-            f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id=0"
+        # READ BACK the materialized sidecar: probing the unmaterialized
+        # build_bloom DataFrame would re-execute its O(index) lineage on
+        # every downstream action (meta lookup + membership broadcast =
+        # two extra full index id scans per bootstrap, review-caught);
+        # the parquet read costs a few MB
+        id_bloom = spark.read.schema(_ID_BLOOM_SCHEMA).parquet(
+            f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={boot_id}"
         )
-        bloom_meta, next_append_id = (bloom_m_bits, bloom_k), 1
+        bloom_meta, next_append_id = (bloom_m_bits, bloom_k), boot_id + 1
 
     if skip_existing:
         if use_bloom and id_bloom is not None:
@@ -443,12 +493,17 @@ def append_ann_index(
         n_new = n_unique
     if n_new:
         if bloom_meta is not None:
-            # sidecar BEFORE data (see docstring crash-ordering contract)
+            # sidecar BEFORE data (see docstring crash-ordering contract);
+            # the slot is CLAIMED, not assumed from max+1 — a concurrent
+            # append that loaded the same sidecar state lands in the next
+            # free slot instead of overwriting this one (which would be a
+            # permanent false negative for every id in the loser's batch)
+            part_id = _claim_append_id(index_dir, next_append_id)
             build_bloom(
                 new.select(F.col(id_col)), id_col,
                 m_bits=bloom_meta[0], k_hashes=bloom_meta[1],
             ).write.mode("overwrite").parquet(
-                f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={next_append_id}"
+                f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={part_id}"
             )
         new.repartition("bucket").write.mode("append").partitionBy(
             "bucket"

@@ -92,6 +92,13 @@ from final_ocr_spark.operators.bloom import (
     split_new_vs_maybe_seen,
     with_bloom_membership,
 )
+# shared filesystem-seam helpers (hoisted round 5: this module, the ANN
+# index sidecar, and the catalog all need the same "read parquet that may
+# not exist yet" and "local path or refuse" contracts)
+from final_ocr_spark.sources.readers import (
+    local_path as _local_path,
+    read_optional as _read_optional,
+)
 from final_ocr_spark.operators.dedup import (
     PAIR_BUCKET_CAP,
     band_buckets,
@@ -131,41 +138,6 @@ def _family_tag(num_hashes: int, bands: int) -> str:
     return f"family:{num_hashes}:{bands}"
 
 
-def _local_path(store_dir: str) -> pathlib.Path | None:
-    """Local-filesystem path for maintenance ops, or None for a remote URI.
-    The READ path (Spark) speaks any Hadoop filesystem, but compaction and
-    crash recovery are pathlib/shutil-based — on hdfs://-style stores they
-    must refuse loudly instead of silently no-opping (see SEAMS.md).
-    Handles both file:// and Hadoop's normalized single-slash file:/ form
-    (what Spark logs and inputFiles print) — treating the latter as a
-    relative path would silently no-op maintenance (review-caught)."""
-    if store_dir.startswith("file:"):
-        from urllib.parse import urlparse
-
-        parsed = urlparse(store_dir)
-        if parsed.netloc not in ("", "localhost"):
-            return None  # file://host/... — a remote mount, not this box
-        return pathlib.Path(parsed.path)
-    if "://" in store_dir:
-        return None
-    return pathlib.Path(store_dir)
-
-
-def _read_optional(
-    spark: SparkSession, path: str, schema: StructType | str
-) -> DataFrame | None:
-    """Read-and-catch (NOT a local-filesystem listing — paths are HDFS/S3
-    URIs on a real cluster). ONLY path-not-found means "absent"; any other
-    analysis failure (corrupt store, permissions) must fail the batch
-    loudly, not silently skip dedup."""
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except AnalysisException as e:
-        getcls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
-        cls = getcls() if getcls else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
-        return None
 
 
 def _batch_ids(df: DataFrame) -> frozenset[int]:

@@ -226,7 +226,12 @@ def test_append_ann_index_bloom_prefilter(spark, emb, tmp_path):
     r = append_ann_index(a, idx)
     assert r["bloom_prefilter"] and r["rows_appended"] == 1
     side = pathlib.Path(idx) / ID_BLOOM_SUBDIR
-    assert {p.name for p in side.iterdir()} == {"append_id=0", "append_id=1"}
+
+    def _parts():
+        # data partitions only — slot-claim markers are dotfiles
+        return {p.name for p in side.iterdir() if not p.name.startswith(".")}
+
+    assert _parts() == {"append_id=0", "append_id=1"}
 
     # all-new batch: every id is "definitely new" -> the O(index) exact
     # anti-join is skipped (this is the 10^12-row contract)
@@ -241,11 +246,11 @@ def test_append_ann_index_bloom_prefilter(spark, emb, tmp_path):
     # replay of b: its id is maybe-seen (it IS seen) -> exact anti-join runs
     # over exactly that one row and drops it; nothing appended, no new
     # sidecar partition
-    n_parts = len(list(side.iterdir()))
+    n_parts = len(_parts())
     r3 = append_ann_index(b, idx)
     assert not r3["exact_join_skipped"]
     assert (r3["maybe_seen_rows"], r3["rows_appended"]) == (1, 0)
-    assert len(list(side.iterdir())) == n_parts
+    assert len(_parts()) == n_parts
 
     # ids stay unique across the whole dance
     ids = [x["vec_id"] for x in spark.read.parquet(idx).select("vec_id").collect()]
@@ -259,6 +264,108 @@ def test_append_ann_index_bloom_prefilter(spark, emb, tmp_path):
     ).parquet(f"{idx}/{ID_BLOOM_SUBDIR}/append_id=99")
     with pytest.raises(ValueError, match="mixed"):
         append_ann_index(b, idx)
+
+
+def test_append_ann_index_concurrent_slots_never_clobber(spark, emb, tmp_path):
+    """Concurrent appends must land in DISTINCT Bloom-sidecar partitions:
+    the slot is claimed via a filesystem CAS, so a stale writer that loaded
+    the same sidecar state (same max append_id) moves to the next free slot
+    instead of mode('overwrite')-clobbering the winner's filter — which
+    would be a PERMANENT false negative re-admitting the loser's ids on
+    every future append (review-caught race)."""
+    import pathlib
+
+    from final_ocr_spark.operators.similarity import (
+        ID_BLOOM_SUBDIR, _claim_append_id, append_ann_index, build_ann_index,
+    )
+
+    idx = build_ann_index(emb, str(tmp_path / "idx"), dim=16, bits=8, seed=11)
+    a = spark.createDataFrame(
+        [(800001, [float(i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    append_ann_index(a, idx)  # bootstrap (slot 0) + batch (slot 1)
+    side = pathlib.Path(idx) / ID_BLOOM_SUBDIR
+
+    # writer A holds slot 2 (claimed, filter not yet visible — the race
+    # window); writer B loaded the same sidecar state and would also
+    # compute next=2 — the claim walks it to 3 and slot 2 stays untouched
+    (side / ".claim-2").touch()
+    b = spark.createDataFrame(
+        [(800002, [float(16 - i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    r = append_ann_index(b, idx)
+    assert r["rows_appended"] == 1
+    names = {p.name for p in side.iterdir() if not p.name.startswith(".")}
+    assert "append_id=3" in names and "append_id=2" not in names
+
+    # a store copied WITHOUT dotfiles keeps partitions but loses markers —
+    # the claim must still skip the existing data directories (0, 1, 3)
+    # and hand out the genuinely-free slot 2 (its claimant never wrote)
+    for m in side.glob(".claim-*"):
+        m.unlink()
+    assert _claim_append_id(idx, 0) == 2
+
+    # remote URI: no local CAS — degrades to the caller's start
+    # (single-writer assumption, documented)
+    assert _claim_append_id("hdfs://nn/warehouse/idx", 7) == 7
+
+    # and b's id remains probe-visible through the merged filter: replaying
+    # b appends nothing (no false negative from the race handling)
+    r2 = append_ann_index(b, idx)
+    assert r2["rows_appended"] == 0 and r2["maybe_seen_rows"] == 1
+
+
+def test_append_ann_index_bootstrap_reads_back_sidecar(spark, emb, tmp_path):
+    """The bootstrap append materializes the index-id Bloom ONCE: downstream
+    membership probes read the written parquet back instead of re-executing
+    the O(index) build_bloom lineage (which an unmaterialized DataFrame
+    would do on every action — meta lookup + broadcast = two extra full
+    index id scans per bootstrap, review-caught). Pinned by counting rows
+    EVALUATED through build_bloom's results with an accumulator: exactly
+    one evaluation per written sidecar partition."""
+    import pathlib
+
+    import final_ocr_spark.operators.bloom as bloom_mod
+    from final_ocr_spark.operators.similarity import (
+        ID_BLOOM_SUBDIR, append_ann_index, build_ann_index,
+    )
+
+    idx = build_ann_index(emb, str(tmp_path / "idx"), dim=16, bits=8, seed=11)
+
+    acc = spark.sparkContext.accumulator(0)
+    real = bloom_mod.build_bloom
+
+    def counting_build_bloom(df, key, **kw):
+        out = real(df, key, **kw)
+
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return out.mapInPandas(bump, out.schema)
+
+    bloom_mod.build_bloom = counting_build_bloom
+    try:
+        batch = spark.createDataFrame(
+            [(800001, [float(i) for i in range(16)])],
+            "vec_id long, embedding array<double>",
+        )
+        r = append_ann_index(batch, idx)  # bootstrap + batch sidecar writes
+    finally:
+        bloom_mod.build_bloom = real
+    assert r["bloom_prefilter"] and r["rows_appended"] == 1
+
+    side = pathlib.Path(idx) / ID_BLOOM_SUBDIR
+    written = spark.read.schema(
+        "word_idx long, bits long, m_bits int, k int"
+    ).parquet(str(side)).count()
+    # every build_bloom result row was evaluated exactly once — by its own
+    # write; re-executed lineage would multiply the bootstrap partition's
+    # row count into the accumulator
+    assert acc.value == written
 
 
 def test_semantic_dedup_planted_groups(spark):
