@@ -259,41 +259,78 @@ ID_BLOOM_SUBDIR = "_id_bloom"
 _ID_BLOOM_SCHEMA = "word_idx long, bits long, m_bits int, k int"
 
 
-def _load_id_bloom(spark, index_dir: str):
-    """(merged_bloom | None, bloom_meta | None, next_append_id) from the
-    ``_id_bloom`` sidecar — one Bloom partition per append, merged via one
-    ``bit_or`` group-by (the filters are a few MB at billions of ids).
-    Mixed (m_bits, k) families are rejected loudly: merging them would
-    corrupt bits silently, including FALSE NEGATIVES."""
-    from final_ocr_spark.sources.readers import read_optional
+def _sidecar_partitions(spark, side_dir: str):
+    """List the sidecar's ``append_id=N`` partition dirs via the Hadoop
+    filesystem API (works on local paths AND hdfs://-style URIs), split by
+    job-commit completeness: a partition is COMPLETE only if its write job
+    committed (``_SUCCESS`` present). Returns
+    ``(complete_paths, incomplete_names, max_id)`` with ``max_id = -1``
+    when no partitions exist."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(side_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return [], [], -1
+    complete, incomplete, max_id = [], [], -1
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("append_id="):
+            continue
+        try:
+            max_id = max(max_id, int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            complete.append(str(st.getPath()))
+        else:
+            incomplete.append(name)
+    return complete, incomplete, max_id
 
-    bl = read_optional(
-        spark, f"{index_dir}/{ID_BLOOM_SUBDIR}", _ID_BLOOM_SCHEMA
-    )
-    if bl is None:
-        return None, None, 0
-    if "append_id" not in bl.columns:
-        return None, None, 0
+
+def _load_id_bloom(spark, index_dir: str):
+    """(merged_bloom | None, bloom_meta | None, next_append_id,
+    n_incomplete) from the ``_id_bloom`` sidecar — one Bloom partition per
+    append, merged via one ``bit_or`` group-by (the filters are a few MB at
+    billions of ids). Mixed (m_bits, k) families are rejected loudly:
+    merging them would corrupt bits silently, including FALSE NEGATIVES.
+
+    Partitions whose write job never COMMITTED (no ``_SUCCESS`` — a writer
+    crashed mid-write, or a direct-commit task left partial files) are
+    EXCLUDED from the merge: trusting a partial filter would report ids
+    that ARE in the index as definitely-new (silent duplicates,
+    review-caught). Excluding them is provably safe under the
+    sidecar-BEFORE-data crash ordering: an uncommitted sidecar means that
+    append's data never landed, so the complete partitions still cover
+    every id actually in the index. With zero complete partitions the
+    caller re-bootstraps from the index id column into a fresh slot and
+    the filter heals automatically; stale partial partitions are inert
+    litter, surfaced via ``n_incomplete`` for operator cleanup."""
+    side = f"{index_dir}/{ID_BLOOM_SUBDIR}"
+    complete, incomplete, max_id = _sidecar_partitions(spark, side)
+    next_id = max_id + 1
+    if not complete:
+        return None, None, next_id, len(incomplete)
+    bl = spark.read.schema(_ID_BLOOM_SCHEMA).parquet(*complete)
     metas = [
         (int(r["m_bits"]), int(r["k"]))
         for r in bl.select("m_bits", "k").distinct().collect()
     ]
     if len(metas) > 1:
         raise ValueError(
-            f"id-Bloom sidecar {index_dir}/{ID_BLOOM_SUBDIR} holds mixed "
+            f"id-Bloom sidecar {side} holds mixed "
             f"(m_bits, k) families {sorted(metas)} — filters only merge "
             "within one family; delete the sidecar (the next append "
             "rebuilds it from the index id column)."
         )
     if not metas:
-        return None, None, 0
-    next_id = int(bl.agg(F.max("append_id")).first()[0]) + 1
+        return None, None, next_id, len(incomplete)
     merged = (
         bl.groupBy("word_idx", "m_bits", "k")
         .agg(F.bit_or("bits").alias("bits"))
         .select("word_idx", "bits", "m_bits", "k")
     )
-    return merged, metas[0], next_id
+    return merged, metas[0], next_id, len(incomplete)
 
 
 def _claim_append_id(index_dir: str, start: int) -> int:
@@ -337,11 +374,38 @@ def _claim_append_id(index_dir: str, start: int) -> int:
             continue
         # belt-and-suspenders: a store copied without dotfiles loses the
         # markers but keeps the partitions — never hand out a slot whose
-        # data directory already exists
+        # data directory already exists (and drop the marker we just made,
+        # so walking past taken slots never re-litters them)
         if (side / f"append_id={n}").exists():
+            (side / f".claim-{n}").unlink(missing_ok=True)
             n += 1
             continue
         return n
+
+
+def _finalize_sidecar_slot(spark, index_dir: str, slot: int) -> None:
+    """Post-write commit tail for a sidecar partition: guarantee the
+    ``_SUCCESS`` completeness marker (clusters that disable
+    ``marksuccessfuljobs`` would otherwise make every partition look
+    crashed to :func:`_sidecar_partitions`), then release the local claim
+    marker — once the data directory is visible, the dir-exists check in
+    :func:`_claim_append_id` protects the slot, so markers only persist for
+    in-flight (or crashed-in-window) writers instead of accumulating one
+    per append forever (review-caught)."""
+    jvm = spark._jvm
+    part = jvm.org.apache.hadoop.fs.Path(
+        f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={slot}"
+    )
+    fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(part, "_SUCCESS")
+    if not fs.exists(marker):
+        fs.create(marker, True).close()
+
+    from final_ocr_spark.sources.readers import local_path
+
+    side = local_path(f"{index_dir}/{ID_BLOOM_SUBDIR}")
+    if side is not None:
+        (side / f".claim-{slot}").unlink(missing_ok=True)
 
 
 def append_ann_index(
@@ -383,11 +447,25 @@ def append_ann_index(
       data append, so a crash between the two leaves ids in the filter
       that are not in the index — false POSITIVES (the exact anti-join
       resolves them), never false negatives (which would re-admit
-      duplicates). Concurrent appends get DISTINCT partition slots via a
+      duplicates). A partition whose write job never COMMITTED (no
+      ``_SUCCESS`` — crashed writer, direct-commit partial) is EXCLUDED
+      from the merge, which the same ordering makes safe: its append's
+      data never landed, so the committed partitions still cover every id
+      in the index; zero committed partitions re-bootstrap automatically.
+      Concurrent appends get DISTINCT filter-partition slots via a
       filesystem CAS (:func:`_claim_append_id`) rather than max+1, so a
       racing writer can never overwrite another's filter partition (which
       would be a permanent false negative); on remote URIs the CAS degrades
       to a documented single-writer assumption, like the catalog's commit.
+      The slot CAS protects only the FILTER: the index DATA append is a
+      plain ``mode('append')`` into a shared parquet directory, which —
+      like any non-table-format parquet dir — still assumes ONE writer at
+      a time (concurrent data appends contend on the shared staging dir
+      and can both admit the same id once). If that assumption is
+      violated, the failure direction is extra/duplicate DATA rows or
+      filter entries whose rows were lost — false POSITIVES the exact
+      anti-join resolves — never a corrupted filter; true multi-writer
+      appends belong behind the catalog's commit protocol.
       Once a sidecar exists it is maintained on EVERY append
       (even ``use_bloom=False`` / ``skip_existing=False`` calls), because
       a missing partition would be a false negative for every future
@@ -397,7 +475,7 @@ def append_ann_index(
       further work — the bucket partition filter prunes the same way.
 
     Returns {'rows_in', 'rows_unique', 'rows_appended', 'bloom_prefilter',
-    'maybe_seen_rows', 'exact_join_skipped'}."""
+    'maybe_seen_rows', 'exact_join_skipped', 'sidecar_incomplete_parts'}."""
     from pyspark.sql import Window
 
     from final_ocr_spark.operators.bloom import (
@@ -443,23 +521,27 @@ def append_ann_index(
     )
     n_unique = new.count()  # cheap: reads the checkpointed sketch, not emb
 
-    id_bloom, bloom_meta, next_append_id = _load_id_bloom(spark, index_dir)
+    id_bloom, bloom_meta, next_append_id, n_incomplete = _load_id_bloom(
+        spark, index_dir
+    )
     stats = {
         "rows_in": n_in,
         "bloom_prefilter": False,
         "maybe_seen_rows": None,
         "exact_join_skipped": False,
+        "sidecar_incomplete_parts": n_incomplete,
     }
     if id_bloom is None and use_bloom and skip_existing:
         # bootstrap: one column-pruned id scan of the legacy index, written
         # BEFORE any probing so the filter covers everything already there
-        boot_id = _claim_append_id(index_dir, 0)
+        boot_id = _claim_append_id(index_dir, next_append_id)
         build_bloom(
             spark.read.parquet(index_dir).select(F.col(id_col)),
             id_col, m_bits=bloom_m_bits, k_hashes=bloom_k,
         ).write.mode("overwrite").parquet(
             f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={boot_id}"
         )
+        _finalize_sidecar_slot(spark, index_dir, boot_id)
         # READ BACK the materialized sidecar: probing the unmaterialized
         # build_bloom DataFrame would re-execute its O(index) lineage on
         # every downstream action (meta lookup + membership broadcast =
@@ -505,6 +587,7 @@ def append_ann_index(
             ).write.mode("overwrite").parquet(
                 f"{index_dir}/{ID_BLOOM_SUBDIR}/append_id={part_id}"
             )
+            _finalize_sidecar_slot(spark, index_dir, part_id)
         new.repartition("bucket").write.mode("append").partitionBy(
             "bucket"
         ).parquet(index_dir)

@@ -299,6 +299,9 @@ def test_append_ann_index_concurrent_slots_never_clobber(spark, emb, tmp_path):
     assert r["rows_appended"] == 1
     names = {p.name for p in side.iterdir() if not p.name.startswith(".")}
     assert "append_id=3" in names and "append_id=2" not in names
+    # committed slots release their claim markers (only the planted
+    # in-flight .claim-2 remains) — markers never accumulate per append
+    assert {p.name for p in side.glob(".claim-*")} == {".claim-2"}
 
     # a store copied WITHOUT dotfiles keeps partitions but loses markers —
     # the claim must still skip the existing data directories (0, 1, 3)
@@ -315,6 +318,83 @@ def test_append_ann_index_concurrent_slots_never_clobber(spark, emb, tmp_path):
     # b appends nothing (no false negative from the race handling)
     r2 = append_ann_index(b, idx)
     assert r2["rows_appended"] == 0 and r2["maybe_seen_rows"] == 1
+
+
+def test_append_ann_index_ignores_uncommitted_sidecar_partitions(
+    spark, emb, tmp_path
+):
+    """A sidecar partition whose write job never COMMITTED (no _SUCCESS —
+    a writer crashed mid-write, possibly leaving partial-but-visible files
+    under a direct committer) must be EXCLUDED from the merged filter:
+    trusting a partial filter would answer 'definitely new' for ids that
+    ARE in the index and silently re-admit them (review-caught). Exclusion
+    is safe under the sidecar-BEFORE-data ordering: an uncommitted batch
+    filter means that batch's data never landed, and an uncommitted
+    bootstrap aborts its append before any batch partition exists — so the
+    committed partitions always cover every id actually in the index."""
+    import pathlib
+
+    from final_ocr_spark.operators.bloom import build_bloom
+    from final_ocr_spark.operators.similarity import (
+        ID_BLOOM_SUBDIR, append_ann_index, build_ann_index,
+    )
+
+    # --- scenario A: a BATCH append crashed mid-sidecar-write -----------
+    idx = build_ann_index(emb, str(tmp_path / "idx"), dim=16, bits=8, seed=11)
+    a = spark.createDataFrame(
+        [(800001, [float(i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    append_ann_index(a, idx)  # bootstrap slot 0 + batch slot 1
+    side = pathlib.Path(idx) / ID_BLOOM_SUBDIR
+
+    # the crashed writer's partition: covers b's id, never committed, and
+    # (per the write ordering) b's DATA never reached the index
+    b = spark.createDataFrame(
+        [(900001, [float(16 - i) for i in range(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    build_bloom(
+        b.select("vec_id"), "vec_id", m_bits=1 << 20, k_hashes=5
+    ).write.parquet(f"{idx}/{ID_BLOOM_SUBDIR}/append_id=2")
+    (side / "append_id=2" / "_SUCCESS").unlink()
+
+    # replaying the crashed batch: the partial filter is ignored (counted
+    # in stats), so b lands — if the partial partition were trusted, the
+    # outcome would still be correct here, but the committed filters must
+    # keep working regardless
+    r = append_ann_index(b, idx)
+    assert r["sidecar_incomplete_parts"] == 1 and r["rows_appended"] == 1
+    assert append_ann_index(a, idx)["rows_appended"] == 0  # still idempotent
+
+    # --- scenario B: the BOOTSTRAP crashed mid-write ---------------------
+    # (the dangerous case: a partial bootstrap is the only partition, and
+    # it under-covers ids that ARE in the base index)
+    idx2 = build_ann_index(emb, str(tmp_path / "idx2"), dim=16, bits=8, seed=11)
+    side2 = pathlib.Path(idx2) / ID_BLOOM_SUBDIR
+    ghost = spark.createDataFrame([(123456789,)], "vec_id long")
+    build_bloom(
+        ghost, "vec_id", m_bits=1 << 20, k_hashes=5
+    ).write.parquet(f"{idx2}/{ID_BLOOM_SUBDIR}/append_id=0")
+    (side2 / "append_id=0" / "_SUCCESS").unlink()
+
+    # replay a batch of ids ALREADY in the base index: the loader must
+    # refuse the partial filter (zero committed partitions -> fresh
+    # bootstrap in a NEW slot) and append nothing
+    base_batch = emb.limit(5).select("vec_id", "embedding")
+    r2 = append_ann_index(base_batch, idx2)
+    assert r2["bloom_prefilter"] and r2["rows_appended"] == 0
+    assert r2["sidecar_incomplete_parts"] == 1
+    committed = {p.parent.name for p in side2.glob("append_id=*/_SUCCESS")}
+    assert committed == {"append_id=1"}  # fresh slot; slot 0 stays inert
+
+    # the healed filter covers the base index: an all-new batch skips the
+    # exact join, the base replay still appends nothing, ids stay unique
+    r3 = append_ann_index(b, idx2)
+    assert r3["exact_join_skipped"] and r3["rows_appended"] == 1
+    assert append_ann_index(base_batch, idx2)["rows_appended"] == 0
+    ids = [x["vec_id"] for x in spark.read.parquet(idx2).select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
 
 
 def test_append_ann_index_bootstrap_reads_back_sidecar(spark, emb, tmp_path):
