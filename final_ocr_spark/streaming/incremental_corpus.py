@@ -503,7 +503,19 @@ def _load_sidecars(
     the full-scan path FOREVER (the consolidated main partition keeps its
     id, so coverage could never recover), and the next
     :func:`compact_signature_store` would keep deleting the newer sidecar
-    partitions for the same reason (review-caught)."""
+    partitions for the same reason (review-caught).
+
+    PARTIAL-write visibility (a crashed writer's uncommitted partition,
+    the hazard the ANN index's sidecar gates with _SUCCESS — see
+    similarity._load_id_bloom) needs no marker here by construction: a
+    crashed ``ingest_batch`` never committed its micro-batch epoch, so the
+    stream REPLAYS it — the loader excludes ``cur_batch_id``'s own
+    partitions (the filters above), and :func:`_write_sidecars`'s
+    mode('overwrite') rewrite heals the partial files before they are ever
+    merged. A partial partition for a batch id OUTSIDE ``hist_ids`` (crash
+    before its signatures landed) merges at worst EXTRA bits — the
+    false-positive direction the exact join resolves, never a false
+    negative."""
     hist_buckets = key_bloom = bucket_bloom = None
     bloom_meta: tuple[int, int] | None = None
     family_mismatch = False
