@@ -265,13 +265,34 @@ def _sidecar_partitions(spark, side_dir: str):
     job-commit completeness: a partition is COMPLETE only if its write job
     committed (``_SUCCESS`` present). Returns
     ``(complete_paths, incomplete_names, max_id)`` with ``max_id = -1``
-    when no partitions exist."""
+    when no partitions exist.
+
+    TWO listings total (one ``globStatus`` for the markers, one
+    ``listStatus`` for the dirs) regardless of how many appends exist — a
+    per-partition ``exists`` probe would be O(total appends) sequential
+    driver round-trips per append on an object store (review-caught).
+
+    Portability notes: (a) the py4j ``_jvm`` access requires a classic
+    (non-Connect) SparkSession — which :func:`session.get_spark` builds;
+    (b) a store whose partitions were all written BEFORE this completeness
+    gate existed, on a cluster with ``marksuccessfuljobs`` disabled, has no
+    ``_SUCCESS`` anywhere: the first post-upgrade append safely (one-time)
+    re-bootstraps, and the old partitions stay counted in ``n_incomplete``
+    until the operator removes them — indistinguishable from crash litter
+    by design, since a genuinely-partial partition looks identical."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(side_dir)
     fs = path.getFileSystem(conf)
     if not fs.exists(path):
         return [], [], -1
+    committed = set()
+    marks = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(side_dir + "/append_id=*/_SUCCESS")
+    )
+    if marks is not None:
+        for st in marks:
+            committed.add(st.getPath().getParent().getName())
     complete, incomplete, max_id = [], [], -1
     for st in fs.listStatus(path):
         name = st.getPath().getName()
@@ -281,7 +302,7 @@ def _sidecar_partitions(spark, side_dir: str):
             max_id = max(max_id, int(name.split("=", 1)[1]))
         except ValueError:
             continue
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+        if name in committed:
             complete.append(str(st.getPath()))
         else:
             incomplete.append(name)
@@ -333,7 +354,34 @@ def _load_id_bloom(spark, index_dir: str):
     return merged, metas[0], next_id, len(incomplete)
 
 
-def _claim_append_id(index_dir: str, start: int) -> int:
+def _local_sidecar_dir(spark, index_dir: str):
+    """Driver-local ``pathlib.Path`` of the sidecar dir IF it actually
+    resolves to the local filesystem, else None.
+
+    Path-syntax sniffing (``local_path``) is NOT enough here: a scheme-less
+    ``/warehouse/idx`` on a cluster with ``fs.defaultFS=hdfs://nn`` is
+    REMOTE — running the claim CAS against the driver's local disk would
+    silently protect nothing while the data writes go to HDFS
+    (review-caught). Explicit remote URIs are rejected cheaply by
+    ``local_path`` (never instantiating a remote FileSystem client);
+    local-LOOKING paths are confirmed through Hadoop's own resolution, so
+    the claim lives on the same filesystem as the partitions it guards."""
+    from final_ocr_spark.sources.readers import local_path
+
+    side_dir = f"{index_dir}/{ID_BLOOM_SUBDIR}"
+    if local_path(side_dir) is None:
+        return None  # explicit remote URI
+    import pathlib
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(side_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getUri().getScheme() != "file":
+        return None  # scheme-less path, but defaultFS is remote
+    return pathlib.Path(fs.makeQualified(p).toUri().getPath())
+
+
+def _claim_append_id(spark, index_dir: str, start: int) -> int:
     """Atomically claim a UNIQUE ``append_id`` partition slot for this
     writer's Bloom sidecar — the first free id >= ``start``, reserved by an
     ``O_CREAT|O_EXCL`` marker file (the same filesystem CAS the catalog's
@@ -349,14 +397,14 @@ def _claim_append_id(index_dir: str, start: int) -> int:
     one; both partitions survive and the bit_or merge covers both.
 
     The marker is a dotfile inside the sidecar dir, invisible to Spark's
-    file listing. On a remote URI (hdfs://, s3://) there is no local-FS
-    atomic create — fall back to ``start`` and document the single-writer
+    file listing. On a REMOTE sidecar (explicit hdfs://-style URI, or a
+    scheme-less path whose ``fs.defaultFS`` is remote —
+    :func:`_local_sidecar_dir` checks both) there is no local-FS atomic
+    create — fall back to ``start`` and document the single-writer
     assumption, exactly like the catalog's commit CAS (SEAMS.md)."""
     import os
 
-    from final_ocr_spark.sources.readers import local_path
-
-    side = local_path(f"{index_dir}/{ID_BLOOM_SUBDIR}")
+    side = _local_sidecar_dir(spark, index_dir)
     if side is None:
         return start  # remote store: single-writer assumption (SEAMS.md)
     side.mkdir(parents=True, exist_ok=True)
@@ -401,9 +449,7 @@ def _finalize_sidecar_slot(spark, index_dir: str, slot: int) -> None:
     if not fs.exists(marker):
         fs.create(marker, True).close()
 
-    from final_ocr_spark.sources.readers import local_path
-
-    side = local_path(f"{index_dir}/{ID_BLOOM_SUBDIR}")
+    side = _local_sidecar_dir(spark, index_dir)
     if side is not None:
         (side / f".claim-{slot}").unlink(missing_ok=True)
 
@@ -534,7 +580,7 @@ def append_ann_index(
     if id_bloom is None and use_bloom and skip_existing:
         # bootstrap: one column-pruned id scan of the legacy index, written
         # BEFORE any probing so the filter covers everything already there
-        boot_id = _claim_append_id(index_dir, next_append_id)
+        boot_id = _claim_append_id(spark, index_dir, next_append_id)
         build_bloom(
             spark.read.parquet(index_dir).select(F.col(id_col)),
             id_col, m_bits=bloom_m_bits, k_hashes=bloom_k,
@@ -580,7 +626,7 @@ def append_ann_index(
             # append that loaded the same sidecar state lands in the next
             # free slot instead of overwriting this one (which would be a
             # permanent false negative for every id in the loser's batch)
-            part_id = _claim_append_id(index_dir, next_append_id)
+            part_id = _claim_append_id(spark, index_dir, next_append_id)
             build_bloom(
                 new.select(F.col(id_col)), id_col,
                 m_bits=bloom_meta[0], k_hashes=bloom_meta[1],

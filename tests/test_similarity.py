@@ -308,11 +308,11 @@ def test_append_ann_index_concurrent_slots_never_clobber(spark, emb, tmp_path):
     # and hand out the genuinely-free slot 2 (its claimant never wrote)
     for m in side.glob(".claim-*"):
         m.unlink()
-    assert _claim_append_id(idx, 0) == 2
+    assert _claim_append_id(spark, idx, 0) == 2
 
     # remote URI: no local CAS — degrades to the caller's start
     # (single-writer assumption, documented)
-    assert _claim_append_id("hdfs://nn/warehouse/idx", 7) == 7
+    assert _claim_append_id(spark, "hdfs://nn/warehouse/idx", 7) == 7
 
     # and b's id remains probe-visible through the merged filter: replaying
     # b appends nothing (no false negative from the race handling)
