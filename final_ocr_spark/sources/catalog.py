@@ -119,9 +119,18 @@ def _new_file_entries(data_dir: pathlib.Path, data_rel: str,
             except Exception:
                 pass  # advisory: a footer oddity must never fail a commit
     else:
-        stats = _distributed_file_stats(
-            written.sparkSession, [str(data_dir / n) for n in names]
-        )
+        try:
+            stats = _distributed_file_stats(
+                written.sparkSession, [str(data_dir / n) for n in names]
+            )
+        except Exception:
+            # the per-file try inside the job covers footer oddities, but a
+            # JOB-level failure (executor loss, retries exhausted, transient
+            # FS error on collect) must also honor the advisory contract:
+            # commit with stats-less entries (skipping just doesn't prune),
+            # never abort a commit whose data files already landed
+            # (review-caught)
+            stats = {}
     entries = []
     for n in names:
         entry = {"path": f"{data_rel}/{n}",
@@ -196,7 +205,10 @@ class SnapshotCatalog:
 
     # -- paths ------------------------------------------------------------
     def table_dir(self, name: str) -> pathlib.Path:
-        if "/" in name or name.startswith("."):
+        # empty/whitespace names would alias the catalog ROOT itself
+        # (root/'' == root), interleaving a phantom table's _manifest and
+        # data dirs with the real tables' directories (review-caught)
+        if not name.strip() or "/" in name or name.startswith("."):
             raise ValueError(f"bad table name: {name!r}")
         return self.root / name
 
@@ -228,10 +240,23 @@ class SnapshotCatalog:
         if not head.exists():
             return None
         sid = int(head.read_text(encoding="utf-8").strip())
-        for s in self.snapshots(name):
-            if s["snapshot_id"] == sid:
-                return s
-        raise RuntimeError(f"HEAD={sid} of table {name!r} has no snapshot file")
+        # load the ONE snap file HEAD names — scanning snapshots() here made
+        # every read (and every commit-CAS retry via callers) re-parse every
+        # manifest in the directory, O(#snapshots × manifest size) for a
+        # single lookup (review-caught). HEAD only flips to a fully-written,
+        # fsync'd snap file, so a torn parse here is a real protocol breach
+        # and raises like a missing one.
+        p = self._manifest_dir(name) / f"snap-{sid:08d}.json"
+        try:
+            return json.loads(p.read_text(encoding="utf-8"))
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"HEAD={sid} of table {name!r} has no snapshot file"
+            ) from None
+        except json.JSONDecodeError:
+            raise RuntimeError(
+                f"HEAD={sid} of table {name!r} points at a torn snapshot file"
+            ) from None
 
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, name: str,
@@ -523,7 +548,13 @@ class SnapshotCatalog:
         if snap is None:
             raise FileNotFoundError(f"no such table: {name!r}")
         tdir = self.table_dir(name)
-        existing = self.read(spark, name)
+        # PIN the probe to the snapshot captured above: an unpinned read
+        # re-resolves HEAD, so a commit landing between the two calls made
+        # the probe return files absent from snap['files'] and the rel-path
+        # check below raised a misleading 'invariant broken' RuntimeError
+        # for what is an ordinary, retryable commit race (review-caught;
+        # genuine races still surface as CommitConflictError in _build)
+        existing = self.read(spark, name, snapshot_id=snap["snapshot_id"])
 
         # probe: which files hold a matched key? Slim (keys + filename)
         # projection; result is bounded by the snapshot's file COUNT.
@@ -780,7 +811,14 @@ class SnapshotCatalog:
                 F.bit_xor(h).alias(f"_x_{side}"),
             )
 
-        j = _fp(a, "a").join(_fp(b, "b"), "_k", "full_outer")
+        # NULL-SAFE key join: a plain equi-join never matches NULL to NULL,
+        # so an unchanged null-key group produced a spurious removed+added
+        # pair and incremental consumers reprocessed rows that never changed
+        # (review-caught). eqNullSafe pairs the null groups like Iceberg's
+        # identity-partition comparison does.
+        fa = _fp(a, "a")
+        fb = _fp(b, "b").withColumnRenamed("_k", "_kb")
+        j = fa.join(fb, fa["_k"].eqNullSafe(fb["_kb"]), "full_outer")
         change = (
             F.when(F.col("_n_a").isNull(), F.lit("added"))
             .when(F.col("_n_b").isNull(), F.lit("removed"))
@@ -793,16 +831,33 @@ class SnapshotCatalog:
         return (
             j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
-            .select(F.col("_k").alias(key), "change")
+            .select(
+                F.when(F.col("_n_a").isNull(), F.col("_kb"))
+                .otherwise(F.col("_k"))
+                .alias(key),
+                "change",
+            )
         )
 
     def _latest_committed(self, name: str) -> dict | None:
         """The committed snapshot with the highest id, resolved from the
         snapshot FILES (not HEAD): a winner's snap file is durably on disk
         before its HEAD flip, so the file chain — not the pointer — is the
-        source of truth a concurrent committer must build on."""
-        snaps = self.snapshots(name)
-        return snaps[-1] if snaps else None
+        source of truth a concurrent committer must build on.
+
+        Walks the zero-padded names DESCENDING and parses only until the
+        first valid JSON (a torn legacy file is skipped) — parsing every
+        manifest on every CAS retry was O(#snapshots × manifest size)
+        per commit attempt (review-caught)."""
+        md = self._manifest_dir(name)
+        if not md.exists():
+            return None
+        for p in sorted(md.glob("snap-*.json"), reverse=True):
+            try:
+                return json.loads(p.read_text(encoding="utf-8"))
+            except json.JSONDecodeError:
+                continue  # torn snapshot from a crash — never HEAD-referenced
+        return None
 
     def _commit_snapshot(self, name: str, build_snap, max_retries: int = 64) -> dict:
         """Optimistic-concurrency commit (Iceberg's commit protocol, on a
@@ -910,32 +965,81 @@ class SnapshotCatalog:
         between its fsync and its link would crash that commit mid-protocol
         with FileNotFoundError (review-caught; the window is milliseconds,
         so an hour-old temp is a dead committer, Iceberg's own
-        orphan-cleanup retention shape). Dropping data files still assumes
-        no reader is mid-query on an expired snapshot — time-travel readers
-        of dropped snapshots fail after expiry, exactly as in Iceberg."""
+        orphan-cleanup retention shape).
+
+        Two more retention guards, both review-caught:
+
+        * the snapshot HEAD points at is ALWAYS kept, even when it is not
+          among the ``keep_last`` newest: a committer crashed (or merely
+          slow) between its snap-file link and its HEAD flip leaves HEAD
+          one behind the newest file — the module's documented-tolerated
+          window — and expiring by file order alone would delete the
+          PUBLISHED snapshot, bricking every read and dropping its rows.
+        * ``data/<uuid>`` directories referenced by NO remaining snapshot
+          are swept (Iceberg's remove_orphan_files): every abort path the
+          commit protocol supports — CommitConflictError, schema-merge
+          refusal, compaction row-count mismatch, CAS exhaustion — lands
+          data files before it aborts, and under recurring conflicts those
+          leak without bound. Only directories older than
+          ``inflight_grace_seconds`` are touched: a LIVE writer lands data
+          before its commit, and sweeping its fresh directory would corrupt
+          the commit it is about to publish.
+
+        Dropping data files still assumes no reader is mid-query on an
+        expired snapshot — time-travel readers of dropped snapshots fail
+        after expiry, exactly as in Iceberg."""
+        import shutil
+
         now = time.time()
-        for tmp in self._manifest_dir(name).glob(".snap-inflight-*.json"):
+        md = self._manifest_dir(name)
+        for tmp in md.glob(".snap-inflight-*.json"):
             try:
                 if now - tmp.stat().st_mtime >= inflight_grace_seconds:
                     tmp.unlink(missing_ok=True)
             except FileNotFoundError:
                 pass  # the committer finished and removed it — fine
         snaps = self.snapshots(name)
-        if len(snaps) <= keep_last:
-            return 0
-        keep = snaps[-keep_last:]
-        drop = snaps[:-keep_last]
-        live = {f["path"] for s in keep for f in s["files"]}
         tdir = self.table_dir(name)
         deleted = 0
-        for s in drop:
-            for f in s["files"]:
-                if f["path"] not in live:
-                    p = tdir / f["path"]
-                    if p.exists():
-                        p.unlink()
-                        deleted += 1
-            (self._manifest_dir(name) / f"snap-{s['snapshot_id']:08d}.json").unlink(
-                missing_ok=True
-            )
+        if len(snaps) > keep_last:
+            keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
+            head = md / HEAD_FILE
+            if head.exists():
+                keep_ids.add(int(head.read_text(encoding="utf-8").strip() or 0))
+            keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
+            drop = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+            live = {f["path"] for s in keep for f in s["files"]}
+            for s in drop:
+                for f in s["files"]:
+                    if f["path"] not in live:
+                        p = tdir / f["path"]
+                        if p.exists():
+                            p.unlink()
+                            deleted += 1
+                (md / f"snap-{s['snapshot_id']:08d}.json").unlink(
+                    missing_ok=True
+                )
+            snaps = keep
+        # orphan sweep: whole data/<uuid> dirs no surviving snapshot names
+        referenced = {
+            f["path"].split("/", 2)[1]
+            for s in snaps
+            for f in s["files"]
+            if f["path"].startswith("data/")
+        }
+        data_root = tdir / "data"
+        if data_root.is_dir():
+            for d in data_root.iterdir():
+                if not d.is_dir() or d.name in referenced:
+                    continue
+                try:
+                    if now - d.stat().st_mtime < inflight_grace_seconds:
+                        continue  # possibly a live commit's landed files
+                    deleted += sum(
+                        1 for p in d.rglob("*")
+                        if p.is_file() and not p.name.startswith(("_", "."))
+                    )
+                    shutil.rmtree(d)
+                except FileNotFoundError:
+                    pass  # a racing expire got it — fine
         return deleted

@@ -574,3 +574,163 @@ def test_expire_inflight_grace(spark, cat):
     cat.expire("t", keep_last=1)
     assert fresh.exists(), "live committer's temp must survive expire"
     assert not stale.exists(), "dead committer's temp must be swept"
+
+
+def test_expire_never_deletes_the_head_snapshot(spark, cat):
+    """A committer crashed (or is slow) between its snap-file link and its
+    HEAD flip leaves HEAD one behind the newest snap file — the window the
+    commit protocol explicitly tolerates. expire(keep_last=1) computed its
+    keep set from snapshot FILES alone and deleted the snapshot HEAD points
+    at, bricking every read and dropping published rows (review-caught).
+    The HEAD snapshot must always survive expiry."""
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df2 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    cat.write(df1, "t", mode="append")
+    cat.write(df2, "t", mode="overwrite")
+    md = cat._manifest_dir("t")
+    # simulate the crash window: snap-2 exists, HEAD still says 1
+    (md / "HEAD").write_text("1")
+
+    cat.expire("t", keep_last=1)
+    # the published snapshot (HEAD=1) must still read, rows intact
+    assert cat.read(spark, "t").count() == 2
+    assert {r["v"] for r in cat.read(spark, "t").collect()} == {"a", "b"}
+    # and the newest snap file survives too (it is in keep_last)
+    assert (md / "snap-00000002.json").exists()
+
+
+def test_expire_sweeps_orphaned_data_dirs(spark, cat):
+    """Aborted commits land data/<uuid> files before the protocol rejects
+    them (CommitConflictError, schema refusal, CAS exhaustion); expire must
+    reclaim directories no snapshot references (Iceberg's
+    remove_orphan_files) — but never a FRESH one, which may belong to a
+    live commit that has landed data and not yet linked its snapshot."""
+    import os
+
+    df = spark.range(4).selectExpr("id", "cast(id as string) v")
+    cat.write(df, "t")
+    tdir = cat.table_dir("t")
+    orphan = tdir / "data" / "deadbeef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-00000.parquet").write_bytes(b"x" * 64)
+    (orphan / "_SUCCESS").write_bytes(b"")
+    fresh = tdir / "data" / "cafef00d"
+    fresh.mkdir(parents=True)
+    (fresh / "part-00000.parquet").write_bytes(b"y" * 64)
+
+    old = 1_000_000_000
+    os.utime(orphan, (old, old))
+    n = cat.expire("t", keep_last=1)
+    assert not orphan.exists(), "stale orphan dir must be swept"
+    assert fresh.exists(), "fresh dir may be a live commit's landed files"
+    assert n >= 1  # the orphan's data file counted (markers don't)
+    # referenced data untouched
+    assert cat.read(spark, "t").count() == 4
+
+
+def test_cow_probe_is_pinned_to_planning_snapshot(spark, cat, monkeypatch):
+    """merge/delete must probe the snapshot they planned against: an
+    unpinned read re-resolves HEAD, so a commit landing between
+    current_snapshot() and the probe made _cow_rewrite raise a misleading
+    'invariant broken' RuntimeError for an ordinary commit race
+    (review-caught). With the pin, the interleaved append is handled by
+    the serializable-isolation validation instead."""
+    from final_ocr_spark.sources import catalog as catmod
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    cat.write(df, "t")
+
+    real_cur = cat.current_snapshot
+    fired = {"done": False}
+
+    def race_once(name):
+        snap = real_cur(name)
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent append commits AFTER planning state is captured
+            cat.write(
+                spark.createDataFrame([(99, "z")], ["id", "v"]), "t"
+            )
+        return snap
+
+    monkeypatch.setattr(cat, "current_snapshot", race_once)
+    # the deleted key exists only in the planning snapshot; the racing
+    # append adds an UNMATCHED key, so the delete must succeed cleanly
+    # (pre-fix: RuntimeError 'snapshot/file-layout invariant broken')
+    cat.delete(spark, spark.createDataFrame([(1,)], ["id"]), "t", key="id")
+    got = {r["id"] for r in cat.read(spark, "t").collect()}
+    assert got == {2, 99}
+
+
+def test_diff_null_keys_are_not_spurious_changes(spark, cat):
+    """An unchanged null-key group must be ABSENT from diff (a plain
+    equi-join never matches NULL to NULL and reported removed+added for
+    rows that never changed, review-caught); a real null-key change still
+    surfaces."""
+    df1 = spark.createDataFrame(
+        [(None, "keep"), ("u1", "a")], ["url", "v"]
+    )
+    cat.write(df1, "t", mode="append")
+    cat.write(
+        spark.createDataFrame([(None, "keep"), ("u1", "CHANGED")], ["url", "v"]),
+        "t", mode="overwrite",
+    )
+    d = {r["url"]: r["change"] for r in cat.diff(spark, "t").collect()}
+    assert d == {"u1": "modified"}  # null key: unchanged -> absent
+
+    cat.write(
+        spark.createDataFrame([(None, "EDITED"), ("u1", "CHANGED")], ["url", "v"]),
+        "t", mode="overwrite",
+    )
+    d2 = {r["url"]: r["change"] for r in cat.diff(spark, "t").collect()}
+    assert d2 == {None: "modified"}  # a REAL null-key change still reports
+
+
+def test_distributed_stats_failure_never_fails_commit(spark, cat, monkeypatch):
+    """Footer stats are advisory at BOTH sizes: a job-level failure in the
+    distributed stats path (executor loss, transient FS error on collect)
+    must degrade to stats-less manifest entries exactly like the driver
+    loop does, never abort a commit whose data already landed
+    (review-caught)."""
+    from final_ocr_spark.sources import catalog as catmod
+
+    def boom(spark_, paths):
+        raise RuntimeError("executor lost mid stats job")
+
+    monkeypatch.setattr(catmod, "_distributed_file_stats", boom)
+    monkeypatch.setattr(catmod, "_DRIVER_STATS_MAX_FILES", 0)  # force the path
+    df = spark.range(10).selectExpr("id", "cast(id as string) v")
+    s = cat.write(df, "t")  # must not raise
+    snap = cat.current_snapshot("t")
+    assert snap["snapshot_id"] == s["snapshot_id"]
+    assert all("columns" not in f or f["columns"] for f in snap["files"])
+    assert cat.read(spark, "t").count() == 10
+
+
+def test_bad_table_names_rejected(cat):
+    """'' (and whitespace) would alias the catalog ROOT itself — the
+    phantom table's _manifest and data dirs would interleave with real
+    tables' directories (review-caught)."""
+    for bad in ("", "  ", "a/b", ".hidden"):
+        with pytest.raises(ValueError, match="bad table name"):
+            cat.table_dir(bad)
+
+
+def test_current_snapshot_is_single_file_lookup(spark, cat):
+    """current_snapshot loads exactly the snap file HEAD names (was an
+    O(#snapshots x manifest size) scan); a missing or torn HEAD target
+    raises the protocol-breach error."""
+    df = spark.range(2).selectExpr("id", "cast(id as string) v")
+    cat.write(df, "t")
+    cat.write(df, "t")
+    md = cat._manifest_dir("t")
+    assert cat.current_snapshot("t")["snapshot_id"] == 2
+
+    (md / "HEAD").write_text("7")
+    with pytest.raises(RuntimeError, match="no snapshot file"):
+        cat.current_snapshot("t")
+    (md / "snap-00000007.json").write_text("{ torn")
+    with pytest.raises(RuntimeError, match="torn"):
+        cat.current_snapshot("t")
+    # _latest_committed skips the torn file and finds snap-2
+    assert cat._latest_committed("t")["snapshot_id"] == 2
