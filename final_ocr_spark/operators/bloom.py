@@ -112,12 +112,38 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
             f"cannot merge Bloom filters with different (m_bits, k): "
             f"{_bloom_meta(a)} vs {_bloom_meta(b)}"
         )
-    return (
-        a.unionByName(b)
-        .groupBy("word_idx", "m_bits", "k")
+    merged, _ = merge_bloom_partitions(a.unionByName(b))
+    return merged
+
+
+def merge_bloom_partitions(
+    bl: DataFrame, *, what: str = "bloom filter table", hint: str = ""
+) -> tuple[DataFrame | None, tuple[int, int] | None]:
+    """Merge ONE frame holding any number of filter partitions built with
+    the same (m_bits, k) — ``bit_or`` per word — returning
+    ``(merged, (m_bits, k))``, or ``(None, None)`` on an empty frame.
+    Mixed families are rejected loudly (merging differently-sized filters
+    corrupts bits silently, including FALSE NEGATIVES); this is the single
+    owner of that contract for both :func:`merge_blooms` and the ANN
+    id-Bloom sidecar merge (similarity.py), which previously carried its
+    own copy (review-caught)."""
+    metas = [
+        (int(r["m_bits"]), int(r["k"]))
+        for r in bl.select("m_bits", "k").distinct().collect()
+    ]
+    if not metas:
+        return None, None
+    if len(metas) > 1:
+        raise ValueError(
+            f"{what} holds mixed (m_bits, k) families {sorted(metas)} — "
+            f"filters only merge within one family{hint}"
+        )
+    merged = (
+        bl.groupBy("word_idx", "m_bits", "k")
         .agg(F.bit_or("bits").alias("bits"))
         .select("word_idx", "bits", "m_bits", "k")
     )
+    return merged, metas[0]
 
 
 def _bloom_meta(bloom: DataFrame) -> tuple[int, int]:

@@ -443,6 +443,7 @@ def minhash_near_dups(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
     sigs: DataFrame | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -457,11 +458,22 @@ def minhash_near_dups(
     estimator instead of being re-implemented at the call site. Must come
     from :func:`minhash_sigs` with the same ``num_hashes``/``shingle_k``,
     already materialized (localCheckpoint/persist/table read).
+
+    ``observation`` (a ``pyspark.sql.Observation``) piggybacks skew-cap
+    observability on the pairing job itself: metrics ``n_capped_buckets``
+    (buckets the ``PAIR_BUCKET_CAP`` row_number guard truncated) and
+    ``n_capped_rows`` (rows excluded from pairing) become available after
+    the first action that executes the pair plan — ZERO extra Spark jobs,
+    unlike a separate bucket-count aggregation (review-caught on the
+    streaming ingest hot path). Spark de-duplicates the metric across the
+    self-join's two branches (verified empirically), and an empty input
+    reports NULL sums — read with ``or 0``.
     """
     rows_per_band = num_hashes // bands
     if sigs is not None:
         return _sig_near_dup_pairs(
-            sigs, bands, rows_per_band, num_hashes, jaccard_threshold
+            sigs, bands, rows_per_band, num_hashes, jaccard_threshold,
+            observation=observation,
         )
     # classic (unbiased) signatures via codegen aggregation — OPH is faster
     # on long docs but its densification inflates est_jaccard for short
@@ -485,7 +497,10 @@ def minhash_near_dups(
     # production LSH layout; the in-session form here optimizes the
     # single-tenant batch case.
     sigs = sigs.localCheckpoint(eager=False)
-    return _sig_near_dup_pairs(sigs, bands, rows_per_band, num_hashes, jaccard_threshold)
+    return _sig_near_dup_pairs(
+        sigs, bands, rows_per_band, num_hashes, jaccard_threshold,
+        observation=observation,
+    )
 
 
 def _sig_near_dup_pairs(
@@ -494,20 +509,32 @@ def _sig_near_dup_pairs(
     rows_per_band: int,
     num_hashes: int,
     jaccard_threshold: float,
+    observation=None,
 ) -> DataFrame:
     """The pairing stage of :func:`minhash_near_dups` over a materialized
     ``(k, sig)`` table — ONE implementation of the band self-join, the
     degenerate-bucket skew cap, and the signature-agreement estimator,
-    shared by the whole-corpus and precomputed-sigs entry points."""
+    shared by the whole-corpus and precomputed-sigs entry points.
+    ``observation``: see :func:`minhash_near_dups`."""
     buckets = band_buckets(sigs, bands, rows_per_band)
 
     # candidate pairs: self-join within (band, bucket). Skew guard: a
     # degenerate bucket (all-identical boilerplate) is capped via row_number.
     w = Window.partitionBy("band", "bucket").orderBy("k")
-    capped = (
-        buckets.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= PAIR_BUCKET_CAP)
-    )
+    ranked = buckets.withColumn("_rn", F.row_number().over(w))
+    if observation is not None:
+        # exactly one row per truncated bucket carries _rn == cap+1, so a
+        # plain sum counts capped buckets without a distinct
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                (F.col("_rn") == PAIR_BUCKET_CAP + 1).cast("long")
+            ).alias("n_capped_buckets"),
+            F.sum(
+                (F.col("_rn") > PAIR_BUCKET_CAP).cast("long")
+            ).alias("n_capped_rows"),
+        )
+    capped = ranked.filter(F.col("_rn") <= PAIR_BUCKET_CAP)
     a = capped.select("band", "bucket", F.col("k").alias("key_a"))
     b = capped.select("band", "bucket", F.col("k").alias("key_b"))
     pairs = (

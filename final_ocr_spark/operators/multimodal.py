@@ -214,15 +214,19 @@ def gen_fake_media(spark, n: int, seed: int = 42) -> DataFrame:
 
 
 def image_near_dups(
-    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
+    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 200
 ) -> DataFrame:
     """Perceptual image near-dup pairs (the LAION-style multimodal dedup
     step): decode → 64-bit perceptual hash (image_features' phash column)
-    → pigeonhole block index (dedup.hash64_near_dups, recall 1.0 within
-    the radius while ``bucket_cap`` is None — set it to bound degenerate
-    flat-image buckets at the cost of that guarantee, see
-    hash64_near_dups) → exact hamming filter. Returns (key_a, key_b,
-    hamming) over media_id.
+    → pigeonhole block index (dedup.hash64_near_dups) → exact hamming
+    filter. Returns (key_a, key_b, hamming) over media_id.
+
+    ``bucket_cap`` defaults ON (200, the text path's skew guard): flat /
+    blank images — routine web spam — all hash to ONE phash, and an
+    uncapped (block, value) bucket self-join on 100k such rows is
+    quadratic. The cap costs hash64_near_dups' recall-1.0 guarantee
+    exactly on those degenerate buckets; pass ``bucket_cap=None`` for the
+    guaranteed-recall contract when the corpus is known skew-free.
 
     Decode-failed / non-image rows are excluded (they carry no hash; the
     quarantine surface is image_features' error column). On a real cluster
@@ -351,12 +355,14 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def audio_near_dups(
-    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
+    media: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 200
 ) -> DataFrame:
     """Perceptual audio near-dup pairs: decode → spectral fingerprint →
-    the same guaranteed-recall pigeonhole index the image path uses
-    (recall 1.0 while ``bucket_cap`` is None; cap to bound silent-audio
-    spam buckets at the cost of that guarantee)."""
+    the same pigeonhole index the image path uses. ``bucket_cap``
+    defaults ON (200) for the same reason as :func:`image_near_dups` —
+    silent/constant-tone audio spam collapses to one fingerprint and an
+    uncapped bucket self-join goes quadratic; pass ``bucket_cap=None``
+    for the recall-1.0 guarantee on skew-free corpora."""
     from final_ocr_spark.operators.dedup import hash64_near_dups
 
     feats = audio_features(media).filter("error is null and afp is not null")

@@ -327,31 +327,23 @@ def _load_id_bloom(spark, index_dir: str):
     caller re-bootstraps from the index id column into a fresh slot and
     the filter heals automatically; stale partial partitions are inert
     litter, surfaced via ``n_incomplete`` for operator cleanup."""
+    from final_ocr_spark.operators.bloom import merge_bloom_partitions
+
     side = f"{index_dir}/{ID_BLOOM_SUBDIR}"
     complete, incomplete, max_id = _sidecar_partitions(spark, side)
     next_id = max_id + 1
     if not complete:
         return None, None, next_id, len(incomplete)
     bl = spark.read.schema(_ID_BLOOM_SCHEMA).parquet(*complete)
-    metas = [
-        (int(r["m_bits"]), int(r["k"]))
-        for r in bl.select("m_bits", "k").distinct().collect()
-    ]
-    if len(metas) > 1:
-        raise ValueError(
-            f"id-Bloom sidecar {side} holds mixed "
-            f"(m_bits, k) families {sorted(metas)} — filters only merge "
-            "within one family; delete the sidecar (the next append "
-            "rebuilds it from the index id column)."
-        )
-    if not metas:
-        return None, None, next_id, len(incomplete)
-    merged = (
-        bl.groupBy("word_idx", "m_bits", "k")
-        .agg(F.bit_or("bits").alias("bits"))
-        .select("word_idx", "bits", "m_bits", "k")
+    merged, meta = merge_bloom_partitions(
+        bl,
+        what=f"id-Bloom sidecar {side}",
+        hint="; delete the sidecar (the next append rebuilds it from the "
+        "index id column).",
     )
-    return merged, metas[0], next_id, len(incomplete)
+    if merged is None:
+        return None, None, next_id, len(incomplete)
+    return merged, meta, next_id, len(incomplete)
 
 
 def _local_sidecar_dir(spark, index_dir: str):

@@ -272,6 +272,14 @@ class SnapshotCatalog:
         scan + filter, only cheaper — on a clustered table the scan opens
         ~selectivity × files instead of all of them."""
         snap = self._resolve_snapshot(name, snapshot_id)
+        return self._read_snapshot(spark, name, snap, where)
+
+    def _read_snapshot(self, spark: SparkSession, name: str, snap: dict,
+                       where: str | None = None) -> DataFrame:
+        """Read directly from an in-hand snapshot dict — callers that already
+        resolved the snapshot (e.g. ``_cow_rewrite``'s pinned probe) must not
+        pay ``_resolve_snapshot``'s O(#snapshots × manifest size) directory
+        re-parse for a lookup they have already done (review-caught)."""
         entries = snap["files"]
         if where is not None:
             entries = self._prune(spark, snap, where)
@@ -554,7 +562,7 @@ class SnapshotCatalog:
         # check below raised a misleading 'invariant broken' RuntimeError
         # for what is an ordinary, retryable commit race (review-caught;
         # genuine races still surface as CommitConflictError in _build)
-        existing = self.read(spark, name, snapshot_id=snap["snapshot_id"])
+        existing = self._read_snapshot(spark, name, snap)
 
         # probe: which files hold a matched key? Slim (keys + filename)
         # projection; result is bounded by the snapshot's file COUNT.
@@ -845,14 +853,23 @@ class SnapshotCatalog:
         before its HEAD flip, so the file chain — not the pointer — is the
         source of truth a concurrent committer must build on.
 
-        Walks the zero-padded names DESCENDING and parses only until the
-        first valid JSON (a torn legacy file is skipped) — parsing every
+        Walks the names in NUMERIC id order descending (the zero-pad covers
+        8 digits; past snapshot 10^8 lexicographic order would pick the
+        wrong parent and wedge every commit on EEXIST) and parses only until
+        the first valid JSON (a torn legacy file is skipped) — parsing every
         manifest on every CAS retry was O(#snapshots × manifest size)
         per commit attempt (review-caught)."""
         md = self._manifest_dir(name)
         if not md.exists():
             return None
-        for p in sorted(md.glob("snap-*.json"), reverse=True):
+
+        def _sid(p: pathlib.Path) -> int:
+            try:
+                return int(p.stem[len("snap-"):])
+            except ValueError:
+                return -1  # foreign file in the manifest dir — try it last
+
+        for p in sorted(md.glob("snap-*.json"), key=_sid, reverse=True):
             try:
                 return json.loads(p.read_text(encoding="utf-8"))
             except json.JSONDecodeError:
@@ -1012,10 +1029,15 @@ class SnapshotCatalog:
             for s in drop:
                 for f in s["files"]:
                     if f["path"] not in live:
+                        # no exists() pre-check: a concurrent expire may
+                        # unlink between the check and the unlink (the same
+                        # race the orphan sweep below tolerates)
                         p = tdir / f["path"]
-                        if p.exists():
+                        try:
                             p.unlink()
                             deleted += 1
+                        except FileNotFoundError:
+                            pass  # a racing expire got it — fine
                 (md / f"snap-{s['snapshot_id']:08d}.json").unlink(
                     missing_ok=True
                 )

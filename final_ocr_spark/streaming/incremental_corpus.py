@@ -83,7 +83,7 @@ import shutil
 import uuid
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
@@ -100,7 +100,6 @@ from final_ocr_spark.sources.readers import (
     read_optional as _read_optional,
 )
 from final_ocr_spark.operators.dedup import (
-    PAIR_BUCKET_CAP,
     band_buckets,
     incremental_near_dups,
     minhash_near_dups,
@@ -245,30 +244,22 @@ def ingest_batch(
     # (the cluster minimum never appears as a greater member); a chain
     # a~b~c with a≁c drops c as collateral, the standard conservative
     # streaming kill rule.
+    # skew-cap observability rides the pairing job itself (an Observation
+    # on the pre-cap ranked bucket rows — zero extra Spark jobs on this hot
+    # path, review-caught; a separate bucket-count aggregation re-shuffled
+    # the band rows every micro-batch). A non-zero count means >cap
+    # mutually-NEAR-identical docs under distinct keys in ONE batch
+    # (byte-identical spam is already collapsed by the exact-text rule
+    # above), pairs beyond the cap unexamined. Metrics land with the first
+    # action that runs the pair plan (survivors' materialization below).
+    cap_obs = Observation(f"lsh_caps_b{batch_id}")
     self_pairs = minhash_near_dups(
         batch, key=key, text_col=text_col, num_hashes=num_hashes,
         bands=bands, shingle_k=shingle_k,
         jaccard_threshold=jaccard_threshold, sigs=sigs,
+        observation=cap_obs,
     )
     self_drop = self_pairs.select(F.col("key_b").alias("k")).distinct()
-
-    # skew-cap observability: buckets the within-batch pairing cap actually
-    # truncated (the residual near-identical-template leak — byte-identical
-    # spam is already collapsed by the exact-text rule above, so a non-zero
-    # count here means >cap mutually-NEAR-identical docs under distinct
-    # keys in ONE batch, pairs beyond the cap unexamined). One aggregation
-    # over the slim (k, band, bucket) rows of the CURRENT batch only.
-    capst = (
-        band_buckets(sigs, bands, num_hashes // bands)
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > PAIR_BUCKET_CAP)
-        .agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.sum(F.col("_n") - PAIR_BUCKET_CAP).alias("nr"),
-        )
-        .first()
-    )
 
     stats = {
         "batch_id": batch_id,
@@ -278,8 +269,8 @@ def ingest_batch(
         "lsh_bloom_prefilter": False,
         "lsh_history_join_skipped": False,
         "lsh_candidate_rows": None,
-        "n_capped_buckets": int(capst["nb"] or 0),
-        "n_capped_rows": int(capst["nr"] or 0),
+        "n_capped_buckets": 0,
+        "n_capped_rows": 0,
         "sidecar_family_mismatch": False,
         "sidecars_repaired": 0,
     }
@@ -465,8 +456,55 @@ def ingest_batch(
         bands=bands, num_hashes=num_hashes,
         bloom_meta=bloom_meta or (bloom_m_bits, bloom_k),
     )
-    stats.update(rows_unique=n_unique, rows_kept=n_out)
+    # survivors' materialization above executed the pair plan, so the
+    # observed cap metrics are available (NULL sums on an empty batch)
+    nb_capped, nr_capped = _cap_stats(cap_obs, sigs, bands, num_hashes)
+    stats.update(
+        rows_unique=n_unique, rows_kept=n_out,
+        n_capped_buckets=nb_capped,
+        n_capped_rows=nr_capped,
+    )
     return stats
+
+
+def _cap_stats(cap_obs, sigs: DataFrame, bands: int, num_hashes: int) -> tuple[int, int]:
+    """Skew-cap counts from the pairing job's Observation, with an explicit
+    recount fallback.
+
+    The fallback exists because Spark's Observation listener is REMOVED from
+    the listener bus if it throws while processing a FAILED query's event
+    (accessing the failed QueryExecution re-raises its error inside the
+    bus), after which ``get`` unblocks with a schemaless empty row instead
+    of metrics. ``ingest_batch`` intentionally runs may-fail probe reads
+    (missing signature store on the first batch, legacy stores without
+    sidecars), so a poisoned observation is an expected cold-start case —
+    verified empirically, see tests. Steady state (stores exist, no failed
+    queries) takes the zero-extra-job path; the fallback recount touches
+    only the slim checkpointed ``(k, sig)`` rows."""
+    from final_ocr_spark.operators.dedup import PAIR_BUCKET_CAP
+
+    nb = nr = None
+    try:
+        m = cap_obs.get
+        nb, nr = m.get("n_capped_buckets"), m.get("n_capped_rows")
+    except Exception:
+        pass  # poisoned observation — empty row fails pyspark's row decode
+    if nb is None and nr is None:
+        # NULL sums also mean an EMPTY batch went through the observe node;
+        # the recount is then a no-op-cheap aggregation over zero rows.
+        row = (
+            band_buckets(sigs, bands, num_hashes // bands)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > PAIR_BUCKET_CAP)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.sum(F.col("_n") - PAIR_BUCKET_CAP).alias("nr"),
+            )
+            .first()
+        )
+        nb, nr = row["nb"], row["nr"]
+    return int(nb or 0), int(nr or 0)
 
 
 def _load_sidecars(

@@ -734,3 +734,24 @@ def test_current_snapshot_is_single_file_lookup(spark, cat):
         cat.current_snapshot("t")
     # _latest_committed skips the torn file and finds snap-2
     assert cat._latest_committed("t")["snapshot_id"] == 2
+
+
+def test_latest_committed_orders_numerically_past_zero_pad(spark, cat):
+    """_latest_committed must pick the parent by NUMERIC snapshot id:
+    lexicographic filename order puts 'snap-100000000.json' BEFORE
+    'snap-99999999.json', which would pin the parent at 99999999 forever
+    and wedge every subsequent commit on EEXIST (review-caught)."""
+    df = spark.range(2).selectExpr("id", "cast(id as string) v")
+    cat.write(df, "t")
+    md = cat._manifest_dir("t")
+    snap = json.loads((md / "snap-00000001.json").read_text())
+
+    big = dict(snap, snapshot_id=100_000_000, parent_id=1)
+    (md / "snap-100000000.json").write_text(json.dumps(big))
+    (md / "HEAD").write_text("100000000")
+
+    assert cat._latest_committed("t")["snapshot_id"] == 100_000_000
+    # and the next commit builds on it instead of wedging on EEXIST
+    s = cat.write(df, "t", mode="append")
+    assert s["snapshot_id"] == 100_000_001
+    assert s["parent_id"] == 100_000_000
