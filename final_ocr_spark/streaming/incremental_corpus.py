@@ -458,18 +458,23 @@ def ingest_batch(
     )
     # survivors' materialization above executed the pair plan, so the
     # observed cap metrics are available (NULL sums on an empty batch)
-    nb_capped, nr_capped = _cap_stats(cap_obs, sigs, bands, num_hashes)
+    nb_capped, nr_capped, cap_src = _cap_stats(cap_obs, sigs, bands, num_hashes)
     stats.update(
         rows_unique=n_unique, rows_kept=n_out,
         n_capped_buckets=nb_capped,
         n_capped_rows=nr_capped,
+        cap_stats_source=cap_src,
     )
     return stats
 
 
-def _cap_stats(cap_obs, sigs: DataFrame, bands: int, num_hashes: int) -> tuple[int, int]:
-    """Skew-cap counts from the pairing job's Observation, with an explicit
-    recount fallback.
+def _cap_stats(
+    cap_obs, sigs: DataFrame, bands: int, num_hashes: int
+) -> tuple[int, int, str]:
+    """``(n_capped_buckets, n_capped_rows, source)`` — skew-cap counts from
+    the pairing job's Observation, with an explicit recount fallback
+    (``source`` says which path answered, surfaced in ingest stats so the
+    zero-extra-job steady state is itself observable/testable).
 
     The fallback exists because Spark's Observation listener is REMOVED from
     the listener bus if it throws while processing a FAILED query's event
@@ -484,6 +489,7 @@ def _cap_stats(cap_obs, sigs: DataFrame, bands: int, num_hashes: int) -> tuple[i
     from final_ocr_spark.operators.dedup import PAIR_BUCKET_CAP
 
     nb = nr = None
+    source = "observation"
     try:
         m = cap_obs.get
         nb, nr = m.get("n_capped_buckets"), m.get("n_capped_rows")
@@ -492,6 +498,7 @@ def _cap_stats(cap_obs, sigs: DataFrame, bands: int, num_hashes: int) -> tuple[i
     if nb is None and nr is None:
         # NULL sums also mean an EMPTY batch went through the observe node;
         # the recount is then a no-op-cheap aggregation over zero rows.
+        source = "recount"
         row = (
             band_buckets(sigs, bands, num_hashes // bands)
             .groupBy("band", "bucket")
@@ -504,7 +511,7 @@ def _cap_stats(cap_obs, sigs: DataFrame, bands: int, num_hashes: int) -> tuple[i
             .first()
         )
         nb, nr = row["nb"], row["nr"]
-    return int(nb or 0), int(nr or 0)
+    return int(nb or 0), int(nr or 0), source
 
 
 def _load_sidecars(

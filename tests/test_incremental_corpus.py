@@ -465,6 +465,23 @@ def test_ingest_reports_capped_lsh_buckets(spark, tmp_path):
     kept = {u["url"] for u in spark.read.parquet(corpus).collect()}
     assert "http://x/ok" in kept and len(kept) < 230
 
+    # steady state (store exists → no failing probe reads): the counts must
+    # come from the Observation riding the pairing job, not the recount
+    # fallback — the zero-extra-job contract, observable via the stats
+    # same long template (guaranteed >cap bucket collisions), fresh urls +
+    # fresh suffix range: history near-dups may drop them from the CORPUS,
+    # but the cap stats observe the WITHIN-batch pairing either way
+    spam2 = [
+        (f"http://tmpl2/{i:04d}", f"{_BASE} visitor{1000 + i:04d}")
+        for i in range(230)
+    ]
+    r2 = ingest_batch(
+        _docs_df(spark, spam2), 1, corpus, sigs, jaccard_threshold=0.7,
+    )
+    assert r2["cap_stats_source"] == "observation"
+    assert r2["n_capped_buckets"] > 0
+    assert r2["n_capped_rows"] >= r2["n_capped_buckets"]
+
 
 def test_ingest_sidecar_fallback_on_missing_coverage(spark, tmp_path):
     """With repair disabled, a store written without sidecars (older build,
