@@ -108,7 +108,16 @@ def parse_outlinks(
     except Exception:
         pass
 
-    base = p.base or url
+    # the HTML spec resolves <base href> itself against the document URL
+    # (relative bases like href="/en/" are legal); an absolute base passes
+    # through urljoin unchanged, so this is a no-op for the common case
+    if p.base:
+        try:
+            base = urljoin(url, p.base)
+        except ValueError:
+            base = url
+    else:
+        base = url
     out: list[tuple[str, str, bool]] = []
     for (href, nofollow), parts in zip(p.links, p.anchor_parts):
         low = href.lower()

@@ -50,6 +50,14 @@ class TestParseOutlinks:
         )
         assert links == [("https://example.com/a/c", "x", False)]
 
+    def test_relative_base_resolves_against_page_url(self):
+        # the HTML spec resolves <base href> against the document URL, so a
+        # relative base ("/en/") must not strand hrefs scheme-less (they
+        # were silently dropped before the fix)
+        html = b'<head><base href="/en/"></head><a href="x.html">x</a>'
+        links = parse_outlinks("https://example.com/a/b", html)
+        assert links == [("https://example.com/en/x.html", "x", False)]
+
     def test_max_links_cap_and_no_text_bleed(self):
         html = b"".join(
             b'<a href="/p%d">t%d</a>' % (i, i) for i in range(10)
