@@ -1,0 +1,568 @@
+"""Pure-numpy raster kernels for the scanned-page branch + a stdlib PNG codec.
+
+The reference's image preprocessing (preprocess_image, ocr.py:10-43 and
+ocr2.py:77-125) is a fixed cascade of four published algorithms:
+
+    grayscale → CLAHE(clip 3.0 or 2.0, 8×8 tiles) → non-local-means
+    denoise(h=10) → Otsu threshold (ocr.py) / adaptive Gaussian threshold
+    (ocr2.py, block 11, C 2, inverted) → conditional bicubic upscale to
+    height 2000
+
+Those kernels were previously reachable only through cv2, which is absent
+from this container — leaving the raster dataflow stubbed. Every one of
+them is a published algorithm with a public specification, so this module
+implements them on numpy directly:
+
+* **CLAHE** — Zuiderveld 1994 ("Contrast Limited Adaptive Histogram
+  Equalization", Graphics Gems IV), with OpenCV's concrete choices
+  replicated from its public source: reflect-101 padding to a tile-grid
+  multiple, integer clip limit ``max(int(clip*tileArea/256), 1)``, the
+  two-phase excess redistribution (uniform batch + residual stepping),
+  per-tile LUT ``round(cdf * 255/tileArea)``, and bilinear interpolation
+  of the four surrounding tile LUTs with edge clamping.
+* **Non-local means** — Buades, Coll, Morel 2005, the classic formulation
+  with σ=0: patch distance = mean squared difference over the template
+  window, weight = exp(−d²/h²), reflect-101 borders, 7×7 template / 21×21
+  search defaults (the cv2 defaults the reference relies on). Vectorized
+  over search offsets: each offset is one whole-image shifted SSD +
+  box-filter pass — O(search² · pixels), no per-pixel Python.
+* **Otsu** — exhaustive between-class-variance argmax (first maximum on
+  ties, matching OpenCV's strict-greater scan); binarization is
+  ``pixel > t → 255``.
+* **Adaptive Gaussian threshold** — per-pixel mean under a Gaussian kernel
+  (σ = 0.3·((ksize−1)/2 − 1) + 0.8, OpenCV's documented formula for
+  unspecified sigma), inverted binary: ``pixel > mean − C → 0 else 255``.
+* **Bicubic resize** — the Keys kernel with a = −0.75 (OpenCV's
+  INTER_CUBIC constant), half-pixel-center source mapping
+  ``src = (dst + 0.5)·scale − 0.5``, separable 4-tap passes, edge-clamped
+  taps, round-half-even to uint8.
+* **BT.601 grayscale** — OpenCV's exact fixed-point form:
+  ``(4899·R + 9617·G + 1868·B + 8192) >> 14``.
+
+Determinism contract: these numpy kernels are the engine's CANONICAL
+implementations — identical bytes on every platform, no import-dependent
+behavior switches (a cv2-if-available branch would make corpus output
+depend on executor image contents). cv2 remains only where a real codec is
+genuinely required (JPEG/TIFF decode, multimodal.decode_image's seam).
+Numerical caveat vs cv2: interpolation here is float64 + round-half-even
+where recent OpenCV uses per-kernel fixed-point; outputs may differ by ±1
+gray level in interpolated positions. The algorithms, parameters, and
+composition order are the reference's; the tests pin this module against
+independent per-pixel spec twins and committed goldens, not against cv2.
+
+PNG codec (``png_encode`` / ``png_decode``): RFC 2083 / ISO 15948 using
+only stdlib ``zlib`` + ``struct`` — 8-bit gray / gray+alpha / RGB / RGBA /
+palette, non-interlaced, all five row filters on decode. This makes the
+image-decode seam executable on REAL image bytes in-sandbox (PNG is the
+one raster format whose decode is pure zlib); JPEG stays behind the cv2
+seam (SEAMS.md #1).
+
+Scale shape: everything here is per-image worker-side compute inside the
+existing Arrow-batched ``mapInPandas`` stages (operators/multimodal.py) —
+no shuffle, no driver involvement; cost is O(pixels) per image except NLM's
+documented O(search²·pixels).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib only)
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized over a row."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa = np.abs(p - a16)
+    pb = np.abs(p - b16)
+    pc = np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array: (h, w) for grayscale/palette-gray output
+    channels collapsed below, (h, w, ch) otherwise.
+
+    Supports the web-corpus common case: bit depth 8, color types
+    0/2/3/4/6, non-interlaced. Raises ValueError on anything else (the
+    callers' per-row quarantine path) — never returns None (decode_image
+    seam contract)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = []
+    palette = None
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("PNG: truncated chunk")
+        pos += 12 + length  # length + type + payload + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    if interlace != 0:
+        raise ValueError("PNG: interlaced images unsupported")
+    if not idat:
+        raise ValueError("PNG: no IDAT data")
+    raw = zlib.decompress(b"".join(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG: IDAT size mismatch")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average — a-term is sequential in x per spec
+            up = prev.astype(np.uint16)
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((left + int(up[x])) >> 1)) & 0xFF
+        elif f == 1:  # Sub — sequential in x
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: bad filter type {f}")
+        out[y] = row
+        prev = row
+
+    if color_type == 0:
+        return out
+    img = out.reshape(height, width, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return palette[img[:, :, 0]]
+    return img
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB array → PNG bytes.
+
+    Deterministic: fixed zlib level 6, one IDAT chunk, the same row filter
+    throughout (``filter_type`` 0/1/2/3/4 — non-zero values exist so tests
+    can exercise every decode unfilter path)."""
+    if img.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8")
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        h, w = img.shape
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, ch = 2, 3
+        h, w = img.shape[:2]
+        flat = img.reshape(h, w * 3)
+    else:
+        raise ValueError("png_encode supports (h,w) gray or (h,w,3) RGB")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
+
+    stride = w * ch
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = flat[y]
+        left = np.zeros(stride, dtype=np.uint8)
+        left[ch:] = row[:-ch]
+        upleft = np.zeros(stride, dtype=np.uint8)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = row - left
+        elif filter_type == 2:
+            enc = row - prev
+        elif filter_type == 3:
+            enc = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) >> 1
+            ).astype(np.uint8)
+        else:
+            enc = row - _paeth(left, prev, upleft)
+        rows.append(bytes([filter_type]) + enc.tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows), 6)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def bt601_gray(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3+) uint8 RGB(A) → (h, w) uint8 luma, OpenCV's exact
+    fixed-point BT.601 form: (4899·R + 9617·G + 1868·B + 2^13) >> 14 —
+    so a real-cluster cv2 decode and this path agree bit-for-bit on the
+    grayscale conversion. Alpha (if present) is ignored, matching
+    IMREAD_GRAYSCALE."""
+    r = rgb[:, :, 0].astype(np.uint32)
+    g = rgb[:, :, 1].astype(np.uint32)
+    b = rgb[:, :, 2].astype(np.uint32)
+    return ((4899 * r + 9617 * g + 1868 * b + (1 << 13)) >> 14).astype(np.uint8)
+
+
+def png_decode_gray(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) uint8 grayscale (the decode_image seam shape):
+    gray/gray+alpha pass through (alpha dropped), color goes through
+    :func:`bt601_gray`."""
+    img = png_decode(data)
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 2:  # gray + alpha
+        return np.ascontiguousarray(img[:, :, 0])
+    return bt601_gray(img)
+
+
+# ---------------------------------------------------------------------------
+# P4: Otsu threshold
+
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's threshold over a uint8 image: the t maximizing between-class
+    variance with class 0 = pixels ≤ t (first maximum on ties — OpenCV's
+    strict-greater scan keeps the earliest maximizer)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        raise ValueError("otsu_threshold: empty image")
+    idx = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    cum_mean = np.cumsum(hist * idx)
+    grand = cum_mean[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m0 = cum_mean / w0
+        m1 = (grand - cum_mean) / w1
+        sigma = w0 * w1 * (m0 - m1) ** 2
+    sigma[~np.isfinite(sigma)] = -1.0
+    return int(np.argmax(sigma))  # argmax returns the FIRST maximum
+
+
+def binarize_otsu(img: np.ndarray) -> tuple[int, np.ndarray]:
+    """(threshold, binary) — binary = 255 where pixel > t else 0 (the
+    THRESH_BINARY+THRESH_OTSU semantics of ocr.py:33)."""
+    t = otsu_threshold(img)
+    return t, np.where(img > t, 255, 0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# P2: CLAHE
+
+def clahe(
+    img: np.ndarray, clip_limit: float = 3.0, grid: tuple[int, int] = (8, 8)
+) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization (Zuiderveld 1994)
+    with OpenCV's concrete integer choices — see module docstring. uint8
+    in, uint8 out, same shape."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("clahe expects a 2-D uint8 image")
+    tiles_y, tiles_x = grid
+    h, w = img.shape
+    if h < tiles_y or w < tiles_x:
+        raise ValueError("clahe: image smaller than the tile grid")
+    # pad bottom/right to a grid multiple with reflect-101 (OpenCV's
+    # copyMakeBorder BORDER_REFLECT_101 default)
+    pad_y = (-h) % tiles_y
+    pad_x = (-w) % tiles_x
+    padded = np.pad(img, ((0, pad_y), (0, pad_x)), mode="reflect") if (
+        pad_y or pad_x
+    ) else img
+    ph, pw = padded.shape
+    tile_h, tile_w = ph // tiles_y, pw // tiles_x
+    tile_area = tile_h * tile_w
+    clip = max(int(clip_limit * tile_area / 256.0), 1)
+
+    # per-tile histograms: reshape to (tiles_y, tile_h, tiles_x, tile_w)
+    t = padded.reshape(tiles_y, tile_h, tiles_x, tile_w)
+    hists = np.zeros((tiles_y, tiles_x, 256), dtype=np.int64)
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            hists[ty, tx] = np.bincount(
+                t[ty, :, tx, :].ravel(), minlength=256
+            )
+
+    # clip + redistribute (OpenCV's two-phase scheme: uniform batch, then
+    # +1 to every residualStep-th bin until the excess is gone)
+    luts = np.empty((tiles_y, tiles_x, 256), dtype=np.uint8)
+    scale = 255.0 / tile_area
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            hist = hists[ty, tx]
+            excess = int(np.maximum(hist - clip, 0).sum())
+            clipped = np.minimum(hist, clip)
+            if excess:
+                batch = excess // 256
+                residual = excess - batch * 256
+                clipped = clipped + batch
+                if residual:
+                    step = max(256 // residual, 1)
+                    bins = np.arange(0, 256, step)[:residual]
+                    clipped[bins] += 1
+            cdf = np.cumsum(clipped)
+            # round-half-even like cvRound; saturate to uint8
+            luts[ty, tx] = np.clip(np.rint(cdf * scale), 0, 255).astype(
+                np.uint8
+            )
+
+    # bilinear interpolation of the 4 surrounding tile LUTs, evaluated on
+    # the ORIGINAL (unpadded) pixel grid with tile-index clamping at edges
+    ys = np.arange(h, dtype=np.float64)
+    xs = np.arange(w, dtype=np.float64)
+    tyf = (ys + 0.5) / tile_h - 0.5
+    txf = (xs + 0.5) / tile_w - 0.5
+    ty1 = np.floor(tyf).astype(np.int64)
+    tx1 = np.floor(txf).astype(np.int64)
+    ya = (tyf - ty1)[:, None]
+    xa = (txf - tx1)[None, :]
+    ty2 = np.clip(ty1 + 1, 0, tiles_y - 1)
+    tx2 = np.clip(tx1 + 1, 0, tiles_x - 1)
+    ty1 = np.clip(ty1, 0, tiles_y - 1)
+    tx1 = np.clip(tx1, 0, tiles_x - 1)
+
+    src = img[:h, :w]
+    ty1c = ty1[:, None]
+    ty2c = ty2[:, None]
+    tx1c = tx1[None, :]
+    tx2c = tx2[None, :]
+    v11 = luts[ty1c, tx1c, src].astype(np.float64)
+    v12 = luts[ty1c, tx2c, src].astype(np.float64)
+    v21 = luts[ty2c, tx1c, src].astype(np.float64)
+    v22 = luts[ty2c, tx2c, src].astype(np.float64)
+    out = (
+        v11 * (1 - ya) * (1 - xa)
+        + v12 * (1 - ya) * xa
+        + v21 * ya * (1 - xa)
+        + v22 * ya * xa
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# P3: non-local means denoise
+
+def nl_means_denoise(
+    img: np.ndarray,
+    h: float = 10.0,
+    template_size: int = 7,
+    search_size: int = 21,
+) -> np.ndarray:
+    """Non-local means (Buades et al. 2005, σ=0 weights): each pixel is the
+    weighted mean of same-patch-looking pixels in its search window,
+    w = exp(−‖patch−patch'‖²_mean / h²). Defaults are the cv2
+    fastNlMeansDenoising sizes the reference uses (7×7 template, 21×21
+    search, h=10 — ocr.py:30). Vectorized per search offset; reflect-101
+    borders. Cost: O(search² · pixels) — the documented heavy kernel; on a
+    real cluster swap in cv2's LUT-accelerated variant if profiling says so
+    (same parameters, slightly different weight table)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("nl_means_denoise expects a 2-D uint8 image")
+    if template_size % 2 == 0 or search_size % 2 == 0:
+        raise ValueError("window sizes must be odd")
+    th = template_size // 2
+    sh = search_size // 2
+    pad = th + sh
+    fimg = img.astype(np.float64)
+    p = np.pad(fimg, pad, mode="reflect")
+    hgt, wid = img.shape
+    inv_h2 = 1.0 / (h * h)
+    tpl_area = float(template_size * template_size)
+
+    wsum = np.zeros((hgt, wid), dtype=np.float64)
+    acc = np.zeros((hgt, wid), dtype=np.float64)
+    # box-filter via 2-D cumulative sums: ssd window sums in O(pixels)
+    for dy in range(-sh, sh + 1):
+        for dx in range(-sh, sh + 1):
+            # shifted full padded plane, aligned so index (i,j) of `diff`
+            # is centered at image pixel (i-th-pad ... ) — we keep the
+            # template margin around the image region
+            a = p[pad - th:pad + hgt + th, pad - th:pad + wid + th]
+            b = p[pad - th + dy:pad + hgt + th + dy,
+                  pad - th + dx:pad + wid + th + dx]
+            d2 = (a - b) ** 2
+            # integral image over the template window
+            ii = np.cumsum(np.cumsum(d2, axis=0), axis=1)
+            ii = np.pad(ii, ((1, 0), (1, 0)))
+            t = template_size
+            ssd = (
+                ii[t:, t:] - ii[:-t, t:] - ii[t:, :-t] + ii[:-t, :-t]
+            )  # (hgt, wid): template-window SSD centered per pixel
+            wgt = np.exp(-(ssd / tpl_area) * inv_h2)
+            ctr = p[pad + dy:pad + hgt + dy, pad + dx:pad + wid + dx]
+            wsum += wgt
+            acc += wgt * ctr
+    return np.clip(np.rint(acc / wsum), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# P6: bicubic resize
+
+def _cubic_weights(frac: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """4-tap Keys cubic kernel weights for per-output fractional offsets;
+    a = −0.75 is OpenCV's INTER_CUBIC constant. Returns (n, 4)."""
+    t0 = 1.0 + frac  # distance to tap at floor-1
+    t1 = frac        # floor
+    t2 = 1.0 - frac  # floor+1
+    t3 = 2.0 - frac  # floor+2
+
+    def near(t):  # |t| <= 1
+        return ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+
+    def far(t):  # 1 < |t| < 2
+        return ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a
+
+    return np.stack([far(t0), near(t1), near(t2), far(t3)], axis=1)
+
+
+def _resize_cubic_axis(img: np.ndarray, out_len: int, axis: int) -> np.ndarray:
+    n = img.shape[axis]
+    scale = n / out_len
+    xs = (np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5
+    ix = np.floor(xs).astype(np.int64)
+    frac = xs - ix
+    w = _cubic_weights(frac)  # (out_len, 4)
+    taps = np.clip(
+        ix[:, None] + np.arange(-1, 3)[None, :], 0, n - 1
+    )  # (out_len, 4), edge-clamped (BORDER_REPLICATE semantics)
+    moved = np.moveaxis(img, axis, 0)  # (n, ...)
+    gathered = moved[taps]  # (out_len, 4, ...)
+    out = np.einsum("ot,ot...->o...", w, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_cubic(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bicubic (a=−0.75) resize of a 2-D uint8 image to (out_h, out_w):
+    half-pixel-center mapping, separable 4-tap passes in float64,
+    edge-clamped taps, round-half-even back to uint8 — the INTER_CUBIC
+    recipe of ocr.py:40."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("resize_cubic expects a 2-D uint8 image")
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output size must be >= 1")
+    f = img.astype(np.float64)
+    f = _resize_cubic_axis(f, out_h, axis=0)
+    f = _resize_cubic_axis(f, out_w, axis=1)
+    return np.clip(np.rint(f), 0, 255).astype(np.uint8)
+
+
+def conditional_upscale(
+    img: np.ndarray, target_height: int = 2000
+) -> np.ndarray:
+    """ocr.py:36-41's rule verbatim: if height < target, bicubic-upscale by
+    scale = target/height (width rounded via int(), matching the
+    reference's ``int(width * scale_factor)``); otherwise unchanged."""
+    h, w = img.shape
+    if h >= target_height:
+        return img
+    scale = target_height / h
+    return resize_cubic(img, int(w * scale), target_height)
+
+
+# ---------------------------------------------------------------------------
+# P4 variant: adaptive Gaussian threshold (ocr2.py:107's second class)
+
+def adaptive_threshold_gaussian(
+    img: np.ndarray, block_size: int = 11, c: float = 2.0
+) -> np.ndarray:
+    """Inverted adaptive threshold: 255 where pixel ≤ (Gaussian-window
+    mean − c), else 0 — ADAPTIVE_THRESH_GAUSSIAN_C + THRESH_BINARY_INV
+    with OpenCV's sigma-from-ksize formula (module docstring), replicate
+    borders, the per-pixel mean rounded half-even before the compare."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("adaptive_threshold_gaussian expects 2-D uint8")
+    if block_size % 2 == 0 or block_size < 3:
+        raise ValueError("block_size must be odd and >= 3")
+    sigma = 0.3 * ((block_size - 1) * 0.5 - 1.0) + 0.8
+    r = block_size // 2
+    x = np.arange(block_size, dtype=np.float64) - r
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    p = np.pad(img.astype(np.float64), r, mode="edge")
+    # separable Gaussian mean
+    m = np.apply_along_axis(lambda row: np.convolve(row, k, mode="valid"), 1, p)
+    m = np.apply_along_axis(lambda col: np.convolve(col, k, mode="valid"), 0, m)
+    mean = np.rint(m)
+    return np.where(img.astype(np.float64) > mean - c, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# the composed reference cascade
+
+def preprocess_page(
+    gray: np.ndarray,
+    *,
+    clip_limit: float = 3.0,
+    denoise_h: float = 10.0,
+    threshold: str = "otsu",
+    target_height: int = 2000,
+    denoise: bool = True,
+) -> np.ndarray:
+    """The reference's full preprocessing cascade over an already-grayscale
+    page (preprocess_image, ocr.py:10-43): CLAHE → NLM denoise → threshold
+    → conditional upscale. ``threshold='otsu'`` is ocr.py's variant;
+    ``'adaptive'`` is ocr2.py:107-113's (Gaussian block 11, C 2, inverted).
+    ``clip_limit`` defaults to ocr.py's 3.0; pass 2.0 for ocr2.py:93's
+    variant — the two reference files disagree (SURVEY §2 P2) and the
+    engine pins the choice per call instead of per import."""
+    if threshold not in ("otsu", "adaptive"):
+        raise ValueError(f"unknown threshold mode {threshold!r}")
+    img = clahe(gray, clip_limit=clip_limit)
+    if denoise:
+        img = nl_means_denoise(img, h=denoise_h)
+    if threshold == "otsu":
+        _, img = binarize_otsu(img)
+    else:
+        img = adaptive_threshold_gaussian(img)
+    return conditional_upscale(img, target_height=target_height)

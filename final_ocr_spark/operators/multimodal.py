@@ -86,19 +86,31 @@ def decode_image(data: bytes) -> np.ndarray:
       catches it instead of poisoning downstream numpy calls);
     * a lossless encode→decode round trip is pixel-identical.
 
-    The FAKEIMG branch is the in-sandbox implementation of the contract;
-    the cv2 branch below is the real-cluster drop-in (standard public
-    ``cv2.imdecode`` recipe), exercised by the same contract test when cv2
-    is importable. cv2/PIL are verified-absent in this container.
+    Three branches, same contract:
+
+    * FAKEIMG — the deterministic synthetic format (tests/fixtures);
+    * PNG — REAL decode via the stdlib-zlib codec in extract/raster.py
+      (RFC 2083 unfiltering + OpenCV's exact fixed-point BT.601 grayscale
+      for color images), so actual image bytes exercise this seam
+      in-sandbox;
+    * everything else (JPEG/TIFF/...) — cv2 when importable, else a loud
+      NotImplementedError (the standard public ``cv2.imdecode`` recipe is
+      written below and exercised by the same contract test when cv2 IS
+      installed).
     """
     if data[:7] == b"FAKEIMG":
         return _decode_fake_image(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from final_ocr_spark.extract.raster import png_decode_gray
+
+        return png_decode_gray(data)
     try:
         import cv2
     except ImportError:
         raise NotImplementedError(
             "real image codecs (cv2/PIL) are not installed in this container; "
-            "only the deterministic FAKEIMG test format is supported"
+            "only PNG (stdlib codec) and the deterministic FAKEIMG test "
+            "format are supported"
         ) from None
     img = cv2.imdecode(  # pragma: no cover - cv2 absent in sandbox
         np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
@@ -149,6 +161,74 @@ def image_features(media: DataFrame) -> DataFrame:
 
     return media.filter("kind = 'image'").select("media_id", "content").mapInPandas(
         _feats, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+PREPROCESSED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("content", BinaryType(), True),     # processed page as PNG
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("error", StringType(), True),
+])
+
+
+def preprocess_images(
+    media: DataFrame,
+    *,
+    clip_limit: float = 3.0,
+    denoise_h: float = 10.0,
+    threshold: str = "otsu",
+    target_height: int = 2000,
+    denoise: bool = True,
+) -> DataFrame:
+    """OCR-ready page preprocessing (reference preprocess_image,
+    ocr.py:10-43 / ocr2.py:77-125): decode → CLAHE → non-local-means
+    denoise → Otsu or adaptive-Gaussian threshold → conditional bicubic
+    upscale, all via the pure-numpy kernels in extract/raster.py — the
+    raster cascade is REAL in-sandbox, not a cv2 stub. Output rows carry
+    the processed page re-encoded as PNG (stdlib codec, deterministic
+    bytes) so any downstream consumer — including the reference's Tesseract
+    stage on a real cluster — reads a standard format.
+
+    ``clip_limit`` 3.0 + ``threshold='otsu'`` is ocr.py's config;
+    2.0/'adaptive' is ocr2.py's (the reference files disagree — SURVEY §2
+    P2 — so the engine pins the choice per call).
+
+    Scale shape: ONE Arrow-batched mapInPandas stage over (media_id,
+    content), no shuffle; per-row quarantine via the error column (decode
+    or kernel failure never kills the task). NLM is the documented-heavy
+    kernel (O(search²·pixels)); pass ``denoise=False`` to skip it when
+    upstream pages are born digital."""
+
+    def _prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from final_ocr_spark.extract.raster import png_encode, preprocess_page
+
+        for pdf in batches:
+            recs = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rec = {"media_id": mid, "content": None, "width": None,
+                       "height": None, "error": None}
+                try:
+                    img = decode_image(bytes(content))
+                    out = preprocess_page(
+                        img, clip_limit=clip_limit, denoise_h=denoise_h,
+                        threshold=threshold, target_height=target_height,
+                        denoise=denoise,
+                    )
+                    rec.update(
+                        content=png_encode(out),
+                        width=int(out.shape[1]), height=int(out.shape[0]),
+                    )
+                except Exception as exc:  # per-row quarantine
+                    rec["error"] = f"{type(exc).__name__}: {exc}"[:200]
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in PREPROCESSED_SCHEMA.fields]
+            )
+
+    return media.filter("kind = 'image'").select("media_id", "content").mapInPandas(
+        _prep, schema=PREPROCESSED_SCHEMA
     )
 
 

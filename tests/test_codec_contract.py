@@ -33,10 +33,23 @@ def _fake_encode(arr: np.ndarray) -> bytes:
     return b"FAKEIMG %d %d " % (w, h) + arr.tobytes()
 
 
+def _stdlib_png_encode(arr: np.ndarray) -> bytes:
+    from final_ocr_spark.extract.raster import png_encode
+
+    return png_encode(arr)
+
+
 def _codecs():
     """(name, lossless_encode, truncated_payload_builder) per available codec."""
-    cases = [("fakeimg", _fake_encode,
-              lambda arr: _fake_encode(arr)[:-1])]  # drop last pixel byte
+    cases = [
+        ("fakeimg", _fake_encode,
+         lambda arr: _fake_encode(arr)[:-1]),  # drop last pixel byte
+        # REAL format, decoded by the stdlib-zlib codec (extract/raster.py)
+        # — available in every environment, so the seam contract runs on
+        # actual image bytes even where cv2 is absent
+        ("stdlib-png", _stdlib_png_encode,
+         lambda arr: _stdlib_png_encode(arr)[:40]),  # truncated mid-IDAT
+    ]
     try:  # pragma: no cover - cv2 absent in sandbox, present on a cluster
         import cv2
 

@@ -214,3 +214,62 @@ def test_video_near_dups_trim_robust(spark):
     assert (b, 500) in pairs and pairs[(b, 500)] >= 0.5
     others = {v["media_id"] for v in vids[1:]}
     assert all(not ({p[0], p[1]} <= others) for p in pairs)
+
+
+def test_preprocess_images_cascade(spark):
+    """preprocess_images runs the REAL raster cascade (CLAHE → NLM → Otsu →
+    conditional upscale) over mixed FAKEIMG + PNG payloads, re-encodes as
+    PNG, and quarantines junk per row — matching a driver-side run of the
+    same kernels exactly."""
+    import numpy as np
+
+    from final_ocr_spark.extract.raster import (
+        png_decode, png_encode, preprocess_page)
+    from final_ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA, gen_fake_media, preprocess_images)
+
+    rng = np.random.RandomState(99)
+    png_img = rng.randint(0, 256, (24, 18), dtype=np.uint8)
+    extra = [
+        (900, "image", png_encode(png_img), "image/png", None),
+        (901, "image", b"\x89PNG\r\n\x1a\ngarbage-after-magic", "image/png", None),
+        (902, "image", b"not an image at all", None, None),
+    ]
+    media = gen_fake_media(spark, 10, seed=3).unionByName(
+        spark.createDataFrame(extra, MEDIA_SCHEMA)
+    )
+    rows = {
+        r["media_id"]: r
+        for r in preprocess_images(media, target_height=32).collect()
+    }
+    # junk rows quarantined, never task failures
+    assert rows[901]["error"] is not None and rows[901]["content"] is None
+    assert rows[902]["error"] is not None
+
+    # the PNG row must match a driver-side run of the identical cascade
+    got = png_decode(rows[900]["content"])
+    exp = preprocess_page(png_img, target_height=32)
+    assert np.array_equal(got, exp)
+    assert (rows[900]["height"], rows[900]["width"]) == exp.shape
+
+    # every ok FAKEIMG row decodes to a binary-or-interpolated PNG of the
+    # declared size
+    ok = [r for r in rows.values() if r["error"] is None and r["media_id"] < 900]
+    assert ok
+    for r in ok:
+        out = png_decode(r["content"])
+        assert out.shape == (r["height"], r["width"])
+
+
+def test_preprocess_images_variants_differ(spark):
+    """ocr.py's (clip 3.0, otsu) and ocr2.py's (clip 2.0, adaptive) configs
+    are both reachable and produce different bytes on the same input."""
+    from final_ocr_spark.operators.multimodal import gen_fake_media, preprocess_images
+
+    media = gen_fake_media(spark, 5, seed=11).filter("kind = 'image'").limit(2)
+    a = {r["media_id"]: bytes(r["content"]) for r in preprocess_images(
+        media, clip_limit=3.0, threshold="otsu", target_height=16).collect()}
+    b = {r["media_id"]: bytes(r["content"]) for r in preprocess_images(
+        media, clip_limit=2.0, threshold="adaptive", target_height=16).collect()}
+    assert set(a) == set(b) and a
+    assert any(a[k] != b[k] for k in a)
