@@ -572,18 +572,22 @@ def _q25_batch_topk(spark, sf):
 
 
 def _q26_image_features(spark, sf):
-    """Multimodal stages (deterministic fake codecs; committed-golden
-    oracle — no SQL analog): 'image' = decode/features via mapInPandas;
-    'img_pair' = perceptual-hash near-dup pairs over the guaranteed-recall
-    pigeonhole index (planted exact copies at media_id+1000 must surface
-    at hamming 0); 'audio' = clip features + spectral fingerprint;
-    'aud_pair' = the same index over audio fingerprints."""
+    """Multimodal stages (deterministic codecs; committed-golden oracle —
+    no SQL analog): 'image' = decode/features via mapInPandas; 'img_pair'
+    = perceptual-hash near-dup pairs over the guaranteed-recall pigeonhole
+    index (planted exact copies at media_id+1000 must surface at hamming
+    0); 'audio' = clip features + spectral fingerprint; 'aud_pair' = the
+    same index over audio fingerprints; 'prep' = the reference's raster
+    preprocessing cascade (CLAHE → NLM → Otsu → bicubic upscale, real
+    numpy kernels — extract/raster.py) re-featured off the processed
+    PNG."""
     from final_ocr_spark.operators.dedup import hash64_near_dups
     from final_ocr_spark.operators.multimodal import (
         audio_features,
         gen_fake_audio,
         gen_fake_media,
         image_features,
+        preprocess_images,
     )
 
     def _with_copies(df):
@@ -658,8 +662,33 @@ def _q26_image_features(spark, sf):
         ).withColumnRenamed("key_a", "media_id"),
         "aud_pair", key_b=F.col("key_b"), hamming=F.col("hamming"),
     )
+    # 'prep' = the REAL raster preprocessing cascade (CLAHE → NLM denoise →
+    # Otsu → conditional bicubic upscale, pure numpy — extract/raster.py,
+    # reference preprocess_image ocr.py:10-43) run over every image, the
+    # processed page re-encoded as PNG (stdlib codec) and re-featured: the
+    # stage row pins dims + luma stats + phash of the PROCESSED page, so any
+    # drift in any kernel breaks the committed golden. target_height=64
+    # keeps gate-time upscales proportionate to the 8-64 px fake corpus.
+    prep = preprocess_images(media, target_height=64).localCheckpoint(
+        eager=False
+    )
+    prep_media = prep.filter("error is null").select(
+        "media_id", F.lit("image").alias("kind"), "content",
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    pstage = _stage(
+        image_features(prep_media), "prep",
+        width=F.col("width"), height=F.col("height"),
+        mean_luma=F.col("mean_luma"), std_luma=F.col("std_luma"),
+        phash=F.col("phash"), error=F.col("error"),
+    )
+    perr = _stage(
+        prep.filter("error is not null"), "prep", error=F.col("error")
+    )
     return (
         img.unionByName(ipairs).unionByName(aud).unionByName(apairs)
+        .unionByName(pstage).unionByName(perr)
         .select(*cols)
         .orderBy("stage", "media_id", "key_b")
     )
