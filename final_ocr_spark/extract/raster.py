@@ -566,3 +566,141 @@ def preprocess_page(
     else:
         img = adaptive_threshold_gaussian(img)
     return conditional_upscale(img, target_height=target_height)
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (baseline subset: uncompressed 8-bit, the scanner default)
+
+_TIFF_II = b"II*\x00"
+_TIFF_MM = b"MM\x00*"
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 decode: uncompressed (Compression=1) 8-bit
+    grayscale (PhotometricInterpretation 0/1) or RGB (2), strip layout,
+    first IFD only — the uncompressed-scanner subset of the reference's
+    ``.tiff`` glob (ocr2.py:569). LZW/JPEG-compressed TIFFs raise
+    ValueError (quarantine path). Returns (h, w) or (h, w, 3) uint8."""
+    if data[:4] == _TIFF_II:
+        en = "<"
+    elif data[:4] == _TIFF_MM:
+        en = ">"
+    else:
+        raise ValueError("not a TIFF: bad signature")
+
+    def u16(off):
+        return struct.unpack_from(en + "H", data, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(en + "I", data, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(data):
+        raise ValueError("TIFF: truncated IFD offset")
+    n_entries = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(data):
+            raise ValueError("TIFF: truncated IFD")
+        tags[u16(e)] = (u16(e + 2), u32(e + 4), e + 8)  # (type, count, value-slot)
+
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def values(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF: missing tag {tag}")
+            return default
+        typ, count, slot = tags[tag]
+        size = _SIZES.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF: unsupported type {typ} for tag {tag}")
+        total = size * count
+        off = slot if total <= 4 else u32(slot)
+        if off + total > len(data):
+            raise ValueError("TIFF: value out of bounds")
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(en + fmt * count, data, off))
+
+    width = values(256)[0]
+    height = values(257)[0]
+    compression = values(259, [1])[0]
+    if compression != 1:
+        raise ValueError(
+            f"TIFF: compression {compression} unsupported (uncompressed only)"
+        )
+    photometric = values(262, [1])[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError(f"TIFF: bits-per-sample {bps} unsupported (8 only)")
+    if photometric not in (0, 1, 2) or spp not in (1, 3):
+        raise ValueError(
+            f"TIFF: photometric {photometric}/spp {spp} unsupported"
+        )
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF: strip offsets/counts mismatch")
+    buf = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise ValueError("TIFF: strip out of bounds")
+        buf += data[off:off + cnt]
+    need = width * height * spp
+    if len(buf) < need:
+        raise ValueError("TIFF: pixel data short")
+    arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+    if spp == 1:
+        img = arr.reshape(height, width)
+        if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+            img = (255 - img.astype(np.int16)).astype(np.uint8)
+        return img
+    return arr.reshape(height, width, 3)
+
+
+def tiff_encode(img: np.ndarray) -> bytes:
+    """Minimal single-strip little-endian TIFF writer for (h, w) gray or
+    (h, w, 3) RGB uint8 — the decode tests' fixture source and a valid
+    file for any standard reader."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("tiff_encode expects uint8 (h,w) or (h,w,3)")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("tiff_encode RGB needs 3 channels")
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else 3
+    photometric = 1 if spp == 1 else 2
+    pixels = img.tobytes()
+    # layout: header(8) + pixel data + IFD
+    pix_off = 8
+    ifd_off = pix_off + len(pixels)
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count) + value)
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    bps_value = ifd_off + 2 + 12 * 11 + 4  # after entry table + next-IFD ptr
+    entry(256, 3, 1, short(w))
+    entry(257, 3, 1, short(h))
+    if spp == 1:
+        entry(258, 3, 1, short(8))
+    else:
+        entry(258, 3, 3, long_(bps_value))
+    entry(259, 3, 1, short(1))           # uncompressed
+    entry(262, 3, 1, short(photometric))
+    entry(273, 4, 1, long_(pix_off))     # one strip
+    entry(277, 3, 1, short(spp))
+    entry(278, 3, 1, short(h))           # rows per strip = all
+    entry(279, 4, 1, long_(len(pixels)))
+    entry(282, 3, 1, short(72))          # XResolution (required-ish; SHORT ok)
+    entry(283, 3, 1, short(72))
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00\x00\x00\x00"
+    tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pixels + ifd + tail

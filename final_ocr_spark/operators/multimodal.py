@@ -86,17 +86,20 @@ def decode_image(data: bytes) -> np.ndarray:
       catches it instead of poisoning downstream numpy calls);
     * a lossless encode→decode round trip is pixel-identical.
 
-    Three branches, same contract:
+    Branches, same contract (the reference's whole scan glob —
+    ``*.jpg/*.jpeg/*.png/*.tiff``, ocr2.py:569 — decodes REAL formats
+    in-engine now):
 
     * FAKEIMG — the deterministic synthetic format (tests/fixtures);
-    * PNG — REAL decode via the stdlib-zlib codec in extract/raster.py
-      (RFC 2083 unfiltering + OpenCV's exact fixed-point BT.601 grayscale
-      for color images), so actual image bytes exercise this seam
-      in-sandbox;
-    * everything else (JPEG/TIFF/...) — cv2 when importable, else a loud
-      NotImplementedError (the standard public ``cv2.imdecode`` recipe is
-      written below and exercised by the same contract test when cv2 IS
-      installed).
+    * PNG — stdlib-zlib codec (extract/raster.py: RFC 2083 unfiltering +
+      OpenCV's exact fixed-point BT.601 grayscale for color);
+    * JPEG — baseline sequential decoder (extract/jpeg.py: T.81 Huffman +
+      exact float IDCT, 4:4:4/4:2:2/4:2:0, restart markers);
+    * TIFF — uncompressed 8-bit strip decode (extract/raster.py);
+    * anything else (WebP, compressed TIFF, progressive JPEG, ...) — cv2
+      when importable, else a loud NotImplementedError (the standard
+      public ``cv2.imdecode`` recipe below runs under the same contract
+      test where cv2 IS installed).
     """
     if data[:7] == b"FAKEIMG":
         return _decode_fake_image(data)
@@ -104,13 +107,41 @@ def decode_image(data: bytes) -> np.ndarray:
         from final_ocr_spark.extract.raster import png_decode_gray
 
         return png_decode_gray(data)
+    if data[:2] == b"\xff\xd8":
+        from final_ocr_spark.extract.jpeg import jpeg_decode
+        from final_ocr_spark.extract.raster import bt601_gray
+
+        try:
+            img = jpeg_decode(data)
+        except ValueError as exc:
+            if "unsupported" in str(exc):
+                # progressive/arithmetic/12-bit: fall through to cv2 (or
+                # the loud seam) — malformed baseline still raises
+                img = None
+            else:
+                raise
+        if img is not None:
+            return img if img.ndim == 2 else bt601_gray(img)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from final_ocr_spark.extract.raster import bt601_gray, tiff_decode
+
+        try:
+            img = tiff_decode(data)
+        except ValueError as exc:
+            if "compression" in str(exc):
+                # compressed TIFF: fall through to cv2 (or the loud seam)
+                img = None
+            else:
+                raise
+        if img is not None:
+            return img if img.ndim == 2 else bt601_gray(img)
     try:
         import cv2
     except ImportError:
         raise NotImplementedError(
-            "real image codecs (cv2/PIL) are not installed in this container; "
-            "only PNG (stdlib codec) and the deterministic FAKEIMG test "
-            "format are supported"
+            "cv2/PIL are not installed in this container; in-engine codecs "
+            "cover PNG, baseline JPEG, uncompressed TIFF, and the "
+            "deterministic FAKEIMG test format"
         ) from None
     img = cv2.imdecode(  # pragma: no cover - cv2 absent in sandbox
         np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_GRAYSCALE

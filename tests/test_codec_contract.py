@@ -106,14 +106,23 @@ def test_c4_bad_input_raises_never_none(name, encode, trunc):
 
 
 def test_c4_unknown_format_raises_not_implemented_without_codecs():
-    """In a codec-less container, non-FAKEIMG bytes must raise loudly with
-    install guidance — not crash with an attribute error on None."""
+    """In a codec-less container, bytes in a format the in-engine codecs
+    don't cover (WebP here) must raise loudly with install guidance — not
+    crash with an attribute error on None."""
     try:
         import cv2  # noqa: F401
         pytest.skip("cv2 present: unknown formats go to the real decoder")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="not installed"):
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 not really a webp")
+
+
+def test_c4b_malformed_known_format_raises_value_error():
+    """Malformed bytes in a format the in-engine codecs DO cover (JPEG
+    signature, no scan) raise ValueError — the quarantine path — rather
+    than falling through to the cv2 seam."""
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 not really a jpeg")
 
 
