@@ -8,12 +8,18 @@ fixture source:
 
 decode (``jpeg_decode``):
 * markers: SOI, APPn/COM (skipped), DQT (8-bit tables), SOF0 (baseline;
-  SOF1 extended-sequential accepted — same entropy coding), DHT, DRI,
-  SOS, EOI; progressive (SOF2) / arithmetic / 12-bit raise ValueError
-  (the callers' quarantine path);
+  SOF1 extended-sequential accepted — same entropy coding), SOF2
+  (progressive), DHT, DRI, SOS, EOI; lossless / arithmetic / 12-bit
+  raise ValueError (the callers' quarantine path);
 * entropy decode: canonical Huffman per spec §F.2 (MINCODE/MAXCODE/VALPTR
   tables), byte-stuffing (FF 00) and restart-marker (RST0-7) handling,
   DC prediction reset per restart interval;
+* progressive (§G.2): per-component coefficient stores accumulate across
+  scans — DC first/refine (point transform + one-bit refinement), AC
+  first/refine with EOB runs and the positional correction-bit walk
+  (structured after the public libjpeg jdphuff.c reading of figures
+  G.7/G.10), interleaved DC scans + single-component banded AC scans on
+  the component's own (non-MCU-padded) block grid;
 * dequantize → de-zigzag → 8×8 IDCT as an exact float64 matrix product
   (the textbook type-III DCT — vectorized over ALL blocks of a component
   in one einsum, no per-pixel Python);
@@ -23,12 +29,14 @@ decode (``jpeg_decode``):
 
 encode (``jpeg_encode``): 4:4:4 or 4:2:0, Annex-K example quantization
 tables scaled by the libjpeg quality curve, Annex-K standard Huffman
-tables, optional restart interval — enough to produce spec-conformant
-streams any decoder reads, giving the tests encoder/decoder
-cross-verification on top of hand-assembled golden streams (a shared-bug
-round-trip can't hide: the test suite pins the zigzag order, the IDCT
-against a per-pixel spec twin, and a hand-built DC-only stream to
-analytically-computed pixels).
+tables, optional restart interval, optional progressive mode (the
+standard libjpeg scan script; same quantized coefficients as baseline,
+so both modes must decode pixel-identically — a differential the tests
+pin) — enough to produce spec-conformant streams any decoder reads,
+giving the tests encoder/decoder cross-verification on top of
+hand-assembled golden streams (a shared-bug round-trip can't hide: the
+test suite pins the zigzag order, the IDCT against a per-pixel spec
+twin, and a hand-built DC-only stream to analytically-computed pixels).
 
 Determinism: like extract/raster.py, this is the CANONICAL in-engine JPEG
 path — identical output everywhere, no import-dependent switches. libjpeg
@@ -216,8 +224,9 @@ def _extend(v: int, t: int) -> int:
 # decode
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
-    Raises ValueError on non-baseline or malformed streams (quarantine)."""
+    """Baseline/extended-sequential (SOF0/SOF1) or progressive (SOF2) JPEG
+    bytes → uint8 (h, w) grayscale or (h, w, 3) RGB. Raises ValueError on
+    other coding processes or malformed streams (quarantine)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -227,16 +236,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    state = None  # (hmax, vmax, mcux, mcuy, store, geom) — set at first SOS
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            break
+            if state is None:
+                raise ValueError("JPEG: EOI before any scan")
+            return _reconstruct(frame, qtables, state)
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
+        if pos + 2 > n:
+            raise ValueError("JPEG: truncated segment header")
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2:pos + seglen]
         segend = pos + seglen
@@ -259,7 +274,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + nv])
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            if frame is not None:
+                raise ValueError("JPEG: multiple SOF markers")
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"JPEG: {prec}-bit precision unsupported")
@@ -272,10 +289,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 tq = body[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG: SOF{marker - 0xC0} (progressive/arith) unsupported"
+                f"JPEG: SOF{marker - 0xC0} (lossless/arith) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -288,81 +306,298 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs = body[1 + 2 * c]
                 tt = body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, segend, frame, scan, qtables, huff_dc, huff_ac,
-                restart_interval,
-            )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if state is None:
+                state = _alloc_state(frame)
+            if progressive:
+                pos = _progressive_scan(
+                    data, segend, frame, scan, (ss, se, ah, al), state,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            else:
+                pos = _sequential_scan(
+                    data, segend, frame, scan, state, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            continue
         pos = segend
-    raise ValueError("JPEG: no SOS marker")
+    raise ValueError(
+        "JPEG: truncated (no EOI)" if state is not None
+        else "JPEG: no SOS marker"
+    )
 
 
-def _decode_scan(data, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
+def _alloc_state(frame):
+    """Per-component coefficient stores + geometry for scan decoding.
+
+    Returns (hmax, vmax, mcux, mcuy, store, geom) where store[cid] is an
+    (mcux·hs · mcuy·vs, 64) int32 zigzag-coefficient array covering the
+    MCU-padded block grid, and geom[cid] = (hs, vs, bw, wblocks, hblocks):
+    bw is the padded grid's blocks-per-row; wblocks/hblocks the component's
+    OWN block grid (spec A.1.1: non-interleaved scans code ceil(cw/8) ×
+    ceil(ch/8) blocks — the MCU padding blocks are coded only by
+    interleaved scans)."""
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("JPEG: zero dimensions")
-    if len(scan) != len(comps):
-        raise ValueError("JPEG: partial scans unsupported (baseline only)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG: zero sampling factor")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    store = {}
+    geom = {}
+    for cid, hs, vs, _tq in comps:
+        if hs == 0 or vs == 0:
+            raise ValueError("JPEG: zero sampling factor")
+        bw, bh = mcux * hs, mcuy * vs
+        store[cid] = np.zeros((bw * bh, 64), dtype=np.int32)
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        geom[cid] = (hs, vs, bw, -(-cw // 8), -(-ch // 8))
+    return hmax, vmax, mcux, mcuy, store, geom
 
+
+def _consume_rst(r: _BitReader) -> None:
+    """Byte-align and consume the expected RSTn marker."""
+    r.byte_align()
+    p = r.pos
+    d = r.data
+    if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+        raise ValueError("JPEG: expected restart marker")
+    r.pos = p + 2
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker (skipping stuffed FF00 bytes and
+    stray RSTn) — where the post-scan parse resumes."""
+    n = len(data)
+    while p + 1 < n:
+        if (data[p] == 0xFF and data[p + 1] != 0x00
+                and not (0xD0 <= data[p + 1] <= 0xD7)):
+            return p
+        p += 1
+    raise ValueError("JPEG: truncated after scan")
+
+
+def _scan_units(scan_comps, geom, mcux, mcuy):
+    """Yield one restart unit at a time: a list of (cid, block_index) pairs.
+    Interleaved (ns>1): unit = MCU over the padded grid. Non-interleaved:
+    unit = one block of the component's own grid."""
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for cid in scan_comps:
+                    hs, vs, bw, _wb, _hb = geom[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit.append(
+                                (cid, (my * vs + by) * bw + mx * hs + bx)
+                            )
+                yield unit
+    else:
+        cid = scan_comps[0]
+        _hs, _vs, bw, wblocks, hblocks = geom[cid]
+        for by in range(hblocks):
+            for bx in range(wblocks):
+                yield [(cid, by * bw + bx)]
+
+
+def _sequential_scan(data, pos, frame, scan, state, huff_dc, huff_ac, dri):
+    """Decode one sequential (SOF0/SOF1) scan — interleaved or single-
+    component — into the coefficient store. Returns the next-marker pos."""
+    _h, _w, comps = frame
+    hmax, vmax, mcux, mcuy, store, geom = state
     by_id = {c[0]: c for c in comps}
-    plan = []  # (hs, vs, quant, dc_table, ac_table, coeff array)
+    tabs = {}
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError(f"JPEG: scan references unknown component {cs}")
-        cid, hs, vs, tq = by_id[cs]
-        if tq not in qtables or td not in huff_dc or ta not in huff_ac:
-            raise ValueError("JPEG: missing quant/Huffman table")
-        nblocks = mcux * hs * mcuy * vs
-        plan.append([hs, vs, qtables[tq], huff_dc[td], huff_ac[ta],
-                     np.zeros((nblocks, 64), dtype=np.int32)])
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG: missing Huffman table")
+        tabs[cs] = (huff_dc[td], huff_ac[ta])
 
     r = _BitReader(data, pos)
-    pred = [0] * len(plan)
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_index and mcu_index % dri == 0:
-                # restart: align, consume RSTn, reset DC predictions
-                r.byte_align()
-                p = r.pos
-                if p + 1 >= len(data) or data[p] != 0xFF or not (
-                    0xD0 <= data[p + 1] <= 0xD7
-                ):
-                    raise ValueError("JPEG: expected restart marker")
-                r.pos = p + 2
-                pred = [0] * len(plan)
-            for ci, (hs, vs, _q, hdc, hac, coefs) in enumerate(plan):
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = coefs[((my * vs + by) * (mcux * hs))
-                                    + mx * hs + bx]
-                        t = r.decode(hdc)
-                        diff = _extend(r.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = r.decode(hac)
-                            rr, ss = rs >> 4, rs & 0xF
-                            if ss == 0:
-                                if rr == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            blk[k] = _extend(r.bits(ss), ss)
-                            k += 1
-            mcu_index += 1
+    pred = {cs: 0 for cs, _td, _ta in scan}
+    scan_ids = [cs for cs, _td, _ta in scan]
+    for unit_index, unit in enumerate(_scan_units(scan_ids, geom, mcux, mcuy)):
+        if dri and unit_index and unit_index % dri == 0:
+            _consume_rst(r)
+            pred = {cs: 0 for cs in pred}
+        for cid, bi in unit:
+            blk = store[cid][bi]
+            hdc, hac = tabs[cid]
+            t = r.decode(hdc)
+            diff = _extend(r.bits(t), t) if t else 0
+            pred[cid] += diff
+            blk[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = r.decode(hac)
+                rr, ss = rs >> 4, rs & 0xF
+                if ss == 0:
+                    if rr == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("JPEG: AC index overflow")
+                blk[k] = _extend(r.bits(ss), ss)
+                k += 1
+    return _skip_to_marker(data, r.pos)
 
-    # dequantize, de-zigzag, IDCT — whole-component vectorized
+
+def _progressive_scan(data, pos, frame, scan, band, state, huff_dc, huff_ac,
+                      dri):
+    """Decode one progressive (SOF2) scan per spec §G.2 into the coefficient
+    store: DC first/refine (Ss=0), AC first/refine (band Ss..Se, single
+    component). The refinement semantics mirror the public libjpeg
+    jdphuff.c structure (the de-facto executable reading of figures
+    G.7/G.10). Returns the next-marker pos."""
+    ss_, se_, ah, al = band
+    _h, _w, comps = frame
+    hmax, vmax, mcux, mcuy, store, geom = state
+    by_id = {c[0]: c for c in comps}
+    dc_scan = ss_ == 0
+    if dc_scan and se_ != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se=0")
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be single-component")
+    if se_ > 63 or ss_ > se_:
+        raise ValueError("JPEG: bad spectral band")
+
+    tabs = {}
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG: scan references unknown component {cs}")
+        if dc_scan:
+            if ah == 0 and td not in huff_dc:
+                raise ValueError("JPEG: missing DC Huffman table")
+            tabs[cs] = huff_dc.get(td)  # unused when Ah>0 (refine is 1 bit)
+        else:
+            if ta not in huff_ac:
+                raise ValueError("JPEG: missing AC Huffman table")
+            tabs[cs] = huff_ac[ta]
+
+    r = _BitReader(data, pos)
+    pred = {cs: 0 for cs, _td, _ta in scan}
+    eobrun = 0
+    scan_ids = [cs for cs, _td, _ta in scan]
+    for unit_index, unit in enumerate(_scan_units(scan_ids, geom, mcux, mcuy)):
+        if dri and unit_index and unit_index % dri == 0:
+            _consume_rst(r)
+            pred = {cs: 0 for cs in pred}
+            eobrun = 0
+        for cid, bi in unit:
+            blk = store[cid][bi]
+            if dc_scan:
+                if ah == 0:  # DC first: point-transformed diff coding
+                    t = r.decode(tabs[cid])
+                    diff = _extend(r.bits(t), t) if t else 0
+                    pred[cid] += diff
+                    blk[0] = pred[cid] << al
+                else:  # DC refine: one appended bit per block
+                    if r.bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(r, blk, ss_, se_, al, tabs[cid], eobrun)
+            else:
+                eobrun = _ac_refine(r, blk, ss_, se_, al, tabs[cid], eobrun)
+    return _skip_to_marker(data, r.pos)
+
+
+def _ac_first(r, blk, ss_, se_, al, hac, eobrun):
+    """AC successive-approximation FIRST scan for one block (G.1.2.2):
+    band-limited run-length coding with EOB runs; values enter shifted
+    left by Al. Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss_
+    while k <= se_:
+        rs = r.decode(hac)
+        rr, sbits = rs >> 4, rs & 0xF
+        if sbits == 0:
+            if rr != 15:
+                eb = 1 << rr
+                if rr:
+                    eb += r.bits(rr)
+                return eb - 1  # current block is the first of the run
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se_:
+            raise ValueError("JPEG: AC index outside band")
+        blk[k] = _extend(r.bits(sbits), sbits) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, blk, ss_, se_, al, hac, eobrun):
+    """AC successive-approximation REFINEMENT scan for one block (G.1.2.3):
+    newly-significant coefficients arrive as ±1·2^Al; every already-nonzero
+    coefficient passed (including the post-EOB tail) consumes a correction
+    bit. Structure mirrors libjpeg jdphuff.c decode_mcu_AC_refine. Returns
+    the updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss_
+    if eobrun == 0:
+        while k <= se_:
+            rs = r.decode(hac)
+            rr, sbits = rs >> 4, rs & 0xF
+            if sbits == 0:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break  # rest of block handled by the EOB tail below
+                newval = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if sbits != 1:
+                    raise ValueError("JPEG: refinement magnitude > 1")
+                newval = p1 if r.bit() else m1
+            # advance over rr zero-history coefficients, appending a
+            # correction bit to each nonzero-history one passed
+            while k <= se_:
+                c = int(blk[k])
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se_:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB tail: correction bits for remaining nonzero coefficients
+        while k <= se_:
+            c = int(blk[k])
+            if c != 0 and r.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qtables, state):
+    """Dequantize, de-zigzag, IDCT, upsample, color-convert — whole-
+    component vectorized (one einsum per component)."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, store, _geom = state
     planes = []
-    for (hs, vs, q, _hd, _ha, coefs) in plan:
-        dq = coefs.astype(np.float64) * q[np.newaxis, :]
+    for cid, hs, vs, tq in comps:
+        if tq not in qtables:
+            raise ValueError("JPEG: missing quant table")
+        q = qtables[tq]
+        dq = store[cid].astype(np.float64) * q[np.newaxis, :]
         raster = np.zeros_like(dq)
         raster[:, ZIGZAG] = dq
         blocks = raster.reshape(-1, 8, 8)
@@ -497,13 +732,106 @@ def _to_blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
+# --- progressive-scan emitters (encoder side of spec §G.1.2) ---------------
+
+def _enc_dc_first(wtr, dcval, al, pred, dc_tab):
+    """DC first scan, one block: diff-code the point-transformed DC
+    (arithmetic shift — G.1.2.1). Returns the updated predictor."""
+    v = int(dcval) >> al
+    t, code = _mag(v - pred)
+    c, ln = dc_tab[t]
+    wtr.write(c, ln)
+    if t:
+        wtr.write(code, t)
+    return v
+
+
+def _enc_ac_first(wtr, row, ss_, se_, al, ac_tab):
+    """AC first scan, one block: run-length code the band's point-
+    transformed values; per-block EOB flush (EOB run length always 1 —
+    the Annex-K standard tables carry no multi-block EOBn symbols)."""
+    vals = []
+    for k in range(ss_, se_ + 1):
+        v = int(row[k])
+        mag = abs(v) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            wtr.write(c, ln)
+            run -= 16
+        t, code = _mag(v)
+        c, ln = ac_tab[(run << 4) | t]
+        wtr.write(c, ln)
+        wtr.write(code, t)
+        run = 0
+    if last < len(vals) - 1:
+        c, ln = ac_tab[0x00]  # EOB, run of 1
+        wtr.write(c, ln)
+
+
+def _enc_ac_refine(wtr, row, ss_, se_, al, ac_tab):
+    """AC refinement scan, one block (G.1.2.3, the libjpeg jcphuff.c
+    shape): newly-significant coefficients (shifted magnitude exactly 1)
+    emit (run,1)+sign; already-nonzero coefficients buffer a correction
+    bit, flushed right after the next emitted symbol (or the block's EOB)
+    — matching the decoder's positional walk."""
+    absv = [abs(int(row[k])) >> al for k in range(ss_, se_ + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            c, ln = ac_tab[0xF0]  # ZRL
+            wtr.write(c, ln)
+            run -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        c, ln = ac_tab[(run << 4) | 1]
+        wtr.write(c, ln)
+        wtr.write(0 if int(row[ss_ + i]) < 0 else 1, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        c, ln = ac_tab[0x00]  # EOB (run 1) + its buffered correction bits
+        wtr.write(c, ln)
+        for b in br:
+            wtr.write(b, 1)
+
+
 def jpeg_encode(
     img: np.ndarray, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JFIF bytes.
+    """uint8 (h, w) gray or (h, w, 3) RGB → JFIF bytes.
     ``subsample=True`` writes 4:2:0 chroma (2×2 box-average); otherwise
-    4:4:4. Annex-K tables scaled by the public quality curve."""
+    4:4:4. Annex-K tables scaled by the public quality curve.
+    ``progressive=True`` writes SOF2 with the standard libjpeg scan script
+    (spectral selection + two successive-approximation levels); the
+    quantized coefficients are identical to the baseline encoding, so a
+    correct decoder returns pixel-identical output for both modes — the
+    tests pin exactly that."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("jpeg_encode expects uint8 (h,w) or (h,w,3)")
     gray = img.ndim == 2
@@ -557,36 +885,37 @@ def jpeg_encode(
         [] if gray else [_encode_tables(*_AC_CHROMA)] * 2
     )
 
-    # quantized zigzag coefficients per component, in MCU visit order
-    wtr = _BitWriter()
-    pred = [0] * len(planes)
-    mcu_index = 0
     # pre-block each plane for fast slicing
     blocked = []
     for pl, (hs, vs) in zip(padded, samp):
         bw = mcux * hs
         blocked.append((_to_blocks(pl).reshape(mcuy * vs, bw, 8, 8), hs, vs))
 
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and (
-                mcu_index % restart_interval == 0
-            ):
-                wtr.pad_align()
-                wtr.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0] * len(planes)
-            for ci, (blocks, hs, vs) in enumerate(blocked):
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = blocks[my * vs + by, mx * hs + bx][np.newaxis]
-                        pred[ci] = _encode_blocks(
-                            wtr, blk, quants[ci], _C, dc_tabs[ci],
-                            ac_tabs[ci], pred[ci],
-                        )
-            mcu_index += 1
-    wtr.pad_align()
+    if not progressive:
+        # quantized zigzag coefficients per component, in MCU visit order
+        wtr = _BitWriter()
+        pred = [0] * len(planes)
+        mcu_index = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and (
+                    mcu_index % restart_interval == 0
+                ):
+                    wtr.pad_align()
+                    wtr.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * len(planes)
+                for ci, (blocks, hs, vs) in enumerate(blocked):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = blocks[my * vs + by, mx * hs + bx][np.newaxis]
+                            pred[ci] = _encode_blocks(
+                                wtr, blk, quants[ci], _C, dc_tabs[ci],
+                                ac_tabs[ci], pred[ci],
+                            )
+                mcu_index += 1
+        wtr.pad_align()
 
     # assemble the stream
     def seg(marker: int, body: bytes) -> bytes:
@@ -604,7 +933,7 @@ def jpeg_encode(
         hs, vs = samp[ci]
         tq = 0 if ci == 0 else 1
         sof += bytes([ci + 1, (hs << 4) | vs, tq])
-    out += seg(0xC0, bytes(sof))
+    out += seg(0xC2 if progressive else 0xC0, bytes(sof))
 
     def dht(tc, th, spec):
         bits, vals = spec
@@ -615,12 +944,83 @@ def jpeg_encode(
         out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        td = ta = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (td << 4) | ta])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
-    out += wtr.out
+
+    if not progressive:
+        sos = bytearray([ncomp])
+        for ci in range(ncomp):
+            td = ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, bytes(sos))
+        out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # --- progressive: quantized coefficient stacks + the scan script -----
+    qzs = []
+    geom_map = {}
+    for ci, ((blocks4d, hs, vs), q) in enumerate(zip(blocked, quants)):
+        bs = blocks4d.reshape(-1, 8, 8)
+        f = np.einsum("ur,nrc,vc->nuv", _C, bs - 128.0, _C)
+        zz = f.reshape(-1, 64)[:, ZIGZAG]
+        qzs.append(np.rint(zz / q[ZIGZAG]).astype(np.int64))
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        geom_map[ci] = (hs, vs, mcux * hs, -(-cw // 8), -(-ch // 8))
+
+    # the standard libjpeg scan script (jcparam.c): DC first at Al=1, luma
+    # AC split 1-5 / 6-63 at Al=2, refinements down to Al=0
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+        ]
+
+    for scan_ci, ss_, se_, ah, al in script:
+        sos = bytearray([len(scan_ci)])
+        for ci in scan_ci:
+            td = ta = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss_, se_, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+
+        wtr = _BitWriter()
+        pred = {ci: 0 for ci in scan_ci}
+        rst = 0
+        for ui, unit in enumerate(
+            _scan_units(scan_ci, geom_map, mcux, mcuy)
+        ):
+            if restart_interval and ui and ui % restart_interval == 0:
+                wtr.pad_align()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = {ci: 0 for ci in pred}
+            for ci, bi in unit:
+                row = qzs[ci][bi]
+                if ss_ == 0:
+                    if ah == 0:
+                        pred[ci] = _enc_dc_first(
+                            wtr, row[0], al, pred[ci], dc_tabs[ci]
+                        )
+                    else:
+                        wtr.write((int(row[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(wtr, row, ss_, se_, al, ac_tabs[ci])
+                else:
+                    _enc_ac_refine(wtr, row, ss_, se_, al, ac_tabs[ci])
+        wtr.pad_align()
+        out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)

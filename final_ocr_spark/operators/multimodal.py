@@ -93,10 +93,11 @@ def decode_image(data: bytes) -> np.ndarray:
     * FAKEIMG — the deterministic synthetic format (tests/fixtures);
     * PNG — stdlib-zlib codec (extract/raster.py: RFC 2083 unfiltering +
       OpenCV's exact fixed-point BT.601 grayscale for color);
-    * JPEG — baseline sequential decoder (extract/jpeg.py: T.81 Huffman +
-      exact float IDCT, 4:4:4/4:2:2/4:2:0, restart markers);
+    * JPEG — baseline sequential AND progressive decoder (extract/jpeg.py:
+      T.81 Huffman + exact float IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
+      §G.2 successive approximation / spectral selection);
     * TIFF — uncompressed 8-bit strip decode (extract/raster.py);
-    * anything else (WebP, compressed TIFF, progressive JPEG, ...) — cv2
+    * anything else (WebP, compressed TIFF, arithmetic JPEG, ...) — cv2
       when importable, else a loud NotImplementedError (the standard
       public ``cv2.imdecode`` recipe below runs under the same contract
       test where cv2 IS installed).
@@ -115,8 +116,8 @@ def decode_image(data: bytes) -> np.ndarray:
             img = jpeg_decode(data)
         except ValueError as exc:
             if "unsupported" in str(exc):
-                # progressive/arithmetic/12-bit: fall through to cv2 (or
-                # the loud seam) — malformed baseline still raises
+                # arithmetic/lossless/12-bit: fall through to cv2 (or
+                # the loud seam) — malformed streams still raise
                 img = None
             else:
                 raise

@@ -148,12 +148,22 @@ class TestRejections:
         with pytest.raises(ValueError, match="SOI"):
             jpeg_decode(b"GIF89a whatever")
 
-    def test_progressive_rejected(self):
+    def test_sequential_scan_with_sof2_marker_rejected(self):
+        # a baseline stream relabeled SOF2 carries an Ss=0,Se=63 scan —
+        # illegal in progressive mode (DC scans must have Se=0)
         img = np.zeros((8, 8), np.uint8)
         blob = bytearray(jpeg_encode(img))
         i = blob.find(b"\xff\xc0")
         blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2
-        with pytest.raises(ValueError, match="SOF2"):
+        with pytest.raises(ValueError, match="Se=0"):
+            jpeg_decode(bytes(blob))
+
+    def test_lossless_sof_rejected(self):
+        img = np.zeros((8, 8), np.uint8)
+        blob = bytearray(jpeg_encode(img))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC3  # SOF3 lossless
+        with pytest.raises(ValueError, match="SOF3"):
             jpeg_decode(bytes(blob))
 
     def test_truncated_entropy(self):
@@ -163,6 +173,79 @@ class TestRejections:
         with pytest.raises(ValueError):
             jpeg_decode(blob[: len(blob) // 2])
 
+    def test_eoi_without_scan(self):
+        with pytest.raises(ValueError, match="EOI before any scan"):
+            jpeg_decode(b"\xff\xd8\xff\xd9")
+
     def test_missing_sos(self):
         with pytest.raises(ValueError, match="no SOS"):
-            jpeg_decode(b"\xff\xd8\xff\xd9")
+            jpeg_decode(b"\xff\xd8\xff\xe0\x00\x04ab")
+
+
+class TestProgressive:
+    """SOF2 progressive coding. The encoder's progressive mode carries the
+    SAME quantized coefficients as its baseline mode, so a correct decoder
+    must return pixel-identical output for both — a differential no shared
+    encoder/decoder bug in the banding/refinement logic can satisfy (the
+    baseline path is independently anchored by the hand-built stream and
+    the IDCT spec twin above)."""
+
+    @pytest.mark.parametrize("shape,color,sub", [
+        ((8, 8), False, False),
+        ((21, 13), False, False),
+        ((48, 64), True, False),
+        ((47, 63), True, True),   # odd dims + 4:2:0 (AC scans skip MCU pad)
+        ((129, 200), True, True),
+    ])
+    def test_pixels_identical_to_baseline(self, shape, color, sub):
+        rng = np.random.RandomState(sum(shape))
+        img = rng.randint(
+            0, 256, shape + ((3,) if color else ()), dtype=np.uint8
+        )
+        for q in (50, 90):
+            base = jpeg_decode(jpeg_encode(img, quality=q, subsample=sub))
+            prog = jpeg_decode(
+                jpeg_encode(img, quality=q, subsample=sub, progressive=True)
+            )
+            assert np.array_equal(base, prog), q
+
+    def test_stream_is_really_progressive(self):
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = jpeg_encode(img, progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") == 6   # gray scan script
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        assert jpeg_encode(rgb, progressive=True).count(b"\xff\xda") == 10
+
+    def test_restart_markers_do_not_change_pixels(self):
+        rng = np.random.RandomState(21)
+        img = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+        plain = jpeg_decode(jpeg_encode(img, quality=85, progressive=True))
+        for dri in (1, 3, 7):
+            blob = jpeg_encode(
+                img, quality=85, restart_interval=dri, progressive=True
+            )
+            assert np.array_equal(plain, jpeg_decode(blob)), dri
+            assert any(
+                blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+                for i in range(len(blob) - 1)
+            )
+
+    def test_truncated_scan_script_raises(self):
+        # dropping the trailing scans + EOI must quarantine, not return a
+        # silently half-refined image
+        img = np.random.RandomState(23).randint(0, 256, (16, 16), np.uint8)
+        blob = jpeg_encode(img, quality=85, progressive=True)
+        third_sos = blob.index(
+            b"\xff\xda", blob.index(b"\xff\xda", blob.index(b"\xff\xda") + 2) + 2
+        )
+        with pytest.raises(ValueError):
+            jpeg_decode(blob[:third_sos])
+
+    def test_decode_image_handles_progressive(self):
+        from final_ocr_spark.operators.multimodal import decode_image
+
+        rng = np.random.RandomState(25)
+        img = rng.randint(0, 256, (20, 30), dtype=np.uint8)
+        out = decode_image(jpeg_encode(img, quality=90, progressive=True))
+        assert np.array_equal(out, jpeg_decode(jpeg_encode(img, quality=90)))
