@@ -575,12 +575,102 @@ _TIFF_II = b"II*\x00"
 _TIFF_MM = b"MM\x00*"
 
 
+def _packbits_decode(buf: bytes) -> bytes:
+    """Apple PackBits run-length decode (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            j = i + b + 1
+            if j > n:
+                raise ValueError("TIFF: PackBits literal overruns strip")
+            out += buf[i:j]
+            i = j
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= n:
+                raise ValueError("TIFF: PackBits repeat overruns strip")
+            out += bytes([buf[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op
+    return bytes(out)
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW decode: MSB-first variable-width codes starting at
+    9 bits, ClearCode 256 / EOI 257, and the spec's sample-code width
+    schedule — codes widen when the table reaches 2^width − 1 entries (the
+    'early change' every mainstream writer, libtiff included, uses)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    pos = 0
+    n = len(buf)
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+    have_prev = False
+
+    while True:
+        while accbits < width:
+            if pos >= n:
+                if have_prev or table:
+                    return bytes(out)  # tolerated: missing EOI at strip end
+                raise ValueError("TIFF: LZW strip truncated")
+            acc = (acc << 8) | buf[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        code = (acc >> accbits) & ((1 << width) - 1)
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            have_prev = False
+            continue
+        if code == 257:  # EndOfInformation
+            return bytes(out)
+        if not table:
+            raise ValueError("TIFF: LZW code before Clear")
+        if not have_prev:
+            if code >= len(table):
+                raise ValueError("TIFF: bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("TIFF: LZW code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        have_prev = True
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _undo_predictor2(raw: bytes, width: int, spp: int) -> bytes:
+    """Predictor=2 (horizontal differencing, TIFF 6.0 §14): rows store
+    per-channel deltas; integrate along the row modulo 256."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    rows = len(arr) // (width * spp)
+    if rows * width * spp != len(arr):
+        raise ValueError("TIFF: predictor data not row-aligned")
+    a = arr.reshape(rows, width, spp).astype(np.int64)
+    return (a.cumsum(axis=1) % 256).astype(np.uint8).tobytes()
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Baseline TIFF 6.0 decode: uncompressed (Compression=1) 8-bit
-    grayscale (PhotometricInterpretation 0/1) or RGB (2), strip layout,
-    first IFD only — the uncompressed-scanner subset of the reference's
-    ``.tiff`` glob (ocr2.py:569). LZW/JPEG-compressed TIFFs raise
-    ValueError (quarantine path). Returns (h, w) or (h, w, 3) uint8."""
+    """TIFF 6.0 decode: 8-bit grayscale (PhotometricInterpretation 0/1) or
+    RGB (2), strip layout, first IFD only — the scanner subset of the
+    reference's ``.tiff`` glob (ocr2.py:569). Compressions: none (1), LZW
+    (5, early-change per the spec's sample code), Deflate (8 / legacy
+    32946), PackBits (32773); Predictor 2 (horizontal differencing)
+    honored. JPEG-in-TIFF, G3/G4 fax, and tiled layouts raise ValueError
+    (quarantine/cv2-seam path). Returns (h, w) or (h, w, 3) uint8."""
     if data[:4] == _TIFF_II:
         en = "<"
     elif data[:4] == _TIFF_MM:
@@ -625,11 +715,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
     width = values(256)[0]
     height = values(257)[0]
+    if 322 in tags or 324 in tags:  # TileWidth / TileOffsets
+        raise ValueError("TIFF: tiled layout unsupported")
     compression = values(259, [1])[0]
-    if compression != 1:
-        raise ValueError(
-            f"TIFF: compression {compression} unsupported (uncompressed only)"
-        )
+    if compression not in (1, 5, 8, 32946, 32773):
+        raise ValueError(f"TIFF: compression {compression} unsupported")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: predictor {predictor} unsupported")
     photometric = values(262, [1])[0]
     spp = values(277, [1])[0]
     bps = values(258, [8] * spp)
@@ -647,7 +740,21 @@ def tiff_decode(data: bytes) -> np.ndarray:
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(data):
             raise ValueError("TIFF: strip out of bounds")
-        buf += data[off:off + cnt]
+        chunk = data[off:off + cnt]
+        if compression == 1:
+            dec = bytes(chunk)
+        elif compression == 32773:
+            dec = _packbits_decode(chunk)
+        elif compression == 5:
+            dec = _lzw_decode(chunk)
+        else:  # 8 / 32946: zlib-wrapped Deflate
+            try:
+                dec = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF: bad deflate strip: {exc}") from None
+        if predictor == 2:
+            dec = _undo_predictor2(dec, width, spp)
+        buf += dec
     need = width * height * spp
     if len(buf) < need:
         raise ValueError("TIFF: pixel data short")
@@ -660,18 +767,107 @@ def tiff_decode(data: bytes) -> np.ndarray:
     return arr.reshape(height, width, 3)
 
 
-def tiff_encode(img: np.ndarray) -> bytes:
+def _packbits_encode(raw: bytes) -> bytes:
+    """PackBits run-length encode (TIFF 6.0 §9 writer convention)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        j = i
+        while j + 1 < n and raw[j + 1] == raw[i] and j - i < 127:
+            j += 1
+        runlen = j - i + 1
+        if runlen >= 2:
+            out += bytes([257 - runlen, raw[i]])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and raw[k] == raw[k + 1] == raw[k + 2]:
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + raw[i:k]
+            i = k
+    return bytes(out)
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF LZW encode, width schedule symmetric with ``_lzw_decode``
+    (early change; Clear emitted at table code 4094 like libtiff)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    emit(256)  # Clear
+    d = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for ch in raw:
+        wk = w + bytes([ch])
+        if wk in d:
+            w = wk
+            continue
+        emit(d[w])
+        d[wk] = next_code
+        next_code += 1
+        if next_code - 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([ch])
+        if next_code >= 4094:
+            emit(256)
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(d[w])
+    emit(257)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+_TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def tiff_encode(
+    img: np.ndarray, compression: str = "none", predictor: bool = False,
+) -> bytes:
     """Minimal single-strip little-endian TIFF writer for (h, w) gray or
     (h, w, 3) RGB uint8 — the decode tests' fixture source and a valid
-    file for any standard reader."""
+    file for any standard reader. ``compression`` ∈ none/lzw/deflate/
+    packbits; ``predictor`` applies horizontal differencing (tag 317=2)
+    before compression."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("tiff_encode expects uint8 (h,w) or (h,w,3)")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError("tiff_encode RGB needs 3 channels")
+    if compression not in _TIFF_COMPRESSIONS:
+        raise ValueError(f"tiff_encode: unknown compression {compression!r}")
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else 3
     photometric = 1 if spp == 1 else 2
-    pixels = img.tobytes()
+    raw = img.tobytes()
+    if predictor:
+        a = img.reshape(h, w, spp).astype(np.int64)
+        diff = a.copy()
+        diff[:, 1:, :] -= a[:, :-1, :]
+        raw = (diff % 256).astype(np.uint8).tobytes()
+    if compression == "none":
+        pixels = raw
+    elif compression == "packbits":
+        pixels = _packbits_encode(raw)
+    elif compression == "lzw":
+        pixels = _lzw_encode(raw)
+    else:
+        pixels = zlib.compress(raw, 6)
     # layout: header(8) + pixel data + IFD
     pix_off = 8
     ifd_off = pix_off + len(pixels)
@@ -686,14 +882,15 @@ def tiff_encode(img: np.ndarray) -> bytes:
     def long_(v):
         return struct.pack("<I", v)
 
-    bps_value = ifd_off + 2 + 12 * 11 + 4  # after entry table + next-IFD ptr
+    n_entries = 11 + (1 if predictor else 0)
+    bps_value = ifd_off + 2 + 12 * n_entries + 4  # after table + next-IFD ptr
     entry(256, 3, 1, short(w))
     entry(257, 3, 1, short(h))
     if spp == 1:
         entry(258, 3, 1, short(8))
     else:
         entry(258, 3, 3, long_(bps_value))
-    entry(259, 3, 1, short(1))           # uncompressed
+    entry(259, 3, 1, short(_TIFF_COMPRESSIONS[compression]))
     entry(262, 3, 1, short(photometric))
     entry(273, 4, 1, long_(pix_off))     # one strip
     entry(277, 3, 1, short(spp))
@@ -701,6 +898,10 @@ def tiff_encode(img: np.ndarray) -> bytes:
     entry(279, 4, 1, long_(len(pixels)))
     entry(282, 3, 1, short(72))          # XResolution (required-ish; SHORT ok)
     entry(283, 3, 1, short(72))
+    if predictor:
+        entry(317, 3, 1, short(2))
+    assert len(entries) == n_entries
+    # IFD entries must be sorted by tag (TIFF 6.0 requirement)
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00\x00\x00\x00"
     tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""
     return b"II*\x00" + struct.pack("<I", ifd_off) + pixels + ifd + tail

@@ -96,11 +96,13 @@ def decode_image(data: bytes) -> np.ndarray:
     * JPEG — baseline sequential AND progressive decoder (extract/jpeg.py:
       T.81 Huffman + exact float IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
       §G.2 successive approximation / spectral selection);
-    * TIFF — uncompressed 8-bit strip decode (extract/raster.py);
-    * anything else (WebP, compressed TIFF, arithmetic JPEG, ...) — cv2
-      when importable, else a loud NotImplementedError (the standard
-      public ``cv2.imdecode`` recipe below runs under the same contract
-      test where cv2 IS installed).
+    * TIFF — 8-bit strip decode across the scanner-corpus compressions:
+      none, LZW (early-change width schedule), Deflate (8/32946),
+      PackBits, with Predictor 2 (extract/raster.py);
+    * anything else (WebP, JPEG-in-TIFF, G3/G4 fax, tiled TIFF,
+      arithmetic JPEG, ...) — cv2 when importable, else a loud
+      NotImplementedError (the standard public ``cv2.imdecode`` recipe
+      below runs under the same contract test where cv2 IS installed).
     """
     if data[:7] == b"FAKEIMG":
         return _decode_fake_image(data)
@@ -141,8 +143,9 @@ def decode_image(data: bytes) -> np.ndarray:
     except ImportError:
         raise NotImplementedError(
             "cv2/PIL are not installed in this container; in-engine codecs "
-            "cover PNG, baseline JPEG, uncompressed TIFF, and the "
-            "deterministic FAKEIMG test format"
+            "cover PNG, baseline+progressive JPEG, strip TIFF "
+            "(none/LZW/Deflate/PackBits), and the deterministic FAKEIMG "
+            "test format"
         ) from None
     img = cv2.imdecode(  # pragma: no cover - cv2 absent in sandbox
         np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_GRAYSCALE

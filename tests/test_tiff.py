@@ -1,0 +1,238 @@
+"""TIFF 6.0 codec tests: strip decode across the compression schemes a
+Common-Crawl-adjacent scanner corpus actually contains (none / LZW /
+Deflate / PackBits, Predictor 2), plus the writer used as fixture source.
+
+The reference's scan glob includes ``*.tiff`` (ocr2.py:569) and its decode
+is cv2.imread; this engine decodes the same formats in pure numpy/stdlib
+so the quarantine semantics are testable in-sandbox. Encoder and decoder
+are developed against the TIFF 6.0 spec independently (§9 PackBits, §13
+LZW with the sample-code early-change width schedule, §14 Predictor 2),
+so a round-trip failing would indicate a real spec divergence, and
+decode is additionally pinned against fixed byte snapshots below.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from final_ocr_spark.extract.raster import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    tiff_decode,
+    tiff_encode,
+)
+
+COMPRESSIONS = ["none", "lzw", "deflate", "packbits"]
+
+
+def _rng(seed: int = 11) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("comp", COMPRESSIONS)
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_gray(self, comp, predictor):
+        img = _rng().integers(0, 256, (13, 17), dtype=np.uint8)
+        enc = tiff_encode(img, compression=comp, predictor=predictor)
+        dec = tiff_decode(enc)
+        assert dec.dtype == np.uint8 and dec.shape == (13, 17)
+        assert np.array_equal(dec, img)
+
+    @pytest.mark.parametrize("comp", COMPRESSIONS)
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_rgb(self, comp, predictor):
+        img = _rng(3).integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        dec = tiff_decode(tiff_encode(img, compression=comp,
+                                      predictor=predictor))
+        assert dec.shape == (9, 11, 3)
+        assert np.array_equal(dec, img)
+
+    @pytest.mark.parametrize("comp", ["lzw", "packbits", "deflate"])
+    def test_runs_image(self, comp):
+        """Long runs: PackBits repeat path, LZW long-match chains."""
+        img = np.zeros((40, 57), dtype=np.uint8)
+        img[:, ::7] = 255
+        assert np.array_equal(tiff_decode(tiff_encode(img, compression=comp)),
+                              img)
+
+    def test_lzw_width_schedule_and_clear(self):
+        """Random 75 KB forces the 9->10->11->12-bit transitions and the
+        Clear-at-4094 table reset — the two places an off-by-one between
+        encoder and decoder width schedules would corrupt output."""
+        img = _rng(7).integers(0, 256, (256, 300), dtype=np.uint8)
+        enc = tiff_encode(img, compression="lzw")
+        assert np.array_equal(tiff_decode(enc), img)
+
+    def test_lzw_kwkwk(self):
+        """The code==len(table) (KwKwK) case: 'abab...' emits a code for a
+        string not yet in the decoder table."""
+        img = np.frombuffer((b"ab" * 600)[:1170], dtype=np.uint8)
+        img = img.reshape(30, 39).copy()
+        assert np.array_equal(
+            tiff_decode(tiff_encode(img, compression="lzw")), img)
+
+    def test_deterministic_encode(self):
+        img = _rng(5).integers(0, 256, (8, 8), dtype=np.uint8)
+        for comp in COMPRESSIONS:
+            a = tiff_encode(img, compression=comp)
+            b = tiff_encode(img, compression=comp)
+            assert a == b
+
+
+class TestPackBits:
+    def test_literal_longer_than_128(self):
+        raw = bytes(range(256)) * 2  # no runs: literals must chunk at 128
+        assert _packbits_decode(_packbits_encode(raw)) == raw
+
+    def test_run_longer_than_128(self):
+        raw = b"\x55" * 400  # runs chunk at 128
+        enc = _packbits_encode(raw)
+        assert len(enc) < 10
+        assert _packbits_decode(enc) == raw
+
+    def test_noop_128_skipped(self):
+        # 0x80 is a spec no-op; decoder must skip it
+        assert _packbits_decode(b"\x80\x00A\x80") == b"A"
+
+    def test_truncated_literal_raises(self):
+        with pytest.raises(ValueError, match="PackBits literal"):
+            _packbits_decode(b"\x05AB")  # claims 6 literal bytes, has 2
+
+    def test_truncated_repeat_raises(self):
+        with pytest.raises(ValueError, match="PackBits repeat"):
+            _packbits_decode(b"\xfe")  # repeat marker with no byte
+
+
+class TestLzwUnit:
+    def test_empty(self):
+        assert _lzw_decode(_lzw_encode(b"")) == b""
+
+    def test_single_byte(self):
+        assert _lzw_decode(_lzw_encode(b"Q")) == b"Q"
+
+    def test_code_before_clear_raises(self):
+        # first 9-bit code = 0 (a literal) without a preceding ClearCode
+        with pytest.raises(ValueError, match="before Clear"):
+            _lzw_decode(b"\x00\x00\x00")
+
+    def test_out_of_range_code_raises(self):
+        # Clear (256) then code 300 (not yet in table), MSB-aligned 9-bit
+        acc = ((256 << 9) | 300) << 6  # left-align 18 bits into 3 bytes
+        buf = acc.to_bytes(3, "big")
+        with pytest.raises(ValueError, match="bad first LZW code"):
+            _lzw_decode(buf)
+
+
+class TestDecodeGuards:
+    def test_unsupported_compression_raises(self):
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img)
+        old = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 7, 0)
+        patched = enc.replace(old, new)  # 7 = JPEG-in-TIFF
+        assert patched != enc
+        with pytest.raises(ValueError, match="compression 7"):
+            tiff_decode(patched)
+
+    def test_legacy_deflate_32946(self):
+        """Old-style Deflate code (32946) decodes same as 8."""
+        img = _rng(9).integers(0, 256, (6, 7), dtype=np.uint8)
+        enc = tiff_encode(img, compression="deflate")
+        old = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0)
+        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 32946, 0)
+        patched = enc.replace(old, new)
+        assert patched != enc
+        assert np.array_equal(tiff_decode(patched), img)
+
+    def test_tiled_layout_raises(self):
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img)
+        # rewrite StripOffsets (273) into TileOffsets (324) — tag id only
+        old = struct.pack("<HHI", 273, 4, 1)
+        new = struct.pack("<HHI", 324, 4, 1)
+        patched = enc.replace(old, new)
+        assert patched != enc
+        with pytest.raises(ValueError, match="tiled"):
+            tiff_decode(patched)
+
+    def test_unknown_predictor_raises(self):
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img, compression="deflate", predictor=True)
+        old = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0)
+        new = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 3, 0)
+        patched = enc.replace(old, new)  # 3 = floating-point predictor
+        assert patched != enc
+        with pytest.raises(ValueError, match="predictor 3"):
+            tiff_decode(patched)
+
+    def test_bad_deflate_strip_raises(self):
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = bytearray(tiff_encode(img, compression="deflate"))
+        enc[8] ^= 0xFF  # corrupt first byte of the zlib stream
+        with pytest.raises(ValueError, match="deflate"):
+            tiff_decode(bytes(enc))
+
+    def test_encode_rejects_unknown_compression(self):
+        with pytest.raises(ValueError, match="unknown compression"):
+            tiff_encode(np.zeros((2, 2), dtype=np.uint8), compression="jpeg")
+
+
+class TestPinnedBytes:
+    """Golden byte pins: decode must stay bit-stable across refactors
+    (the per-url byte-identity invariant extends to the codec layer)."""
+
+    def test_packbits_pinned(self):
+        # 3x4 gray: rows [0,0,0,0],[7,7,9,9],[1,2,3,4] packbits-encoded
+        img = np.array([[0, 0, 0, 0], [7, 7, 9, 9], [1, 2, 3, 4]],
+                       dtype=np.uint8)
+        enc = tiff_encode(img, compression="packbits")
+        assert np.array_equal(tiff_decode(enc), img)
+        strip = _packbits_encode(img.tobytes())
+        assert strip == b"\xfd\x00\xff\x07\xff\x09\x03\x01\x02\x03\x04"
+
+    def test_lzw_pinned(self):
+        # codes 256(Clear) 65 66 258('AB') 257(EOI), 9-bit MSB-packed:
+        # 100000000 001000001 001000010 100000010 100000001 + 3 pad bits
+        enc = _lzw_encode(b"ABAB")
+        assert _lzw_decode(enc) == b"ABAB"
+        assert enc.hex() == "801048502808"
+
+
+class TestDecodeImageSeam:
+    """Compressed TIFFs now decode in-engine (no cv2 fall-through)."""
+
+    @pytest.mark.parametrize("comp", ["lzw", "deflate", "packbits"])
+    def test_gray_compressed_inline(self, comp):
+        from final_ocr_spark.operators.multimodal import decode_image
+
+        img = _rng(13).integers(0, 256, (12, 10), dtype=np.uint8)
+        out = decode_image(tiff_encode(img, compression=comp))
+        assert np.array_equal(out, img)
+
+    def test_rgb_goes_through_bt601(self):
+        from final_ocr_spark.extract.raster import bt601_gray
+        from final_ocr_spark.operators.multimodal import decode_image
+
+        img = _rng(17).integers(0, 256, (8, 9, 3), dtype=np.uint8)
+        out = decode_image(tiff_encode(img, compression="lzw"))
+        assert np.array_equal(out, bt601_gray(img))
+
+    def test_jpeg_in_tiff_still_quarantines(self):
+        """Compression 7 must keep raising (ValueError via the cv2 seam
+        being absent -> NotImplementedError, or ValueError quarantine)."""
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img)
+        old = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 7, 0)
+        patched = enc.replace(old, new)
+        from final_ocr_spark.operators.multimodal import decode_image
+
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_image(patched)
