@@ -50,6 +50,17 @@ def _codecs():
         ("stdlib-png", _stdlib_png_encode,
          lambda arr: _stdlib_png_encode(arr)[:40]),  # truncated mid-IDAT
     ]
+    # Compressed TIFF paths (lossless, so the full C1-C5 contract applies;
+    # JPEG is deliberately absent — lossy, C3 cannot hold)
+    from final_ocr_spark.extract.raster import tiff_encode
+
+    for comp in ("lzw", "deflate", "packbits"):
+        cases.append((
+            f"stdlib-tiff-{comp}",
+            lambda arr, c=comp: tiff_encode(arr, compression=c),
+            # cut before the IFD: offsets point past the payload
+            lambda arr, c=comp: tiff_encode(arr, compression=c)[:30],
+        ))
     try:  # pragma: no cover - cv2 absent in sandbox, present on a cluster
         import cv2
 
