@@ -575,8 +575,10 @@ _TIFF_II = b"II*\x00"
 _TIFF_MM = b"MM\x00*"
 
 
-def _packbits_decode(buf: bytes) -> bytes:
-    """Apple PackBits run-length decode (TIFF 6.0 §9)."""
+def _packbits_decode(buf: bytes, max_out: int | None = None) -> bytes:
+    """Apple PackBits run-length decode (TIFF 6.0 §9). ``max_out`` bounds
+    the decoded size (decompression-bomb guard for untrusted crawl bytes —
+    output must never exceed what the image header promises)."""
     out = bytearray()
     i = 0
     n = len(buf)
@@ -595,14 +597,17 @@ def _packbits_decode(buf: bytes) -> bytes:
             out += bytes([buf[i]]) * (257 - b)
             i += 1
         # b == 128: no-op
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("TIFF: PackBits strip exceeds image size")
     return bytes(out)
 
 
-def _lzw_decode(buf: bytes) -> bytes:
+def _lzw_decode(buf: bytes, max_out: int | None = None) -> bytes:
     """TIFF 6.0 §13 LZW decode: MSB-first variable-width codes starting at
     9 bits, ClearCode 256 / EOI 257, and the spec's sample-code width
     schedule — codes widen when the table reaches 2^width − 1 entries (the
-    'early change' every mainstream writer, libtiff included, uses)."""
+    'early change' every mainstream writer, libtiff included, uses).
+    ``max_out`` bounds the decoded size (decompression-bomb guard)."""
     out = bytearray()
     acc = 0
     accbits = 0
@@ -646,6 +651,8 @@ def _lzw_decode(buf: bytes) -> bytes:
                 raise ValueError("TIFF: LZW code out of range")
             table.append(prev + entry[:1])
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("TIFF: LZW strip exceeds image size")
         prev = entry
         have_prev = True
         if len(table) >= (1 << width) - 1 and width < 12:
@@ -736,6 +743,13 @@ def tiff_decode(data: bytes) -> np.ndarray:
     counts = values(279)
     if len(offsets) != len(counts):
         raise ValueError("TIFF: strip offsets/counts mismatch")
+    # Per-strip decoded-size bound: rows-per-strip (tag 278; writers may
+    # use 2^32-1 for "one strip") worth of rows, so a crafted tiny strip
+    # cannot expand past the image the header promises (untrusted crawl
+    # bytes decode inside executor workers — bombs must raise, not OOM).
+    rows_per_strip = min(values(278, [height])[0], height)
+    strip_max = rows_per_strip * width * spp
+    need = width * height * spp
     buf = bytearray()
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(data):
@@ -743,19 +757,25 @@ def tiff_decode(data: bytes) -> np.ndarray:
         chunk = data[off:off + cnt]
         if compression == 1:
             dec = bytes(chunk)
+            if len(dec) > strip_max:
+                dec = dec[:strip_max]  # tolerated: padded final strip
         elif compression == 32773:
-            dec = _packbits_decode(chunk)
+            dec = _packbits_decode(chunk, max_out=strip_max)
         elif compression == 5:
-            dec = _lzw_decode(chunk)
-        else:  # 8 / 32946: zlib-wrapped Deflate
+            dec = _lzw_decode(chunk, max_out=strip_max)
+        else:  # 8 / 32946: zlib-wrapped Deflate, bounded decompress
+            d = zlib.decompressobj()
             try:
-                dec = zlib.decompress(chunk)
+                dec = d.decompress(chunk, strip_max)
             except zlib.error as exc:
                 raise ValueError(f"TIFF: bad deflate strip: {exc}") from None
+            if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+                raise ValueError("TIFF: deflate strip exceeds image size")
         if predictor == 2:
             dec = _undo_predictor2(dec, width, spp)
         buf += dec
-    need = width * height * spp
+        if len(buf) > need + strip_max:
+            raise ValueError("TIFF: pixel data overlong")
     if len(buf) < need:
         raise ValueError("TIFF: pixel data short")
     arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)

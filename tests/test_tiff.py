@@ -184,6 +184,55 @@ class TestDecodeGuards:
             tiff_encode(np.zeros((2, 2), dtype=np.uint8), compression="jpeg")
 
 
+def _handmade_tiff(comp_code: int, payload: bytes, w: int = 4,
+                   h: int = 4) -> bytes:
+    """Minimal gray TIFF with an arbitrary strip payload — for crafting
+    inputs tiff_encode refuses to produce (bombs, padded strips)."""
+    ifd_off = 8 + len(payload)
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count) + value)
+
+    short = lambda v: struct.pack("<HH", v, 0)  # noqa: E731
+    long_ = lambda v: struct.pack("<I", v)  # noqa: E731
+    entry(256, 3, 1, short(w))
+    entry(257, 3, 1, short(h))
+    entry(258, 3, 1, short(8))
+    entry(259, 3, 1, short(comp_code))
+    entry(262, 3, 1, short(1))
+    entry(273, 4, 1, long_(8))
+    entry(277, 3, 1, short(1))
+    entry(278, 3, 1, short(h))
+    entry(279, 4, 1, long_(len(payload)))
+    return (b"II*\x00" + struct.pack("<I", ifd_off) + payload
+            + struct.pack("<H", len(entries)) + b"".join(entries)
+            + b"\x00\x00\x00\x00")
+
+
+class TestDecompressionBombs:
+    """Crafted tiny strips must raise once output exceeds what the header
+    promises — never OOM the executor (crawled media is untrusted)."""
+
+    def test_packbits_bomb(self):
+        # 2 KB of repeat markers expanding to 128 KB for a 16-byte image
+        with pytest.raises(ValueError, match="exceeds image size"):
+            tiff_decode(_handmade_tiff(32773, b"\x81\xff" * 1000))
+
+    def test_deflate_bomb(self):
+        with pytest.raises(ValueError, match="exceeds image size"):
+            tiff_decode(_handmade_tiff(8, zlib.compress(b"\x00" * (1 << 20))))
+
+    def test_lzw_bomb(self):
+        with pytest.raises(ValueError, match="exceeds image size"):
+            tiff_decode(_handmade_tiff(5, _lzw_encode(b"\x00" * (1 << 20))))
+
+    def test_padded_uncompressed_final_strip_tolerated(self):
+        # sloppy writers pad the last strip; extra bytes are dropped
+        img = tiff_decode(_handmade_tiff(1, b"\x07" * 16 + b"\x00" * 16))
+        assert img.shape == (4, 4) and (img == 7).all()
+
+
 class TestPinnedBytes:
     """Golden byte pins: decode must stay bit-stable across refactors
     (the per-url byte-identity invariant extends to the codec layer)."""
