@@ -670,14 +670,18 @@ def _undo_predictor2(raw: bytes, width: int, spp: int) -> bytes:
     return (a.cumsum(axis=1) % 256).astype(np.uint8).tobytes()
 
 
+_TIFF_MAX_PIXELS = 1 << 26  # 67 MP — past any sane scan (600dpi A4 ≈ 35 MP)
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
     """TIFF 6.0 decode: 8-bit grayscale (PhotometricInterpretation 0/1) or
-    RGB (2), strip layout, first IFD only — the scanner subset of the
-    reference's ``.tiff`` glob (ocr2.py:569). Compressions: none (1), LZW
-    (5, early-change per the spec's sample code), Deflate (8 / legacy
-    32946), PackBits (32773); Predictor 2 (horizontal differencing)
-    honored. JPEG-in-TIFF, G3/G4 fax, and tiled layouts raise ValueError
-    (quarantine/cv2-seam path). Returns (h, w) or (h, w, 3) uint8."""
+    RGB (2), strip OR tile layout (§15), first IFD only — the scanner
+    subset of the reference's ``.tiff`` glob (ocr2.py:569). Compressions:
+    none (1), LZW (5, early-change per the spec's sample code), Deflate
+    (8 / legacy 32946), PackBits (32773); Predictor 2 (horizontal
+    differencing) honored in both layouts. JPEG-in-TIFF, G3/G4 fax, and
+    planar (PlanarConfiguration=2) files raise ValueError (quarantine/
+    cv2-seam path). Returns (h, w) or (h, w, 3) uint8."""
     if data[:4] == _TIFF_II:
         en = "<"
     elif data[:4] == _TIFF_MM:
@@ -722,14 +726,16 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
     width = values(256)[0]
     height = values(257)[0]
-    if 322 in tags or 324 in tags:  # TileWidth / TileOffsets
-        raise ValueError("TIFF: tiled layout unsupported")
+    if width * height > _TIFF_MAX_PIXELS:
+        raise ValueError("TIFF: image dimensions exceed decode cap")
     compression = values(259, [1])[0]
     if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
     predictor = values(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} unsupported")
+    if values(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
+        raise ValueError("TIFF: planar configuration unsupported")
     photometric = values(262, [1])[0]
     spp = values(277, [1])[0]
     bps = values(258, [8] * spp)
@@ -739,46 +745,80 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError(
             f"TIFF: photometric {photometric}/spp {spp} unsupported"
         )
-    offsets = values(273)
-    counts = values(279)
-    if len(offsets) != len(counts):
-        raise ValueError("TIFF: strip offsets/counts mismatch")
-    # Per-strip decoded-size bound: rows-per-strip (tag 278; writers may
-    # use 2^32-1 for "one strip") worth of rows, so a crafted tiny strip
-    # cannot expand past the image the header promises (untrusted crawl
-    # bytes decode inside executor workers — bombs must raise, not OOM).
-    rows_per_strip = min(values(278, [height])[0], height)
-    strip_max = rows_per_strip * width * spp
-    need = width * height * spp
-    buf = bytearray()
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(data):
-            raise ValueError("TIFF: strip out of bounds")
-        chunk = data[off:off + cnt]
+
+    def decompress(chunk: bytes, max_out: int) -> bytes:
+        """One strip/tile — decoded size hard-bounded so a crafted chunk
+        cannot expand past what the header promises (untrusted crawl
+        bytes decode inside executor workers — bombs must raise, not OOM)."""
         if compression == 1:
-            dec = bytes(chunk)
-            if len(dec) > strip_max:
-                dec = dec[:strip_max]  # tolerated: padded final strip
-        elif compression == 32773:
-            dec = _packbits_decode(chunk, max_out=strip_max)
-        elif compression == 5:
-            dec = _lzw_decode(chunk, max_out=strip_max)
-        else:  # 8 / 32946: zlib-wrapped Deflate, bounded decompress
-            d = zlib.decompressobj()
-            try:
-                dec = d.decompress(chunk, strip_max)
-            except zlib.error as exc:
-                raise ValueError(f"TIFF: bad deflate strip: {exc}") from None
-            if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
-                raise ValueError("TIFF: deflate strip exceeds image size")
-        if predictor == 2:
-            dec = _undo_predictor2(dec, width, spp)
-        buf += dec
-        if len(buf) > need + strip_max:
-            raise ValueError("TIFF: pixel data overlong")
-    if len(buf) < need:
-        raise ValueError("TIFF: pixel data short")
-    arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+            # tolerated: padded final strip from sloppy writers
+            return bytes(chunk[:max_out])
+        if compression == 32773:
+            return _packbits_decode(chunk, max_out=max_out)
+        if compression == 5:
+            return _lzw_decode(chunk, max_out=max_out)
+        d = zlib.decompressobj()  # 8 / 32946: zlib-wrapped Deflate
+        try:
+            dec = d.decompress(chunk, max_out)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF: bad deflate strip: {exc}") from None
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+            raise ValueError("TIFF: deflate strip exceeds image size")
+        return dec
+
+    need = width * height * spp
+
+    if 322 in tags or 324 in tags:  # tile layout (TIFF 6.0 §15)
+        tile_w = values(322)[0]
+        tile_h = values(323)[0]
+        if tile_w <= 0 or tile_h <= 0:
+            raise ValueError("TIFF: bad tile dimensions")
+        offsets = values(324)
+        counts = values(325)
+        across = -(-width // tile_w)
+        down = -(-height // tile_h)
+        if len(offsets) != len(counts) or len(offsets) != across * down:
+            raise ValueError("TIFF: tile count mismatch")
+        tile_bytes = tile_w * tile_h * spp
+        img = np.zeros((height, width, spp), dtype=np.uint8)
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError("TIFF: tile out of bounds")
+            dec = decompress(data[off:off + cnt], tile_bytes)
+            if predictor == 2:
+                dec = _undo_predictor2(dec, tile_w, spp)
+            if len(dec) < tile_bytes:
+                raise ValueError("TIFF: tile data short")
+            tile = np.frombuffer(dec, dtype=np.uint8).reshape(
+                tile_h, tile_w, spp)
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * tile_h, tx * tile_w
+            y1, x1 = min(y0 + tile_h, height), min(x0 + tile_w, width)
+            img[y0:y1, x0:x1] = tile[: y1 - y0, : x1 - x0]
+        arr = img.reshape(-1)
+    else:  # strip layout
+        offsets = values(273)
+        counts = values(279)
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF: strip offsets/counts mismatch")
+        # Per-strip bound: rows-per-strip (tag 278; writers may use
+        # 2^32-1 for "one strip") worth of rows.
+        rows_per_strip = min(values(278, [height])[0], height)
+        strip_max = rows_per_strip * width * spp
+        buf = bytearray()
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(data):
+                raise ValueError("TIFF: strip out of bounds")
+            dec = decompress(data[off:off + cnt], strip_max)
+            if predictor == 2:
+                dec = _undo_predictor2(dec, width, spp)
+            buf += dec
+            if len(buf) > need + strip_max:
+                raise ValueError("TIFF: pixel data overlong")
+        if len(buf) < need:
+            raise ValueError("TIFF: pixel data short")
+        arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+
     if spp == 1:
         img = arr.reshape(height, width)
         if photometric == 0:  # WhiteIsZero: invert to the usual polarity
@@ -857,6 +897,26 @@ def _lzw_encode(raw: bytes) -> bytes:
 _TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
+def _tiff_compress(raw: bytes, compression: str) -> bytes:
+    if compression == "none":
+        return raw
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    return zlib.compress(raw, 6)
+
+
+def _tiff_predict2(img: np.ndarray) -> bytes:
+    """Forward Predictor-2 (horizontal differencing) for the writer."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    a = img.reshape(h, w, spp).astype(np.int64)
+    diff = a.copy()
+    diff[:, 1:, :] -= a[:, :-1, :]
+    return (diff % 256).astype(np.uint8).tobytes()
+
+
 def tiff_encode(
     img: np.ndarray, compression: str = "none", predictor: bool = False,
 ) -> bytes:
@@ -874,20 +934,8 @@ def tiff_encode(
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else 3
     photometric = 1 if spp == 1 else 2
-    raw = img.tobytes()
-    if predictor:
-        a = img.reshape(h, w, spp).astype(np.int64)
-        diff = a.copy()
-        diff[:, 1:, :] -= a[:, :-1, :]
-        raw = (diff % 256).astype(np.uint8).tobytes()
-    if compression == "none":
-        pixels = raw
-    elif compression == "packbits":
-        pixels = _packbits_encode(raw)
-    elif compression == "lzw":
-        pixels = _lzw_encode(raw)
-    else:
-        pixels = zlib.compress(raw, 6)
+    raw = _tiff_predict2(img) if predictor else img.tobytes()
+    pixels = _tiff_compress(raw, compression)
     # layout: header(8) + pixel data + IFD
     pix_off = 8
     ifd_off = pix_off + len(pixels)
@@ -925,3 +973,95 @@ def tiff_encode(
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + b"\x00\x00\x00\x00"
     tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""
     return b"II*\x00" + struct.pack("<I", ifd_off) + pixels + ifd + tail
+
+
+def tiff_encode_tiled(
+    img: np.ndarray,
+    tile: tuple[int, int] = (16, 16),
+    compression: str = "none",
+    predictor: bool = False,
+) -> bytes:
+    """Tiled-layout TIFF writer (TIFF 6.0 §15) for (h, w) gray or
+    (h, w, 3) RGB uint8 — the tiled-decode tests' fixture source. Edge
+    tiles are zero-padded to full tile size per the spec; each tile is
+    compressed independently."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("tiff_encode_tiled expects uint8 (h,w) or (h,w,3)")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("tiff_encode_tiled RGB needs 3 channels")
+    if compression not in _TIFF_COMPRESSIONS:
+        raise ValueError(
+            f"tiff_encode_tiled: unknown compression {compression!r}")
+    tw, th = tile
+    if tw <= 0 or th <= 0:
+        raise ValueError("tiff_encode_tiled: bad tile size")
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else 3
+    photometric = 1 if spp == 1 else 2
+    full = img.reshape(h, w, spp)
+    across = -(-w // tw)
+    down = -(-h // th)
+    tiles: list[bytes] = []
+    for ty in range(down):
+        for tx in range(across):
+            pad = np.zeros((th, tw, spp), dtype=np.uint8)
+            y0, x0 = ty * th, tx * tw
+            y1, x1 = min(y0 + th, h), min(x0 + tw, w)
+            pad[: y1 - y0, : x1 - x0] = full[y0:y1, x0:x1]
+            raw = _tiff_predict2(pad) if predictor else pad.tobytes()
+            tiles.append(_tiff_compress(raw, compression))
+
+    n = len(tiles)
+    pix = b"".join(tiles)
+    offs: list[int] = []
+    pos = 8
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    # external value arrays for 324/325 when n > 1 (4-byte slot otherwise)
+    ext_324 = 8 + len(pix)
+    ext_325 = ext_324 + (4 * n if n > 1 else 0)
+    ifd_off = ext_325 + (4 * n if n > 1 else 0)
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count) + value)
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    n_entries = 12 + (1 if predictor else 0)
+    bps_value = ifd_off + 2 + 12 * n_entries + 4
+    entry(256, 3, 1, short(w))
+    entry(257, 3, 1, short(h))
+    if spp == 1:
+        entry(258, 3, 1, short(8))
+    else:
+        entry(258, 3, 3, long_(bps_value))
+    entry(259, 3, 1, short(_TIFF_COMPRESSIONS[compression]))
+    entry(262, 3, 1, short(photometric))
+    entry(277, 3, 1, short(spp))
+    entry(282, 3, 1, short(72))
+    entry(283, 3, 1, short(72))
+    if predictor:
+        entry(317, 3, 1, short(2))
+    entry(322, 3, 1, short(tw))
+    entry(323, 3, 1, short(th))
+    if n == 1:
+        entry(324, 4, 1, long_(offs[0]))
+        entry(325, 4, 1, long_(len(tiles[0])))
+    else:
+        entry(324, 4, n, long_(ext_324))
+        entry(325, 4, n, long_(ext_325))
+    assert len(entries) == n_entries
+    ext = b""
+    if n > 1:
+        ext = (struct.pack(f"<{n}I", *offs)
+               + struct.pack(f"<{n}I", *(len(t) for t in tiles)))
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + b"\x00\x00\x00\x00")
+    tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pix + ext + ifd + tail

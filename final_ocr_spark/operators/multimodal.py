@@ -96,10 +96,10 @@ def decode_image(data: bytes) -> np.ndarray:
     * JPEG — baseline sequential AND progressive decoder (extract/jpeg.py:
       T.81 Huffman + exact float IDCT, 4:4:4/4:2:2/4:2:0, restart markers,
       §G.2 successive approximation / spectral selection);
-    * TIFF — 8-bit strip decode across the scanner-corpus compressions:
-      none, LZW (early-change width schedule), Deflate (8/32946),
-      PackBits, with Predictor 2 (extract/raster.py);
-    * anything else (WebP, JPEG-in-TIFF, G3/G4 fax, tiled TIFF,
+    * TIFF — 8-bit strip AND tile decode across the scanner-corpus
+      compressions: none, LZW (early-change width schedule), Deflate
+      (8/32946), PackBits, with Predictor 2 (extract/raster.py);
+    * anything else (WebP, JPEG-in-TIFF, G3/G4 fax, planar TIFF,
       arithmetic JPEG, ...) — cv2 when importable, else a loud
       NotImplementedError (the standard public ``cv2.imdecode`` recipe
       below runs under the same contract test where cv2 IS installed).

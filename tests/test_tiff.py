@@ -26,6 +26,7 @@ from final_ocr_spark.extract.raster import (
     _packbits_encode,
     tiff_decode,
     tiff_encode,
+    tiff_encode_tiled,
 )
 
 COMPRESSIONS = ["none", "lzw", "deflate", "packbits"]
@@ -151,15 +152,32 @@ class TestDecodeGuards:
         assert patched != enc
         assert np.array_equal(tiff_decode(patched), img)
 
-    def test_tiled_layout_raises(self):
-        img = np.zeros((4, 4), dtype=np.uint8)
+    def test_planar_configuration_raises(self):
+        """PlanarConfiguration=2 (separate R/G/B planes) must quarantine,
+        not decode garbled chunky data."""
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
         enc = tiff_encode(img)
-        # rewrite StripOffsets (273) into TileOffsets (324) — tag id only
-        old = struct.pack("<HHI", 273, 4, 1)
-        new = struct.pack("<HHI", 324, 4, 1)
+        # append is wrong (IFD must stay sorted); patch 277's neighbor
+        # instead: rewrite XResolution (282) into PlanarConfiguration (284)
+        old = struct.pack("<HHI", 282, 3, 1) + struct.pack("<HH", 72, 0)
+        new = struct.pack("<HHI", 284, 3, 1) + struct.pack("<HH", 2, 0)
         patched = enc.replace(old, new)
         assert patched != enc
-        with pytest.raises(ValueError, match="tiled"):
+        with pytest.raises(ValueError, match="planar"):
+            tiff_decode(patched)
+
+    def test_dimension_cap_raises(self):
+        """A lying header claiming a gigapixel image must refuse before
+        allocating the output array."""
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img)
+        old = struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 4, 0)
+        new = struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 65535, 0)
+        patched = enc.replace(old, new)
+        old = struct.pack("<HHI", 257, 3, 1) + struct.pack("<HH", 4, 0)
+        new = struct.pack("<HHI", 257, 3, 1) + struct.pack("<HH", 65535, 0)
+        patched = patched.replace(old, new)
+        with pytest.raises(ValueError, match="decode cap"):
             tiff_decode(patched)
 
     def test_unknown_predictor_raises(self):
@@ -182,6 +200,68 @@ class TestDecodeGuards:
     def test_encode_rejects_unknown_compression(self):
         with pytest.raises(ValueError, match="unknown compression"):
             tiff_encode(np.zeros((2, 2), dtype=np.uint8), compression="jpeg")
+
+
+class TestTiled:
+    """Tile layout (TIFF 6.0 §15): per-tile compression, zero-padded
+    edge tiles cropped on assembly, predictor applied at tile width."""
+
+    @pytest.mark.parametrize("comp", COMPRESSIONS)
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_gray_ragged_edges(self, comp, predictor):
+        img = _rng(21).integers(0, 256, (33, 47), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16), compression=comp,
+                                predictor=predictor)
+        assert np.array_equal(tiff_decode(enc), img)
+
+    @pytest.mark.parametrize("comp", COMPRESSIONS)
+    def test_rgb_predictor(self, comp):
+        img = _rng(23).integers(0, 256, (25, 19, 3), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16), compression=comp,
+                                predictor=True)
+        assert np.array_equal(tiff_decode(enc), img)
+
+    def test_exact_fit_tiles(self):
+        img = _rng(25).integers(0, 256, (32, 48), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16), compression="deflate")
+        assert np.array_equal(tiff_decode(enc), img)
+
+    def test_single_tile_inline_values(self):
+        # n=1: TileOffsets/ByteCounts fit the 4-byte IFD slot inline
+        img = _rng(27).integers(0, 256, (10, 12), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16), compression="lzw")
+        assert np.array_equal(tiff_decode(enc), img)
+
+    def test_tile_count_mismatch_raises(self):
+        img = _rng(29).integers(0, 256, (33, 47), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16))
+        # shrink the claimed image to one tile: count no longer matches
+        old = struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 47, 0)
+        new = struct.pack("<HHI", 256, 3, 1) + struct.pack("<HH", 16, 0)
+        patched = enc.replace(old, new)
+        assert patched != enc
+        with pytest.raises(ValueError, match="tile count"):
+            tiff_decode(patched)
+
+    def test_tile_bomb_raises(self):
+        """A tile whose decompressed size exceeds tile_w*tile_h must
+        raise, not grow without bound."""
+        img = np.zeros((16, 16), dtype=np.uint8)
+        enc = tiff_encode_tiled(img, tile=(16, 16), compression="deflate")
+        bomb = zlib.compress(b"\x00" * (1 << 20))
+        # single tile: payload sits at offset 8 with inline byte count
+        ifd_off = struct.unpack_from("<I", enc, 4)[0]
+        body = enc[ifd_off:]
+        old_payload_len = ifd_off - 8
+        old325 = struct.pack("<HHI", 325, 4, 1) + struct.pack(
+            "<I", old_payload_len)
+        new325 = struct.pack("<HHI", 325, 4, 1) + struct.pack(
+            "<I", len(bomb))
+        assert old325 in body
+        patched = (enc[:4] + struct.pack("<I", 8 + len(bomb)) + bomb
+                   + body.replace(old325, new325))
+        with pytest.raises(ValueError, match="exceeds image size"):
+            tiff_decode(patched)
 
 
 def _handmade_tiff(comp_code: int, payload: bytes, w: int = 4,
