@@ -678,10 +678,13 @@ def tiff_decode(data: bytes) -> np.ndarray:
     RGB (2), strip OR tile layout (§15), first IFD only — the scanner
     subset of the reference's ``.tiff`` glob (ocr2.py:569). Compressions:
     none (1), LZW (5, early-change per the spec's sample code), Deflate
-    (8 / legacy 32946), PackBits (32773); Predictor 2 (horizontal
-    differencing) honored in both layouts. JPEG-in-TIFF, G3/G4 fax, and
-    planar (PlanarConfiguration=2) files raise ValueError (quarantine/
-    cv2-seam path). Returns (h, w) or (h, w, 3) uint8."""
+    (8 / legacy 32946), PackBits (32773), new-style JPEG (7, per TTN2 —
+    per-strip/tile abbreviated streams spliced with the shared JPEGTables
+    tag 347 and decoded by extract/jpeg.py); Predictor 2 (horizontal
+    differencing) honored in both layouts for the lossless codecs.
+    Old-style JPEG (6), G3/G4 fax, and planar (PlanarConfiguration=2)
+    files raise ValueError (quarantine/cv2-seam path). Returns (h, w) or
+    (h, w, 3) uint8."""
     if data[:4] == _TIFF_II:
         en = "<"
     elif data[:4] == _TIFF_MM:
@@ -729,10 +732,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if width * height > _TIFF_MAX_PIXELS:
         raise ValueError("TIFF: image dimensions exceed decode cap")
     compression = values(259, [1])[0]
-    if compression not in (1, 5, 8, 32946, 32773):
+    if compression == 6:
+        # TIFF 6.0 §22 old-style JPEG: officially deprecated by TTN2, no
+        # two writers agree on it — refuse rather than guess.
+        raise ValueError("TIFF: old-style JPEG (compression 6) unsupported")
+    if compression not in (1, 5, 7, 8, 32946, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
     predictor = values(317, [1])[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2) or (compression == 7 and predictor != 1):
         raise ValueError(f"TIFF: predictor {predictor} unsupported")
     if values(284, [1])[0] != 1:  # PlanarConfiguration: chunky only
         raise ValueError("TIFF: planar configuration unsupported")
@@ -741,10 +748,70 @@ def tiff_decode(data: bytes) -> np.ndarray:
     bps = values(258, [8] * spp)
     if any(b != 8 for b in bps):
         raise ValueError(f"TIFF: bits-per-sample {bps} unsupported (8 only)")
-    if photometric not in (0, 1, 2) or spp not in (1, 3):
+    allowed_photo = (0, 1, 2, 6) if compression == 7 else (0, 1, 2)
+    if photometric not in allowed_photo or spp not in (1, 3):
         raise ValueError(
             f"TIFF: photometric {photometric}/spp {spp} unsupported"
         )
+
+    jpeg_tables: bytes | None = None
+    if compression == 7 and 347 in tags:
+        # JPEGTables (TTN2): an abbreviated SOI…tables…EOI stream whose
+        # DQT/DHT segments apply to every strip/tile stream in the file.
+        typ, count, slot = tags[347]
+        if typ != 7:  # UNDEFINED
+            raise ValueError("TIFF: JPEGTables must be type UNDEFINED")
+        toff = slot if count <= 4 else u32(slot)
+        if toff + count > len(data):
+            raise ValueError("TIFF: JPEGTables out of bounds")
+        jpeg_tables = bytes(data[toff:toff + count])
+        if (len(jpeg_tables) < 4 or jpeg_tables[:2] != b"\xff\xd8"
+                or jpeg_tables[-2:] != b"\xff\xd9"):
+            raise ValueError("TIFF: malformed JPEGTables stream")
+
+    def decode_jpeg_chunk(chunk: bytes, max_h: int, max_w: int) -> np.ndarray:
+        """One compression-7 strip/tile: splice shared JPEGTables (if any)
+        after the chunk's SOI, decode, and bound the result by the layout
+        slot the header promised (bomb guard — the JPEG stream's own SOF
+        dims could otherwise claim anything). Returns (h, w, spp) uint8."""
+        from final_ocr_spark.extract.jpeg import jpeg_decode
+
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("TIFF: JPEG strip/tile missing SOI")
+        if jpeg_tables is not None:
+            chunk = jpeg_tables[:-2] + chunk[2:]
+        # Pre-walk to the SOF and check its dims BEFORE jpeg_decode
+        # allocates plane storage — a 200-byte chunk claiming 65535×65535
+        # must raise here, not OOM an executor.
+        p = 2
+        while p + 4 <= len(chunk):
+            if chunk[p] != 0xFF:
+                break  # malformed — let jpeg_decode raise the real error
+            m = chunk[p + 1]
+            if m in (0x01,) or 0xD0 <= m <= 0xD8:
+                p += 2
+                continue
+            if m == 0xDA:
+                break
+            seglen = struct.unpack_from(">H", chunk, p + 2)[0]
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                if p + 9 > len(chunk):
+                    break
+                sh, sw = struct.unpack_from(">HH", chunk, p + 5)
+                if sh > max_h or sw > max_w:
+                    raise ValueError(
+                        "TIFF: JPEG chunk larger than its layout slot")
+                break
+            p += 2 + seglen
+        tile = jpeg_decode(bytes(chunk))
+        tspp = 1 if tile.ndim == 2 else tile.shape[2]
+        if tspp != spp:
+            raise ValueError(
+                f"TIFF: JPEG stream has {tspp} components, header says {spp}")
+        th, tw = tile.shape[:2]
+        if th > max_h or tw > max_w:
+            raise ValueError("TIFF: JPEG chunk larger than its layout slot")
+        return tile.reshape(th, tw, spp)
 
     def decompress(chunk: bytes, max_out: int) -> bytes:
         """One strip/tile — decoded size hard-bounded so a crafted chunk
@@ -784,13 +851,20 @@ def tiff_decode(data: bytes) -> np.ndarray:
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             if off + cnt > len(data):
                 raise ValueError("TIFF: tile out of bounds")
-            dec = decompress(data[off:off + cnt], tile_bytes)
-            if predictor == 2:
-                dec = _undo_predictor2(dec, tile_w, spp)
-            if len(dec) < tile_bytes:
-                raise ValueError("TIFF: tile data short")
-            tile = np.frombuffer(dec, dtype=np.uint8).reshape(
-                tile_h, tile_w, spp)
+            if compression == 7:
+                tile = decode_jpeg_chunk(data[off:off + cnt], tile_h, tile_w)
+                if tile.shape[:2] != (tile_h, tile_w):
+                    # TIFF 6.0 §15: tiles (edge tiles included) are always
+                    # encoded at full tile size
+                    raise ValueError("TIFF: JPEG tile dimensions mismatch")
+            else:
+                dec = decompress(data[off:off + cnt], tile_bytes)
+                if predictor == 2:
+                    dec = _undo_predictor2(dec, tile_w, spp)
+                if len(dec) < tile_bytes:
+                    raise ValueError("TIFF: tile data short")
+                tile = np.frombuffer(dec, dtype=np.uint8).reshape(
+                    tile_h, tile_w, spp)
             ty, tx = divmod(idx, across)
             y0, x0 = ty * tile_h, tx * tile_w
             y1, x1 = min(y0 + tile_h, height), min(x0 + tile_w, width)
@@ -804,20 +878,41 @@ def tiff_decode(data: bytes) -> np.ndarray:
         # Per-strip bound: rows-per-strip (tag 278; writers may use
         # 2^32-1 for "one strip") worth of rows.
         rows_per_strip = min(values(278, [height])[0], height)
-        strip_max = rows_per_strip * width * spp
-        buf = bytearray()
-        for off, cnt in zip(offsets, counts):
-            if off + cnt > len(data):
-                raise ValueError("TIFF: strip out of bounds")
-            dec = decompress(data[off:off + cnt], strip_max)
-            if predictor == 2:
-                dec = _undo_predictor2(dec, width, spp)
-            buf += dec
-            if len(buf) > need + strip_max:
-                raise ValueError("TIFF: pixel data overlong")
-        if len(buf) < need:
-            raise ValueError("TIFF: pixel data short")
-        arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+        if compression == 7:
+            parts: list[np.ndarray] = []
+            remaining = height
+            for off, cnt in zip(offsets, counts):
+                if off + cnt > len(data):
+                    raise ValueError("TIFF: strip out of bounds")
+                if remaining <= 0:
+                    raise ValueError("TIFF: pixel data overlong")
+                expected = min(rows_per_strip, remaining)
+                strip = decode_jpeg_chunk(
+                    data[off:off + cnt], rows_per_strip, width)
+                # sloppy writers pad the final strip to full height;
+                # tolerate >= expected and crop, like the raw-strip path
+                if strip.shape[1] != width or strip.shape[0] < expected:
+                    raise ValueError("TIFF: JPEG strip dimensions mismatch")
+                parts.append(strip[:expected])
+                remaining -= expected
+            if remaining > 0:
+                raise ValueError("TIFF: pixel data short")
+            arr = np.concatenate(parts, axis=0).reshape(-1)
+        else:
+            strip_max = rows_per_strip * width * spp
+            buf = bytearray()
+            for off, cnt in zip(offsets, counts):
+                if off + cnt > len(data):
+                    raise ValueError("TIFF: strip out of bounds")
+                dec = decompress(data[off:off + cnt], strip_max)
+                if predictor == 2:
+                    dec = _undo_predictor2(dec, width, spp)
+                buf += dec
+                if len(buf) > need + strip_max:
+                    raise ValueError("TIFF: pixel data overlong")
+            if len(buf) < need:
+                raise ValueError("TIFF: pixel data short")
+            arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
 
     if spp == 1:
         img = arr.reshape(height, width)
@@ -1061,6 +1156,162 @@ def tiff_encode_tiled(
     if n > 1:
         ext = (struct.pack(f"<{n}I", *offs)
                + struct.pack(f"<{n}I", *(len(t) for t in tiles)))
+    ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
+           + b"\x00\x00\x00\x00")
+    tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""
+    return b"II*\x00" + struct.pack("<I", ifd_off) + pix + ext + ifd + tail
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG interchange stream into ``(tables_stream,
+    abbreviated_stream)`` per TTN2: DQT/DHT segments move into an
+    SOI…tables…EOI stream (the JPEGTables tag-347 body); everything else
+    — SOF, DRI, the SOS and its entropy data — stays in the abbreviated
+    per-strip/tile stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("_jpeg_split_tables: missing SOI")
+    tabs = bytearray()
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise ValueError("_jpeg_split_tables: expected marker")
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS: entropy data through EOI stays per-chunk
+            out += stream[pos:]
+            break
+        seglen = struct.unpack_from(">H", stream, pos + 2)[0]
+        seg = stream[pos:pos + 2 + seglen]
+        if m in (0xDB, 0xC4):
+            tabs += seg
+        else:
+            out += seg
+        pos += 2 + seglen
+    return b"\xff\xd8" + bytes(tabs) + b"\xff\xd9", bytes(out)
+
+
+def tiff_encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    rows_per_strip: int | None = None,
+    shared_tables: bool = False,
+    tile: tuple[int, int] | None = None,
+) -> bytes:
+    """New-style JPEG-in-TIFF writer (compression 7, TTN2) — the decode
+    tests' fixture source and a valid file for libtiff-family readers.
+    Strip layout by default (``rows_per_strip`` rows per chunk, whole
+    image if None); ``tile=(tw, th)`` switches to tile layout with
+    zero-padded edge tiles per TIFF 6.0 §15. ``shared_tables=True``
+    moves DQT/DHT into one shared JPEGTables (tag 347) stream and writes
+    abbreviated per-chunk streams, exercising the decoder's splice path."""
+    from final_ocr_spark.extract.jpeg import jpeg_encode
+
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("tiff_encode_jpeg expects uint8 (h,w) or (h,w,3)")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("tiff_encode_jpeg RGB needs 3 channels")
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else 3
+    photometric = 1 if spp == 1 else 6  # jpeg_encode emits YCbCr for color
+
+    chunks: list[np.ndarray] = []
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiff_encode_jpeg: bad tile size")
+        full = img.reshape(h, w, spp)
+        for ty in range(-(-h // th)):
+            for tx in range(-(-w // tw)):
+                pad = np.zeros((th, tw, spp), dtype=np.uint8)
+                y0, x0 = ty * th, tx * tw
+                y1, x1 = min(y0 + th, h), min(x0 + tw, w)
+                pad[: y1 - y0, : x1 - x0] = full[y0:y1, x0:x1]
+                chunks.append(pad if spp == 3 else pad[:, :, 0])
+    else:
+        rps = h if rows_per_strip is None else int(rows_per_strip)
+        if rps <= 0:
+            raise ValueError("tiff_encode_jpeg: bad rows_per_strip")
+        chunks = [img[y0:y0 + rps] for y0 in range(0, h, rps)]
+
+    streams = [jpeg_encode(c, quality=quality) for c in chunks]
+    tables = b""
+    if shared_tables:
+        split = [_jpeg_split_tables(s) for s in streams]
+        tables = split[0][0]
+        if any(t != tables for t, _ in split):
+            # same quality → same Annex-K-scaled tables for every chunk
+            raise ValueError("tiff_encode_jpeg: chunk table streams differ")
+        streams = [s for _, s in split]
+
+    n = len(streams)
+    pix = b"".join(streams)
+    offs: list[int] = []
+    pos = 8
+    for s in streams:
+        offs.append(pos)
+        pos += len(s)
+    # external value areas, in file order: offsets[], counts[], tables, bps
+    ext = b""
+    ext_off_arr = pos
+    if n > 1:
+        ext += struct.pack(f"<{n}I", *offs)
+        pos += 4 * n
+    ext_cnt_arr = pos
+    if n > 1:
+        ext += struct.pack(f"<{n}I", *(len(s) for s in streams))
+        pos += 4 * n
+    tab_off = pos
+    ext += tables
+    pos += len(tables)
+    ifd_off = pos
+
+    entries: list[bytes] = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI", tag, typ, count) + value)
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    n_entries = (10 if tile is not None else 9) + (1 if tables else 0)
+    bps_value = ifd_off + 2 + 12 * n_entries + 4
+    entry(256, 3, 1, short(w))
+    entry(257, 3, 1, short(h))
+    if spp == 1:
+        entry(258, 3, 1, short(8))
+    else:
+        entry(258, 3, 3, long_(bps_value))
+    entry(259, 3, 1, short(7))
+    entry(262, 3, 1, short(photometric))
+    if tile is None:
+        if n == 1:
+            entry(273, 4, 1, long_(offs[0]))
+        else:
+            entry(273, 4, n, long_(ext_off_arr))
+    entry(277, 3, 1, short(spp))
+    if tile is None:
+        entry(278, 4, 1, long_(h if rows_per_strip is None
+                               else int(rows_per_strip)))
+        if n == 1:
+            entry(279, 4, 1, long_(len(streams[0])))
+        else:
+            entry(279, 4, n, long_(ext_cnt_arr))
+    else:
+        entry(322, 3, 1, short(tile[0]))
+        entry(323, 3, 1, short(tile[1]))
+        if n == 1:
+            entry(324, 4, 1, long_(offs[0]))
+            entry(325, 4, 1, long_(len(streams[0])))
+        else:
+            entry(324, 4, n, long_(ext_off_arr))
+            entry(325, 4, n, long_(ext_cnt_arr))
+    if tables:
+        entry(347, 7, len(tables), long_(tab_off))
+    assert len(entries) == n_entries
     ifd = (struct.pack("<H", len(entries)) + b"".join(entries)
            + b"\x00\x00\x00\x00")
     tail = struct.pack("<HHH", 8, 8, 8) if spp == 3 else b""

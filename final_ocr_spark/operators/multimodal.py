@@ -98,9 +98,10 @@ def decode_image(data: bytes) -> np.ndarray:
       §G.2 successive approximation / spectral selection);
     * TIFF — 8-bit strip AND tile decode across the scanner-corpus
       compressions: none, LZW (early-change width schedule), Deflate
-      (8/32946), PackBits, with Predictor 2 (extract/raster.py);
-    * anything else (WebP, JPEG-in-TIFF, G3/G4 fax, planar TIFF,
-      arithmetic JPEG, ...) — cv2 when importable, else a loud
+      (8/32946), PackBits, with Predictor 2, plus new-style JPEG-in-TIFF
+      (compression 7 with shared JPEGTables splice) (extract/raster.py);
+    * anything else (WebP, old-style JPEG-in-TIFF, G3/G4 fax, planar
+      TIFF, arithmetic JPEG, ...) — cv2 when importable, else a loud
       NotImplementedError (the standard public ``cv2.imdecode`` recipe
       below runs under the same contract test where cv2 IS installed).
     """
@@ -143,9 +144,9 @@ def decode_image(data: bytes) -> np.ndarray:
     except ImportError:
         raise NotImplementedError(
             "cv2/PIL are not installed in this container; in-engine codecs "
-            "cover PNG, baseline+progressive JPEG, strip TIFF "
-            "(none/LZW/Deflate/PackBits), and the deterministic FAKEIMG "
-            "test format"
+            "cover PNG, baseline+progressive JPEG, strip/tiled TIFF "
+            "(none/LZW/Deflate/PackBits/new-style JPEG), and the "
+            "deterministic FAKEIMG test format"
         ) from None
     img = cv2.imdecode(  # pragma: no cover - cv2 absent in sandbox
         np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_GRAYSCALE

@@ -136,10 +136,21 @@ class TestDecodeGuards:
         img = np.zeros((4, 4), dtype=np.uint8)
         enc = tiff_encode(img)
         old = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
-        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 7, 0)
-        patched = enc.replace(old, new)  # 7 = JPEG-in-TIFF
+        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 4, 0)
+        patched = enc.replace(old, new)  # 4 = G4 fax
         assert patched != enc
-        with pytest.raises(ValueError, match="compression 7"):
+        with pytest.raises(ValueError, match="compression 4"):
+            tiff_decode(patched)
+
+    def test_jpeg_compression_with_raw_payload_raises(self):
+        # compression 7 is supported now, but the strip must be a JPEG
+        img = np.zeros((4, 4), dtype=np.uint8)
+        enc = tiff_encode(img)
+        old = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 1, 0)
+        new = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 7, 0)
+        patched = enc.replace(old, new)
+        assert patched != enc
+        with pytest.raises(ValueError, match="SOI"):
             tiff_decode(patched)
 
     def test_legacy_deflate_32946(self):
@@ -365,3 +376,109 @@ class TestDecodeImageSeam:
 
         with pytest.raises((ValueError, NotImplementedError)):
             decode_image(patched)
+
+
+class TestJpegInTiff:
+    """New-style JPEG-in-TIFF (compression 7, TTN2): per-strip/tile JPEG
+    streams, optional shared JPEGTables (tag 347) splice. Expected pixels
+    are rebuilt independently per chunk via jpeg_encode→jpeg_decode (the
+    codec is lossy, so equality is against the JPEG round-trip of each
+    band, not the source image)."""
+
+    @staticmethod
+    def _strip_expected(img, rps, quality=90):
+        from final_ocr_spark.extract.jpeg import jpeg_decode, jpeg_encode
+
+        h = img.shape[0]
+        bands = [img[y0:y0 + rps] for y0 in range(0, h, rps)]
+        dec = [jpeg_decode(jpeg_encode(b, quality=quality)) for b in bands]
+        return np.concatenate(dec, axis=0)
+
+    @pytest.mark.parametrize("shared", [False, True])
+    def test_gray_strips(self, shared):
+        from final_ocr_spark.extract.raster import tiff_encode_jpeg
+
+        img = _rng(31).integers(0, 256, (37, 24), dtype=np.uint8)
+        enc = tiff_encode_jpeg(img, rows_per_strip=16, shared_tables=shared)
+        out = tiff_decode(enc)
+        assert out.shape == (37, 24)
+        assert np.array_equal(out, self._strip_expected(img, 16))
+
+    @pytest.mark.parametrize("shared", [False, True])
+    def test_rgb_strips(self, shared):
+        from final_ocr_spark.extract.raster import tiff_encode_jpeg
+
+        img = _rng(33).integers(0, 256, (21, 16, 3), dtype=np.uint8)
+        enc = tiff_encode_jpeg(img, rows_per_strip=8, shared_tables=shared)
+        out = tiff_decode(enc)
+        assert out.shape == (21, 16, 3)
+        assert np.array_equal(out, self._strip_expected(img, 8))
+
+    def test_single_strip_inline_values(self):
+        from final_ocr_spark.extract.raster import tiff_encode_jpeg
+
+        img = _rng(35).integers(0, 256, (12, 10), dtype=np.uint8)
+        out = tiff_decode(tiff_encode_jpeg(img))
+        assert np.array_equal(out, self._strip_expected(img, 12))
+
+    @pytest.mark.parametrize("shared", [False, True])
+    def test_gray_tiled_ragged_edges(self, shared):
+        from final_ocr_spark.extract.jpeg import jpeg_decode, jpeg_encode
+        from final_ocr_spark.extract.raster import tiff_encode_jpeg
+
+        img = _rng(37).integers(0, 256, (20, 27), dtype=np.uint8)
+        enc = tiff_encode_jpeg(img, tile=(16, 16), shared_tables=shared)
+        out = tiff_decode(enc)
+        expected = np.zeros((32, 32), dtype=np.uint8)
+        for ty in range(2):
+            for tx in range(2):
+                pad = np.zeros((16, 16), dtype=np.uint8)
+                y0, x0 = ty * 16, tx * 16
+                y1, x1 = min(y0 + 16, 20), min(x0 + 16, 27)
+                pad[: y1 - y0, : x1 - x0] = img[y0:y1, x0:x1]
+                expected[y0:y0 + 16, x0:x0 + 16] = jpeg_decode(
+                    jpeg_encode(pad, quality=90))
+        assert np.array_equal(out, expected[:20, :27])
+
+    def test_old_style_jpeg_refused(self):
+        enc = _handmade_tiff(6, b"\xff\xd8\xff\xd9")
+        with pytest.raises(ValueError, match="old-style"):
+            tiff_decode(enc)
+
+    def test_malformed_jpeg_tables_raises(self):
+        from final_ocr_spark.extract.jpeg import jpeg_encode
+        from final_ocr_spark.extract.raster import (
+            _jpeg_split_tables,
+            tiff_encode_jpeg,
+        )
+
+        img = _rng(39).integers(0, 256, (16, 12), dtype=np.uint8)
+        enc = tiff_encode_jpeg(img, rows_per_strip=8, shared_tables=True)
+        tables, _ = _jpeg_split_tables(jpeg_encode(img[:8], quality=90))
+        idx = enc.rindex(tables)
+        bad = enc[:idx] + b"\x00\x00" + enc[idx + 2:]
+        with pytest.raises(ValueError, match="JPEGTables"):
+            tiff_decode(bad)
+
+    def test_gigapixel_sof_in_chunk_raises_before_alloc(self):
+        # a strip's JPEG claiming 65535×65535 in its SOF must raise on the
+        # pre-walk (layout-slot bound), not allocate plane storage
+        from final_ocr_spark.extract.raster import tiff_encode_jpeg
+
+        img = _rng(41).integers(0, 256, (12, 10), dtype=np.uint8)
+        enc = bytearray(tiff_encode_jpeg(img))
+        sof = bytes(enc).index(b"\xff\xc0")
+        enc[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+        with pytest.raises(ValueError, match="layout slot"):
+            tiff_decode(bytes(enc))
+
+    def test_decode_image_seam(self):
+        # compression-7 files now decode in-engine through the image seam
+        from final_ocr_spark.extract.jpeg import jpeg_decode, jpeg_encode
+        from final_ocr_spark.extract.raster import bt601_gray, tiff_encode_jpeg
+        from final_ocr_spark.operators.multimodal import decode_image
+
+        img = _rng(43).integers(0, 256, (14, 11, 3), dtype=np.uint8)
+        out = decode_image(tiff_encode_jpeg(img))
+        assert np.array_equal(
+            out, bt601_gray(jpeg_decode(jpeg_encode(img, quality=90))))
