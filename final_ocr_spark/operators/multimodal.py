@@ -393,19 +393,26 @@ def _decode_fake_audio(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode audio bytes → (sample_rate, int16 mono wave). FAKEAUD always;
-    real formats only when soundfile is importable (absent in sandbox —
-    the guard mirrors decode_image's cv2 seam)."""
+    """Decode audio bytes → (sample_rate, int16 mono wave). FAKEAUD and
+    WAV/RIFF PCM (extract/wav.py: uint8/int16/float32, any channel count,
+    soundfile-identical mono downmix) decode in-engine; compressed codecs
+    (MP3/AAC/OGG/FLAC) only when soundfile is importable (absent in
+    sandbox — the guard mirrors decode_image's cv2 seam)."""
     if data[:8] == b"FAKEAUD ":
         return _decode_fake_audio(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        from final_ocr_spark.extract.wav import wav_decode
+
+        return wav_decode(data)
     try:
         import io
 
         import soundfile  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real audio decode needs soundfile (absent in this sandbox) — "
-            "only the deterministic FAKEAUD test format is supported"
+            "compressed-audio decode needs soundfile (absent in this "
+            "sandbox) — in-engine codecs cover WAV/RIFF PCM and the "
+            "deterministic FAKEAUD test format"
         ) from None
     wav, sr = soundfile.read(io.BytesIO(data), dtype="int16")  # pragma: no cover
     if wav.ndim > 1:  # pragma: no cover - downmix to mono
