@@ -978,12 +978,26 @@ def _q38_dedup_clusters(spark, sf):
     return base.unionByName(kept).orderBy("stage", "doc_id")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a scan whose parallelism is below the core count (the local
+    sf tables are single-row-group parquet files, which Spark reads as ONE
+    task) so CPU-heavy per-row work uses every core — guide §2.5's "input
+    skew: one huge unsplittable file → repartition immediately after the
+    read". Scale-adaptive, not a local[32] constant: at production scale
+    the input is thousands of splits, the condition is false, and this is
+    an exact no-op (no exchange added). Row-identical output either way."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def _rep_corpus(spark, sf):
     """Deterministic multi-line corpus for the repetition queries: inject
     newlines / blank lines at pinned word boundaries, and double every third
     document so line/paragraph duplication is actually present. Same
     construction in the DuckDB oracle."""
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf, "documents")).select("doc_id", "text")
     body = F.replace(F.col("text"), F.lit(" data "), F.lit("\n"))
     body = F.replace(body, F.lit(" join "), F.lit("\n\n"))
     return d.select(
@@ -997,25 +1011,34 @@ def _rep_corpus(spark, sf):
 def _q39_gopher_repetition(spark, sf):
     """Gopher repetition signals (dup lines/paragraphs, top-n-gram and
     duplicated-n-gram character counts) + the composite keep flag — all
-    integer arithmetic, zero shuffle (scan-local Column folds)."""
+    integer arithmetic, zero data shuffle. r6: the counts come from the
+    Arrow twin (repetition_features_udf — bit-equal to the Column folds by
+    differential test; same integers, same oracle) because the Column
+    form's expression tree cost ~2 s of Catalyst planning per compile and
+    ~100 core-ms/doc interpreted evaluation (OPTIMIZATION_r06.md §q39);
+    the keep flag reuses gopher_repetition_checks over the extracted
+    fields, so the threshold rule has exactly one definition."""
     from final_ocr_spark.operators.repetition import (
         gopher_repetition_checks,
-        repetition_features,
+        repetition_features_udf,
     )
 
     d = _rep_corpus(spark, sf)
-    f = repetition_features(F.col("text"), top_ns=(2, 3, 4), dup_ns=(5, 10))
+    d = d.withColumn(
+        "_f", repetition_features_udf(top_ns=(2, 3, 4), dup_ns=(5, 10))(F.col("text"))
+    )
+    names = ["n_chars", "n_words", "n_lines", "n_distinct_lines",
+             "dup_line_chars", "line_chars", "n_paras", "n_distinct_paras",
+             "dup_para_chars", "para_chars", "top2gram_chars",
+             "top3gram_chars", "top4gram_chars", "dup5gram_chars",
+             "dup10gram_chars"]
+    f = {k: F.col("_f")[k] for k in names}
     checks = gopher_repetition_checks(f)
     keep = F.lit(True)
     for c in checks.values():
         keep = keep & c
     cols = [F.col("doc_id")]
-    for k in ["n_chars", "n_words", "n_lines", "n_distinct_lines",
-              "dup_line_chars", "line_chars", "n_paras", "n_distinct_paras",
-              "dup_para_chars", "para_chars", "top2gram_chars",
-              "top3gram_chars", "top4gram_chars", "dup5gram_chars",
-              "dup10gram_chars"]:
-        cols.append(f[k].alias(k))
+    cols += [f[k].alias(k) for k in names]
     cols.append(keep.alias("gopher_keep"))
     return d.select(*cols).orderBy("doc_id")
 

@@ -307,6 +307,127 @@ def c4_features(text_col, min_lines: int = 3) -> dict[str, Column]:
     }
 
 
+def repetition_features_udf(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Arrow-batched twin of :func:`repetition_features` — the SAME integer
+    counts, computed in plain Python per batch instead of ~(2 + len(top_ns)
+    + len(dup_ns)) interpreted sort+fold passes per row (guide §4.2: hand
+    whole batches to native/plain-Python code instead of interpreted JVM
+    higher-order folds). Two wins, both measured on the q39 shape:
+
+    * **execution**: the Column form burns ~100 core-ms/doc on mixed-length
+      web text (string n-gram construction via repeated zip_with concat,
+      then array_sort + interpreted aggregate per gram size); the Python
+      Counter loop is ~1-2 ms/doc;
+    * **planning**: the Column form's expression tree is so large that
+      Catalyst's optimizer passes alone cost ~2 s per query compilation —
+      the UDF collapses it to one ArrowEvalPython node.
+
+    Returns a deferred pandas_udf producing ONE struct column with exactly
+    the :func:`repetition_features` keys (all long). Bit-equality with the
+    Column form is pinned by tests/test_repetition.py's adversarial
+    differential (same corpus as the keep-gate twin).
+
+    Exactness contract (mirrors :func:`gopher_repetition_keep_udf`):
+    Java ``\\s`` is ASCII-only, spelled out; paragraph normalization
+    replays the Column order (collapse runs, strip ONE leading/trailing
+    space); a top-n-gram occurring once contributes 0 (``best_run >= 2``);
+    ties break toward the lexicographically smallest gram (Python str
+    order == Spark's UTF-8 binary order). NULL text replays the Column
+    forms' exact (inconsistent-looking, but pinned) null propagation:
+    array counts are -1 (``size(NULL)``), aggregate folds are NULL, and
+    the top-gram counts are 0 (their ``when(NULL, ...).otherwise(0)``
+    falls through) — verified against Spark by the differential test.
+    """
+    fields = ["n_chars", "n_words", "n_lines", "n_distinct_lines",
+              "dup_line_chars", "line_chars", "n_paras", "n_distinct_paras",
+              "dup_para_chars", "para_chars"]
+    fields += [f"top{n}gram_chars" for n in top_ns]
+    fields += [f"dup{n}gram_chars" for n in dup_ns]
+    schema = ", ".join(f"{f}: long" for f in fields)
+
+    def _factory():
+        import re
+        from collections import Counter
+
+        js = " \t\n\x0b\x0c\r"  # Java \s
+        trim_re = re.compile(f"^[{js}]+|[{js}]+$")
+        line_split = re.compile("\r?\n")
+        para_split = re.compile(f"\n[{js}]*\n")
+        ws_run = re.compile(f"[{js}]+")
+
+        def dup_chars(cnt: Counter) -> int:
+            return sum(c * len(v) for v, c in cnt.items() if c >= 2)
+
+        null_row = {
+            "n_chars": None, "n_words": -1, "n_lines": -1,
+            "n_distinct_lines": -1, "dup_line_chars": None,
+            "line_chars": None, "n_paras": -1, "n_distinct_paras": -1,
+            "dup_para_chars": None, "para_chars": None,
+            **{f"top{n}gram_chars": 0 for n in top_ns},
+            **{f"dup{n}gram_chars": None for n in dup_ns},
+        }
+
+        def one(t):
+            if not isinstance(t, str):
+                return dict(null_row)
+            lines = [trim_re.sub("", l) for l in line_split.split(t)]
+            lines = [l for l in lines if l]
+            paras = []
+            for p in para_split.split(t):
+                p = ws_run.sub(" ", p)
+                if p.startswith(" "):
+                    p = p[1:]
+                if p.endswith(" "):
+                    p = p[:-1]
+                if p:
+                    paras.append(p)
+            words = [w for w in ws_run.split(t) if w]
+            lc, pc = Counter(lines), Counter(paras)
+            out = {
+                "n_chars": len(t),
+                "n_words": len(words),
+                "n_lines": len(lines),
+                "n_distinct_lines": len(lc),
+                "dup_line_chars": dup_chars(lc),
+                "line_chars": sum(map(len, lines)),
+                "n_paras": len(paras),
+                "n_distinct_paras": len(pc),
+                "dup_para_chars": dup_chars(pc),
+                "para_chars": sum(map(len, paras)),
+            }
+            for n in top_ns:
+                g = Counter(
+                    " ".join(words[i:i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                top = 0
+                if g:
+                    best_v, best_c = min(g.items(), key=lambda kv: (-kv[1], kv[0]))
+                    if best_c >= 2:
+                        top = best_c * len(best_v)
+                out[f"top{n}gram_chars"] = top
+            for n in dup_ns:
+                g = Counter(
+                    " ".join(words[i:i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                out[f"dup{n}gram_chars"] = dup_chars(g)
+            return out
+
+        return one
+
+    one = _factory()
+
+    @pandas_udf(schema)
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([one(t) for t in texts], columns=fields)
+
+    return feats
+
+
 def gopher_repetition_keep_udf(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),

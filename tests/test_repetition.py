@@ -158,6 +158,57 @@ def test_repetition_fuzz_vs_python_reference(spark):
         assert got == want, f"text #{r['i']}: {texts[r['i']]!r}\n{got}\nvs\n{want}"
 
 
+def test_repetition_features_udf_bit_equal(spark):
+    """The Arrow features twin (q39's path since r6) must produce the SAME
+    integers as the Column folds on every doc — adversarial whitespace
+    (NBSP, U+2028, vertical tab, form feed, CRLF), threshold edge cases,
+    empty and null text, plus top-gram TIES (same count, different gram
+    length — the lexicographic tie-break decides top{n}gram_chars)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from final_ocr_spark.operators.repetition import (
+        repetition_features, repetition_features_udf,
+    )
+
+    rng = random.Random(77)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "spam", "now",
+             "g hh", "x y", "\n", "\n\n", "  ", "\t", "\x0b", "\x0c", "\r\n"]
+    texts = []
+    for _ in range(250):
+        n = rng.randint(0, 60)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += [
+        "", " ", "\n\n\n", "one",
+        "buy now " * 60,
+        ("line a\nline a\nline b\n" * 5),
+        ("para one\n\npara  one\n\npara two"),
+        # top-2-gram tie: 'aa bb' and 'c d' both occur twice; the winner
+        # (lexicographically smaller 'aa bb', 5 chars vs 3) decides the count
+        "aa bb aa bb zz c d zz c d",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    top_ns, dup_ns = (2, 3, 4), (5, 10)
+    col_f = repetition_features(SF.col("text"), top_ns=top_ns, dup_ns=dup_ns)
+    udf_f = repetition_features_udf(top_ns=top_ns, dup_ns=dup_ns)(SF.col("text"))
+    keys = list(col_f)
+    rows = df.select(
+        "i",
+        *[c.alias(f"col_{k}") for k, c in col_f.items()],
+        *[udf_f[k].alias(f"udf_{k}") for k in keys],
+    ).collect()
+    for r in rows:
+        for k in keys:
+            assert r[f"col_{k}"] == r[f"udf_{k}"], (
+                f"text #{r['i']} field {k}: {texts[r['i']]!r}: "
+                f"{r[f'col_{k}']} vs {r[f'udf_{k}']}"
+            )
+
+
 def test_gopher_keep_udf_bit_equal(spark):
     """The Arrow fast path must agree with the Column form on every doc —
     including adversarial whitespace (NBSP, U+2028, vertical tab, form
