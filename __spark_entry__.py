@@ -411,10 +411,14 @@ def _verified_near_dup_pairs(corpus, jaccard: float = 0.85):
     brute-force SQL oracles replicate."""
     from final_ocr_spark.operators.dedup import minhash_near_dups, ngram_jaccard_pairs
 
+    # candidates_only: the exact-jaccard verify below is the precision
+    # stage, so the banded signature-agreement filter the r1-r5 versions
+    # ran in between was pure recall loss (and two joins) — dropping it can
+    # only move the output TOWARD the brute-force oracle (r6, guide §2.4)
     cand = minhash_near_dups(
         corpus, key="doc_id", text_col="text", num_hashes=32, bands=8,
-        jaccard_threshold=0.5,
-    ).select("key_a", "key_b")
+        candidates_only=True,
+    )
     verified = ngram_jaccard_pairs(corpus, cand, key="doc_id", text_col="text", n=5)
     return verified.filter(F.col("jaccard") >= jaccard)
 

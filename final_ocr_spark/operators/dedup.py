@@ -444,6 +444,7 @@ def minhash_near_dups(
     jaccard_threshold: float = 0.7,
     sigs: DataFrame | None = None,
     observation=None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -465,15 +466,23 @@ def minhash_near_dups(
     ``n_capped_rows`` (rows excluded from pairing) become available after
     the first action that executes the pair plan — ZERO extra Spark jobs,
     unlike a separate bucket-count aggregation (review-caught on the
-    streaming ingest hot path). Spark de-duplicates the metric across the
-    self-join's two branches (verified empirically), and an empty input
-    reports NULL sums — read with ``or 0``.
+    streaming ingest hot path). An empty input reports NULL sums — read
+    with ``or 0``.
+
+    ``candidates_only=True`` returns the distinct ``(key_a, key_b)``
+    candidate pairs WITHOUT the signature-agreement estimate or its
+    threshold filter (``jaccard_threshold`` is ignored). For callers that
+    follow with an EXACT verify stage (:func:`ngram_jaccard_pairs`), the
+    estimate is a pure recall leak: a candidate pair whose true jaccard
+    clears the caller's threshold must be kept even when the banded
+    estimate dips below — and the est stage costs two signature joins per
+    candidate set (guide §2.4: remove work whose output is discarded).
     """
     rows_per_band = num_hashes // bands
     if sigs is not None:
         return _sig_near_dup_pairs(
             sigs, bands, rows_per_band, num_hashes, jaccard_threshold,
-            observation=observation,
+            observation=observation, candidates_only=candidates_only,
         )
     # classic (unbiased) signatures via codegen aggregation — OPH is faster
     # on long docs but its densification inflates est_jaccard for short
@@ -499,7 +508,7 @@ def minhash_near_dups(
     sigs = sigs.localCheckpoint(eager=False)
     return _sig_near_dup_pairs(
         sigs, bands, rows_per_band, num_hashes, jaccard_threshold,
-        observation=observation,
+        observation=observation, candidates_only=candidates_only,
     )
 
 
@@ -510,39 +519,56 @@ def _sig_near_dup_pairs(
     num_hashes: int,
     jaccard_threshold: float,
     observation=None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """The pairing stage of :func:`minhash_near_dups` over a materialized
-    ``(k, sig)`` table — ONE implementation of the band self-join, the
-    degenerate-bucket skew cap, and the signature-agreement estimator,
+    ``(k, sig)`` table — ONE implementation of the within-bucket pairing,
+    the degenerate-bucket skew cap, and the signature-agreement estimator,
     shared by the whole-corpus and precomputed-sigs entry points.
-    ``observation``: see :func:`minhash_near_dups`."""
+    ``observation`` / ``candidates_only``: see :func:`minhash_near_dups`.
+
+    r6 shape: ONE ``collect_list`` aggregation per (band, bucket) replaces
+    the previous window-rank + self-join + filter chain — same pair set
+    (``sort_array`` + ``slice`` reproduces the rank-``<= cap`` smallest
+    keys; in-bucket pair expansion is an O(members²) array transform,
+    bounded by the cap), two fewer exchanges and no join (guide §2.4).
+    Buckets are tiny by construction; a degenerate bucket is capped BEFORE
+    expansion so the quadratic term never exceeds cap²."""
     buckets = band_buckets(sigs, bands, rows_per_band)
 
-    # candidate pairs: self-join within (band, bucket). Skew guard: a
-    # degenerate bucket (all-identical boilerplate) is capped via row_number.
-    w = Window.partitionBy("band", "bucket").orderBy("k")
-    ranked = buckets.withColumn("_rn", F.row_number().over(w))
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("k")).alias("_ks")
+    )
     if observation is not None:
-        # exactly one row per truncated bucket carries _rn == cap+1, so a
-        # plain sum counts capped buckets without a distinct
-        ranked = ranked.observe(
+        # one row per bucket: sums over its member count need no distinct
+        grouped = grouped.observe(
             observation,
             F.sum(
-                (F.col("_rn") == PAIR_BUCKET_CAP + 1).cast("long")
+                (F.size("_ks") > PAIR_BUCKET_CAP).cast("long")
             ).alias("n_capped_buckets"),
             F.sum(
-                (F.col("_rn") > PAIR_BUCKET_CAP).cast("long")
+                F.greatest(
+                    F.size("_ks") - PAIR_BUCKET_CAP, F.lit(0)
+                ).cast("long")
             ).alias("n_capped_rows"),
         )
-    capped = ranked.filter(F.col("_rn") <= PAIR_BUCKET_CAP)
-    a = capped.select("band", "bucket", F.col("k").alias("key_a"))
-    b = capped.select("band", "bucket", F.col("k").alias("key_b"))
+    ks = F.slice("_ks", 1, PAIR_BUCKET_CAP)
+    pair_arr = F.flatten(
+        F.transform(
+            ks,
+            lambda x, i: F.transform(
+                F.slice(ks, i + F.lit(2), F.greatest(F.size(ks) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.key_a").alias("key_a"), F.col("_p.key_b").alias("key_b"))
         .distinct()
     )
+    if candidates_only:
+        return pairs
 
     sa = sigs.select(F.col("k").alias("key_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("k").alias("key_b"), F.col("sig").alias("sig_b"))

@@ -479,14 +479,17 @@ def corpus_pipeline(
         # extraction stage + every gate + PII redaction). Measured on the
         # 6k-page bench corpus: 21 s → 9 s for this stage.
         docs = docs.localCheckpoint(eager=False)
+        # candidates_only: the exact-jaccard verify below is the precision
+        # stage; the banded est filter between them was pure recall loss
+        # plus two signature joins (r6, guide §2.4)
         cand = minhash_near_dups(
             docs,
             key="url",
             text_col="text",
             num_hashes=minhash_hashes,
             bands=minhash_bands,
-            jaccard_threshold=min(0.5, jaccard_threshold),
-        ).select("key_a", "key_b")
+            candidates_only=True,
+        )
         verified = (
             ngram_jaccard_pairs(docs, cand, key="url", text_col="text", n=5)
             .filter(F.col("jaccard") >= jaccard_threshold)
