@@ -85,9 +85,21 @@ def _q1_rollup(spark, sf):
 
 def _q2_parent_child(spark, sf):
     """A5 — the FK child→parent 1:N join shape (items tagged with parent
-    invoice id, ocr2.py:661-673)."""
+    invoice id, ocr2.py:661-673).
+
+    Join strategy (r6): when the probe-side scan has fewer splits than
+    cores (the single-row-group local files), a broadcast join pins the
+    whole probe + partial-agg on that one scan task; hinting SHUFFLE_HASH
+    moves the join behind a key exchange that also satisfies the groupBy's
+    distribution (o_orderkey ⊂ group keys), so the heavy work runs on
+    every core for the price of one slim-row shuffle (guide §3.1).
+    Measured 1.29s → 0.72s warm at sf0.1. With parallel scans (real file
+    counts) the condition is false and the planner's broadcast stands."""
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    p = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < p:
+        orders = orders.hint("shuffle_hash")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderstatus")
