@@ -175,7 +175,20 @@ def pack_chunks(
         ids = F.concat(ids, F.array(F.lit(eos_id).cast(elem)))
     d = d.select(F.col(order_col).alias("_k"), ids.alias("_ids"))
     d = d.withColumn("_n_tok", F.size("_ids").cast("long"))
-    d = pack_sequences(d, "_k", "_n_tok", budget)
+    # r6 (guide §8: decide with small rows, move big rows once): the packing
+    # layout is a pure function of (_k, _n_tok), so the prefix sum runs over
+    # that 16-byte projection and the offsets JOIN back by key — the token
+    # arrays no longer ride the range repartition + window + checkpoint
+    # inside global_prefix_sum. The barrier moves up to `d` itself because
+    # it now has two consumers (slim layout + join-back) and its ids
+    # expression is typically the caller's expensive tokenization — without
+    # it, the range partitioner's sampling pass alone re-evaluated that
+    # expression over the full corpus a second time.
+    d = d.localCheckpoint(eager=False)
+    layout = pack_sequences(
+        d.select("_k", "_n_tok"), "_k", "_n_tok", budget
+    ).select("_k", "offset", "chunk_id", "n_chunks")
+    d = d.join(layout, "_k")
 
     b = F.lit(int(budget)).cast("long")
     seg = d.select(
