@@ -33,6 +33,28 @@ def _run_extraction(spark, partitions):
     }
 
 
+def test_gen_stream_identity():
+    """Pins the generator's BYTES (not just extraction output): the r6
+    flattened-choice fast path in _sentence must consume the identical
+    getrandbits stream as random.Random.choice, for every (html, text,
+    lang, url) byte of the corpus prefix. Digest frozen from the r1-r5
+    implementation."""
+    import hashlib
+
+    from final_ocr_spark.sources.synthetic_pages import gen_page_row
+
+    h = hashlib.sha256()
+    for i in range(300):
+        r = gen_page_row(42, i)
+        h.update(r["html"])
+        h.update((r["text"] or "").encode())
+        h.update(str(r["lang"]).encode())
+        h.update(r["url"].encode())
+    assert h.hexdigest() == (
+        "86d944ef62134a1f21720ce1f851e183867a95b37cc5aad559b76e67129c1ff1"
+    )
+
+
 def test_byte_identity_vs_goldens(spark, goldens):
     got = _run_extraction(spark, partitions=4)
     assert set(got) == set(goldens)
