@@ -490,6 +490,15 @@ def minhash_near_dups(
     sigs = minhash_sigs(
         df, key=key, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
+    if candidates_only:
+        # ONE consumer (banding) — no barrier needed: the sketch fuses
+        # straight into the bucket aggregation, and the checkpoint
+        # materialization job disappears (r6; job-count audit found q19
+        # spending ~0.35s/job on 10 jobs at sf0.1)
+        return _sig_near_dup_pairs(
+            sigs, bands, rows_per_band, num_hashes, jaccard_threshold,
+            observation=observation, candidates_only=True,
+        )
     # sigs feeds three consumers (banding + both verify joins); without a
     # materialization barrier Catalyst inlines the signature expression into
     # each and recomputes the whole sketch 3× (measured 45 s of 74 s at
@@ -1097,10 +1106,12 @@ def ngram_jaccard_pairs(
       pair — far below any meaningful threshold granularity).
     Jaccard = |intersect| / |union| via array_intersect/union.
     """
+    # no .distinct() on the key union: a LEFT SEMI probe side dedups in its
+    # own hash table, so the pre-aggregation bought nothing but one more
+    # exchange + aggregate (r6 job-count audit)
     needed = (
         pairs.select(F.col("key_a").alias("k"))
         .unionByName(pairs.select(F.col("key_b").alias("k")))
-        .distinct()
     )
     pruned = df.join(needed, df[key] == needed["k"], "left_semi")
     # two projections: materialize word hashes before the shingle fold (no

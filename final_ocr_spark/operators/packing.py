@@ -147,15 +147,20 @@ def pack_chunks(
     Costs the doc key riding the one materialization shuffle — OFF by
     default so the hot path stays key-free.
 
-    Scale shape: layout comes from :func:`pack_sequences` (two-pass global
-    prefix sum — no one-task world sort); each document then explodes into
-    exactly the ≤ ``n_chunks`` slices it contributes (slice bounds are pure
-    long arithmetic, ``F.slice`` on the already-loaded array), and ONE
-    groupBy(chunk_id) shuffle carries each token id exactly once — the
-    unavoidable materialization shuffle. Per-chunk reassembly sorts ≤
-    (docs-per-chunk + 2) segments; the HOF lambda is an O(segments) pass,
-    within the interpreted-HOF budget (PLANS.md). ``order_col`` must be
-    unique (inherited from global_prefix_sum determinism)."""
+    Scale shape (r6, guide §8): the layout comes from :func:`pack_sequences`
+    over the SLIM (key, n_tok) projection — the range repartition, window
+    and checkpoint inside the prefix sum never see the token arrays, and
+    the range partitioner's sampling pass re-reads 16-byte rows instead of
+    re-evaluating the caller's ids expression. The arrays meet their
+    offsets through one key join (broadcast when the layout fits, else the
+    join exchange), each document then explodes into exactly the
+    ≤ ``n_chunks`` slices it contributes (slice bounds are pure long
+    arithmetic, ``F.slice`` on the already-loaded array), and the ONE
+    groupBy(chunk_id) shuffle materializes the chunks. Per-chunk reassembly
+    sorts ≤ (docs-per-chunk + 2) segments; the HOF lambda is an
+    O(segments) pass, within the interpreted-HOF budget (PLANS.md).
+    ``order_col`` must be unique (inherited from global_prefix_sum
+    determinism)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     from pyspark.sql.types import ArrayType

@@ -201,12 +201,15 @@ def test_aqe_skew_join_splits_hot_host(spark):
                 spark.conf.set(k, v)
 
 
-def test_pack_chunks_single_data_exchange(spark):
-    """pack_chunks' PLANS.md claim: token ids cross exactly ONE
-    hashpartitioning exchange (the chunk groupBy, with partial
-    collect_list map-side), and the prefix-sum offsets arrive by broadcast
-    join — never a second data shuffle. (The prefix sum's range exchange
-    sits behind its localCheckpoint, outside this plan.)"""
+def test_pack_chunks_slim_prefix_and_bounded_data_exchanges(spark):
+    """pack_chunks' r6 shape (guide §8): the prefix sum runs over the slim
+    (key, n_tok) projection — its range exchange and window never see the
+    token arrays (both sit behind the slim checkpoint, outside this plan) —
+    and the arrays cross AT MOST two hashpartitioning exchanges: the key
+    join that attaches the layout (elided entirely when AQE broadcasts the
+    layout side) and the one chunk groupBy materialization shuffle, with
+    partial collect_list map-side. The per-partition prefix totals still
+    arrive by broadcast join — never a data shuffle."""
     from final_ocr_spark.operators.packing import pack_chunks
 
     df = spark.createDataFrame(
@@ -214,7 +217,12 @@ def test_pack_chunks_single_data_exchange(spark):
         "k long, ids array<int>",
     )
     plan = _plan(pack_chunks(df, "k", "ids", 16))
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "BroadcastHashJoin" in plan          # offsets join, tiny side
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan          # prefix-totals join, tiny side
     assert "partial_collect_list" in plan       # map-side combine
     assert "Exchange rangepartitioning" not in plan
+    # the range-partitioned window side is slim: no array column rides any
+    # visible exchange except the layout join / chunk groupBy
+    for line in plan.splitlines():
+        if "Exchange rangepartitioning" in line:
+            assert "_ids" not in line
