@@ -398,23 +398,28 @@ def repetition_features_udf(
                 "dup_para_chars": dup_chars(pc),
                 "para_chars": sum(map(len, paras)),
             }
+            # n-grams counted as zip-tuples (C-speed, no string build);
+            # " ".join only materializes for tied top-gram winners — the
+            # tie-break must follow JOINED-string order, and tuple order
+            # can differ from it when a word contains chars < U+0020
             for n in top_ns:
-                g = Counter(
-                    " ".join(words[i:i + n])
-                    for i in range(len(words) - n + 1)
-                )
+                g = Counter(zip(*(words[j:] for j in range(n))))
                 top = 0
                 if g:
-                    best_v, best_c = min(g.items(), key=lambda kv: (-kv[1], kv[0]))
+                    best_c = max(g.values())
                     if best_c >= 2:
-                        top = best_c * len(best_v)
+                        best = min(
+                            " ".join(v) for v, c in g.items() if c == best_c
+                        )
+                        top = best_c * len(best)
                 out[f"top{n}gram_chars"] = top
             for n in dup_ns:
-                g = Counter(
-                    " ".join(words[i:i + n])
-                    for i in range(len(words) - n + 1)
+                g = Counter(zip(*(words[j:] for j in range(n))))
+                out[f"dup{n}gram_chars"] = sum(
+                    c * (sum(map(len, v)) + n - 1)
+                    for v, c in g.items()
+                    if c >= 2
                 )
-                out[f"dup{n}gram_chars"] = dup_chars(g)
             return out
 
         return one
@@ -503,24 +508,28 @@ def gopher_repetition_keep_udf(
             if not frac_le(dup_chars(pc), sum(map(len, paras)),
                            thresholds["dup_para_char_frac"]):
                 return False
+            # zip-tuple gram counting; joined strings only for tied top
+            # winners (see repetition_features_udf's tie-break note)
             for n in top_ns:
-                g = Counter(
-                    " ".join(words[i:i + n])
-                    for i in range(len(words) - n + 1)
-                )
+                g = Counter(zip(*(words[j:] for j in range(n))))
                 top = 0
                 if g:
-                    best_v, best_c = min(g.items(), key=lambda kv: (-kv[1], kv[0]))
+                    best_c = max(g.values())
                     if best_c >= 2:
-                        top = best_c * len(best_v)
+                        best = min(
+                            " ".join(v) for v, c in g.items() if c == best_c
+                        )
+                        top = best_c * len(best)
                 if not frac_le(top, n_chars, thresholds[f"top{n}gram_char_frac"]):
                     return False
             for n in dup_ns:
-                g = Counter(
-                    " ".join(words[i:i + n])
-                    for i in range(len(words) - n + 1)
+                g = Counter(zip(*(words[j:] for j in range(n))))
+                dup = sum(
+                    c * (sum(map(len, v)) + n - 1)
+                    for v, c in g.items()
+                    if c >= 2
                 )
-                if not frac_le(dup_chars(g), n_chars,
+                if not frac_le(dup, n_chars,
                                thresholds[f"dup{n}gram_char_frac"]):
                     return False
             return True

@@ -112,9 +112,12 @@ def quality_score_udf():
 
         js = " \t\n\x0b\x0c\r"  # Java \s
         ws_run = re.compile(f"[{js}]+")
-        punct = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
-        upper = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
-        digit = set("0123456789")
+        # char-class counts via C-level str.translate deletion (one pass
+        # per class) instead of a per-character Python loop — the three
+        # classes are disjoint, so delete-and-diff equals the elif chain
+        del_punct = str.maketrans("", "", "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+        del_upper = str.maketrans("", "", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        del_digit = str.maketrans("", "", "0123456789")
         stop = set(_STOPWORDS)
 
         def one(t):
@@ -123,14 +126,9 @@ def quality_score_udf():
             toks = [w for w in ws_run.split(t.strip(" ")) if w]
             n_tok, n_chars = len(toks), len(t)
             n_stop = sum(1 for w in toks if w.lower() in stop)
-            n_punct = n_upper = n_digit = 0
-            for ch in t:
-                if ch in punct:
-                    n_punct += 1
-                elif ch in upper:
-                    n_upper += 1
-                elif ch in digit:
-                    n_digit += 1
+            n_punct = n_chars - len(t.translate(del_punct))
+            n_upper = n_chars - len(t.translate(del_upper))
+            n_digit = n_chars - len(t.translate(del_digit))
             st = max(n_tok, 1)
             sc = max(n_chars, 1)
             mean_wl = (n_chars - n_tok + 1) / st
