@@ -880,8 +880,12 @@ def dedup_clusters(
             .agg(F.min("nl").alias("nl"))
             .select(F.col("a").alias("k"), "nl")
         )
+        # the pre-round label rides along as _old so the convergence check
+        # below is a filter on the SAME rows instead of one more join of
+        # new_labels back to labels (r6 job-slimming; output unchanged)
         propagated = labels.join(neigh, "k", "left").select(
             "k",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
         )
         # pointer jumping: label <- label(label). Every label IS a node key
@@ -894,16 +898,13 @@ def dedup_clusters(
             propagated.join(lut, "label", "left")
             .select(
                 "k",
+                "_old",
                 F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "k")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("k", "label")
         if changed == 0:
             break
     else:
