@@ -258,13 +258,96 @@ def gopher_repetition_checks(feats: dict[str, Column]) -> dict[str, Column]:
     return checks
 
 
+def _bind(col: Column, f) -> Column:
+    """Let-binding for interpreted Column expressions: evaluate ``col``
+    ONCE and pass it to ``f`` as a lambda variable.
+
+    Why this exists (r6, guide §4.1/§2.4): higher-order functions are
+    CodegenFallback, so a Filter predicate built from them is evaluated by
+    recursive ``eval`` with NO common-subexpression elimination — every
+    textual reuse of e.g. ``words_of(text)`` re-runs the regex split.
+    ``exists`` over the 1-element array ``array(col)`` evaluates ``col``
+    exactly once, binds the value to the lambda variable (references are
+    plain variable reads), and returns exactly ``f(col)`` under 3-valued
+    logic: pred TRUE/FALSE/NULL -> TRUE/FALSE/NULL, and a NULL ``col`` is
+    carried as a NULL *element* (``array(col)`` is never an empty array),
+    so null propagation matches the unbound form."""
+    return F.exists(F.array(col), f)
+
+
 def gopher_repetition_keep(text_col) -> Column:
-    """Single boolean: document passes every Gopher repetition check."""
-    checks = gopher_repetition_checks(repetition_features(text_col))
-    keep = F.lit(True)
-    for c in checks.values():
-        keep = keep & c
-    return keep
+    """Single boolean: document passes every Gopher repetition check.
+
+    Same verdict as AND-folding :func:`gopher_repetition_checks` over
+    :func:`repetition_features` (3-valued AND is order-insensitive; pinned
+    by tests against both that spec form and the Arrow twin), restructured
+    for interpreted evaluation (r6):
+
+    * ``lines`` / ``paras`` / ``words`` are :func:`_bind`-bound — computed
+      once instead of once per check that mentions them (the spec form
+      re-split ``words`` for all 9 gram sizes);
+    * gram arrays build INCREMENTALLY — grams(n+1) is ONE ``zip_with``
+      against the (n+1)-shifted words over the bound grams(n), replacing
+      :func:`word_ngrams`'s from-scratch chains (9 zip_with passes total
+      vs 45).
+
+    Measured (sf0.1 documents, 5 k docs, local[32], interleaved): 12.3-12.7 s
+    -> 4.3-4.4 s per filter+count, 0 verdict diffs. The per-doc sorts+folds
+    (9 gram sizes + lines + paras) now dominate, which is the irreducible
+    work of the Column form; the Arrow twin
+    (:func:`gopher_repetition_keep_udf`) remains ~10x faster still and stays
+    the pipeline default.
+    """
+    T = GOPHER_THRESHOLDS_PCT
+    n_chars = F.length(text_col).cast("long")
+
+    def seg_checks(frac_key: str, char_key: str):
+        def checks(seg):
+            n = F.size(seg).cast("long")
+            return (
+                _frac_le(n - F.size(F.array_distinct(seg)).cast("long"), n,
+                         T[frac_key])
+                & _frac_le(run_stats(seg)["dup_chars"], _sum_lengths(seg),
+                           T[char_key])
+            )
+
+        return checks
+
+    def top_check(grams, n):
+        rs = run_stats(grams)
+        # best_run >= 2 gate: a gram occurring once is not repetition
+        # (see repetition_features)
+        top = F.when(rs["best_run"] >= 2, rs["best_chars"]).otherwise(_zero())
+        return _frac_le(top, n_chars, T[f"top{n}gram_char_frac"])
+
+    def dup_check(grams, n):
+        return _frac_le(run_stats(grams)["dup_chars"], n_chars,
+                        T[f"dup{n}gram_char_frac"])
+
+    def next_grams(words, grams, n):
+        # grams for n -> grams for n+1 (word_ngrams' inner step)
+        keep_n = F.greatest(F.size(words) - n, F.lit(0))
+        return F.zip_with(
+            F.slice(grams, 1, keep_n), F.slice(words, n + 1, keep_n),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+    def gram_chain(words, grams, n):
+        chk = top_check(grams, n) if n <= 4 else dup_check(grams, n)
+        if n == 10:
+            return chk
+        return chk & _bind(next_grams(words, grams, n),
+                           lambda g: gram_chain(words, g, n + 1))
+
+    return (
+        _bind(norm_lines(text_col),
+              seg_checks("dup_line_frac", "dup_line_char_frac"))
+        & _bind(norm_paragraphs(text_col),
+                seg_checks("dup_para_frac", "dup_para_char_frac"))
+        & _bind(words_of(text_col),
+                lambda w: _bind(next_grams(w, w, 1),
+                                lambda g2: gram_chain(w, g2, 2)))
+    )
 
 
 # ---------------------------------------------------------------------------

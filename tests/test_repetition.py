@@ -246,3 +246,51 @@ def test_gopher_keep_udf_bit_equal(spark):
     rows = df.select("i", keep_col.alias("a"), keep_udf.alias("b")).collect()
     for r in rows:
         assert r["a"] == r["b"], f"text #{r['i']}: {texts[r['i']]!r}"
+
+
+def test_gopher_keep_equals_spec_and_fold(spark):
+    """The let-bound keep (r6: lines/paras/words bound once, gram arrays
+    built incrementally) must equal the spec form — AND-folding
+    gopher_repetition_checks over repetition_features — on the adversarial
+    corpus, including 3-valued-logic rows (null text => NULL, which both
+    forms produce and filter drops)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from final_ocr_spark.operators.repetition import (
+        gopher_repetition_checks, gopher_repetition_keep,
+        repetition_features,
+    )
+
+    rng = random.Random(77)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "spam", "now",
+             "g hh", "x y", "\n", "\n\n", "  ", "\t",
+             "\x0b", "\x0c", "\r\n"]
+    texts = []
+    for _ in range(250):
+        n = rng.randint(0, 60)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += [
+        "", " ", "\n\n\n", "one",
+        "buy now " * 60,
+        ("line a\nline a\nline b\n" * 5),
+        ("para one\n\npara  one\n\npara two"),
+        "aa bb aa bb zz c d zz c d",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    spec = SF.lit(True)
+    for c in gopher_repetition_checks(
+        repetition_features(SF.col("text"))
+    ).values():
+        spec = spec & c
+    rows = df.select(
+        "i",
+        gopher_repetition_keep(SF.col("text")).alias("a"),
+        spec.alias("b"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"], f"text #{r['i']}: {texts[r['i']]!r}"
