@@ -132,8 +132,13 @@ def embedding_near_dups(
         first = emb.select(vec_col).first()
         dim = len(first[0])
     sk = hyperplane_sketch(F.col(vec_col), dim, bits, seed)
+    # norm precomputed ONCE per vector (r6): the cosine below is an
+    # interpreted HOF fold per pair, and computing |v| pair-side tripled
+    # that work (1 dot + 2 norm folds per candidate). Same doubles, same
+    # division — bit-identical cos_sim.
+    v = F.col(vec_col).cast("array<double>")
     base = emb.select(
-        F.col(id_col).alias("k"), F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(id_col).alias("k"), v.alias("v"), _norm(v).alias("nv"),
         sk.alias("b"),
     ).localCheckpoint(eager=False)  # consumed by the blocking join AND the
     # verify rejoin; GC-cleaned, unlike persist (see dedup.minhash_near_dups)
@@ -156,11 +161,15 @@ def embedding_near_dups(
         .select("k", "k2")
         .dropDuplicates(["k", "k2"])
     )
-    # rejoin vectors for the survivors only
-    pairs = cand.join(base.select("k", "v"), "k").join(
-        base.select(F.col("k").alias("k2"), F.col("v").alias("v2")), "k2"
+    # rejoin vectors (+ precomputed norms) for the survivors only
+    pairs = cand.join(base.select("k", "v", "nv"), "k").join(
+        base.select(
+            F.col("k").alias("k2"), F.col("v").alias("v2"),
+            F.col("nv").alias("nv2"),
+        ),
+        "k2",
     )
-    cos = _dot(F.col("v"), F.col("v2")) / (_norm(F.col("v")) * _norm(F.col("v2")))
+    cos = _dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2"))
     return (
         pairs.select(
             F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
@@ -867,10 +876,16 @@ def semantic_dedup_kmeans(
     )
     # consumed by the blocking join and the representative pick
     assigns = assigns.localCheckpoint(eager=False)
-    base = emb.select(
-        F.col(id_col).alias("k"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
+    # norm precomputed ONCE per vector (r6): see semantic_dedup — the
+    # pair-side cosine folds are interpreted, and |v| per pair was 2/3 of
+    # them. Same doubles, bit-identical cos_sim.
+    v = F.col(vec_col).cast("array<double>")
+    base = (
+        emb.select(F.col(id_col).alias("k"), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("nv", _norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
 
     # KEY-ONLY blocking join on the cluster id (same slimness rule as the
     # LSH variant: vectors rejoin candidates, never ride the blocking join)
@@ -881,11 +896,13 @@ def semantic_dedup_kmeans(
         .select("k", "k2")
     )
     pairs = cand.join(base, "k").join(
-        base.select(F.col("k").alias("k2"), F.col("v").alias("v2")), "k2"
+        base.select(
+            F.col("k").alias("k2"), F.col("v").alias("v2"),
+            F.col("nv").alias("nv2"),
+        ),
+        "k2",
     )
-    cos = _dot(F.col("v"), F.col("v2")) / (
-        _norm(F.col("v")) * _norm(F.col("v2"))
-    )
+    cos = _dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2"))
     dup_pairs = pairs.select(
         F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
         cos.alias("cos_sim"),
