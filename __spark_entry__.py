@@ -371,8 +371,18 @@ def _q17_cosine_topk(spark, sf):
     """Similarity search: brute-force cosine top-k against a query vector
     (the ANN baseline; vectorized JVM-side array math, no UDF)."""
     emb = _t(spark, sf, "embeddings")
+    # |q| is folded ONCE on the 1-row broadcast build side (r6): interpreted
+    # HOF folds get no CSE/constant-folding, so computing it in the joined
+    # projection re-ran a dim-element fold per probe row. Same fold over the
+    # same doubles, carried through the broadcast — bit-identical cos_sim.
+    qv = F.col("embedding").cast("array<double>")
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
+        qv.alias("qv"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(qv, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("nq"),
     )
     e = emb.filter(F.col("vec_id") != 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -380,8 +390,7 @@ def _q17_cosine_topk(spark, sf):
     j = e.crossJoin(F.broadcast(q))
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     nv = F.sqrt(F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
-    nq = F.sqrt(F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (nv * nq)
+    cos = dot / (nv * F.col("nq"))
     return (
         j.select("vec_id", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

@@ -16,6 +16,7 @@ Three tiers, all deterministic:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -37,7 +38,14 @@ def cosine_topk(
     """Brute-force cosine top-k vs one literal query vector (JVM-side)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    # |q| computed ONCE on the driver (r6): interpreted HOF folds are not
+    # constant-folded, so _norm(q) re-ran a dim-element fold per row for a
+    # literal. Python floats are IEEE doubles and this replays _norm's
+    # exact sequence (s + x*x left-to-right, then sqrt) — bit-identical.
+    nq = 0.0
+    for x in query_vec:
+        nq += float(x) * float(x)
+    cos = _dot(v, q) / (_norm(v) * F.lit(math.sqrt(nq)))
     return (
         emb.select(F.col(id_col), cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
